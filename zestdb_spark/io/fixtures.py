@@ -1,0 +1,145 @@
+"""Map the driver's TPC-H-ish testdata onto the engine tables
+(FIXTURES.md §6) — with, for each mapping, the EXACT equivalent DuckDB
+SQL so the correctness oracle sees the same rows.
+
+Contract notes (verified empirically, Spark 4.1.2 vs DuckDB 1.0):
+- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as int64
+  nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and
+  ``ts div 1000000`` equals DuckDB's ``epoch_ms(ts)`` exactly.
+- ``lineitem.l_shipdate`` / ``orders.o_orderdate`` are TIMESTAMP(MS) →
+  Spark TIMESTAMP_NTZ; with session TZ UTC,
+  ``unix_millis(cast(x as timestamp))`` equals ``epoch_ms(x)``.
+- ``get_json_object(props,'$.k')`` equals
+  ``json_extract_string(props,'$.k')``.
+
+Rows where ``user_id % 5 == 0`` are deliberately left untagged
+(tag_name/tag_value NULL) so the filter's dropped-row semantics
+(src/filter.re:9-14) are exercised by the oracle corpus, not just unit
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ events
+
+def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tagged = F.col("user_id") % 5 != 0
+    return ev.select(
+        F.col("event_type").alias("series_id"),
+        F.expr("ts div 1000000").alias("timestamp"),
+        F.col("value"),
+        F.when(tagged, F.lit("k")).alias("tag_name"),
+        F.when(tagged, F.get_json_object("props", "$.k")).alias("tag_value"),
+    )
+
+
+TS_NUMERIC_FROM_EVENTS_SQL = """
+  SELECT event_type AS series_id,
+         epoch_ms(ts) AS "timestamp",
+         value,
+         CASE WHEN user_id % 5 <> 0 THEN 'k' END AS tag_name,
+         CASE WHEN user_id % 5 <> 0
+              THEN json_extract_string(props, '$.k') END AS tag_value
+  FROM events
+"""
+
+
+def ts_blob_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_type").alias("series_id"),
+        F.expr("ts div 1000000").alias("timestamp"),
+        F.col("props").alias("data"),
+    )
+
+
+TS_BLOB_FROM_EVENTS_SQL = """
+  SELECT event_type AS series_id,
+         epoch_ms(ts) AS "timestamp",
+         props AS data
+  FROM events
+"""
+
+# ---------------------------------------------------------------- lineitem
+
+def ts_numeric_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk/bench mapping: one series per returnflag, price as value."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.concat(F.lit("li_"), F.col("l_returnflag")).alias("series_id"),
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+        F.col("l_extendedprice").alias("value"),
+        F.lit("status").alias("tag_name"),
+        F.col("l_linestatus").alias("tag_value"),
+    )
+
+
+TS_NUMERIC_FROM_LINEITEM_SQL = """
+  SELECT 'li_' || l_returnflag AS series_id,
+         epoch_ms(l_shipdate) AS "timestamp",
+         l_extendedprice AS value,
+         'status' AS tag_name,
+         l_linestatus AS tag_value
+  FROM lineitem
+"""
+
+# --------------------------------------------------------------------- kv
+
+def kv_json_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV namespace per region name, key per nation name."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("id"),
+            F.col("n_name").alias("key"),
+            F.col("n_nationkey").cast("string").alias("value"),
+        )
+    )
+
+
+KV_JSON_FROM_NATION_SQL = """
+  SELECT r.r_name AS id,
+         n.n_name AS key,
+         CAST(n.n_nationkey AS VARCHAR) AS value
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+# ----------------------------------------------------------------- catalog
+
+def catalog_items_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hypercat item per part brand — href + required rels
+    (src/hc.re:20-41) in the flat (href, rel, val) projection that the
+    catalog read renders."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brands = p.select(F.col("p_brand").alias("brand")).distinct()
+    desc = brands.select(
+        F.concat(F.lit("/brand/"), F.col("brand")).alias("href"),
+        F.lit("urn:X-hypercat:rels:hasDescription:en").alias("rel"),
+        F.col("brand").alias("val"),
+    )
+    ctype = brands.select(
+        F.concat(F.lit("/brand/"), F.col("brand")).alias("href"),
+        F.lit("urn:X-hypercat:rels:isContentType").alias("rel"),
+        F.lit("application/json").alias("val"),
+    )
+    return desc.unionAll(ctype)
+
+
+CATALOG_ITEMS_SQL = """
+  WITH brands AS (SELECT DISTINCT p_brand AS brand FROM part)
+  SELECT '/brand/' || brand AS href,
+         'urn:X-hypercat:rels:hasDescription:en' AS rel,
+         brand AS val
+  FROM brands
+  UNION ALL
+  SELECT '/brand/' || brand AS href,
+         'urn:X-hypercat:rels:isContentType' AS rel,
+         'application/json' AS val
+  FROM brands
+"""

@@ -1,0 +1,80 @@
+"""Reference-shaped JSON results at the API edge (SURVEY.md §1.2).
+
+The engine keeps everything as DataFrames; only this module renders the
+reference's wire shapes (docs/README.md:118):
+- row reads  → ``[{"timestamp": <int_ms>, "data": {...}}, ...]``
+  (src/timeseries/timeseries.re:233-240)
+- aggregates → ``{"result": <float>}`` or ``{}`` on empty input
+  (src/numeric.re:22-27)
+- length     → ``{"length": <int>}`` (timeseries.re:321)
+- KV count   → ``{"count": <int>}``; KV keys → array of strings
+  (src/keyvalue/keyvalue.re:35-36, keys.re:32-45)
+
+``rows_to_json`` streams with ``toLocalIterator`` so the driver never
+materializes a 100 TB result — callers at scale should instead write the
+DataFrame to a sink; JSON rendering is for API-parity responses only.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def _row_data(row: dict[str, Any]) -> dict[str, Any]:
+    """Rebuild the reference's data dict: {"value": v[, tag: tagval]}."""
+    data: dict[str, Any] = {"value": row["value"]}
+    if row.get("tag_name") is not None:
+        data[row["tag_name"]] = row["tag_value"]
+    return data
+
+
+def iter_ts_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
+    """Numeric-TS result rows → reference row dicts, streamed."""
+    for row in df.toLocalIterator():
+        d = row.asDict()
+        yield {"timestamp": d["timestamp"], "data": _row_data(d)}
+
+
+def iter_blob_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
+    for row in df.toLocalIterator():
+        d = row.asDict()
+        yield {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
+
+
+def rows_to_json(df: DataFrame, blob: bool = False) -> str:
+    it = iter_blob_rows(df) if blob else iter_ts_rows(df)
+    return json.dumps(list(it))
+
+
+def aggregate_to_json(df: DataFrame) -> str:
+    """1-row {result} frame → ``{"result": x}``; empty/NULL/NaN → ``{}``.
+
+    NULL arises from aggregating zero rows (and from stddev_samp over a
+    single row, where Oml returns nan — both render as the reference's
+    empty-object result, src/numeric.re:26)."""
+    rows = df.collect()  # 1 row by construction
+    if not rows or rows[0]["result"] is None:
+        return "{}"
+    val = rows[0]["result"]
+    if isinstance(val, float) and math.isnan(val):
+        return "{}"
+    return json.dumps({"result": float(val)})
+
+
+def length_to_json(df: DataFrame) -> str:
+    rows = df.collect()
+    return json.dumps({"length": int(rows[0]["length"]) if rows else 0})
+
+
+def count_to_json(df: DataFrame) -> str:
+    rows = df.collect()
+    return json.dumps({"count": int(rows[0]["count"]) if rows else 0})
+
+
+def keys_to_json(df: DataFrame) -> str:
+    return json.dumps([r["key"] for r in df.toLocalIterator()])

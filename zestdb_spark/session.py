@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; production target is a
+multi-executor cluster, so every knob here is also correct at scale:
+AQE on (runtime shuffle coalescing + skew-join splitting), shuffle
+partitions sized to the environment, UTC session timezone (so epoch-ms
+arithmetic matches the DuckDB oracle), Arrow enabled for the few
+Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "zestdb_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus.strip("*") or 32) if cpus != "*" else 32, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
+        # cannot read as a timestamp; read the raw int64 nanos instead and
+        # convert with integer division (see io/fixtures.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
