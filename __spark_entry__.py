@@ -143,6 +143,173 @@ _KV_SQL = {
     "catalog_get": fixtures.CATALOG_ITEMS_SQL,
 }
 
+# ----------------------------------------------------- extension operators
+# Dedup / similarity / text-analysis / multimodal over the documents and
+# embeddings tables. Oracles are hand-written exact-SQL mirrors; entries
+# whose algorithm is inherently approximate or non-SQL (simhash, LSH ANN)
+# have no oracle → driver records the weaker rows-only check.
+
+def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.functions import dedup, multimodal, similarity, textstats
+
+    def docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def dedup_exact(spark, sf_dir):
+        d = docs(spark, sf_dir).select("doc_id", "text")
+        recrawl = d.unionAll(d.select(F.col("doc_id") + 1000000, "text"))
+        return dedup.exact_duplicates(recrawl)
+
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(docs(s, d), 3, 0.8),
+        "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 16, 0.8),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(docs(s, d), 3),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), 0.45),
+        "sim_topk_bruteforce": lambda s, d: similarity.cosine_topk(embs(s, d), 0, 10),
+        "sim_topk_lsh": lambda s, d: similarity.lsh_topk(embs(s, d), 0, 10),
+        "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
+        "text_quality": lambda s, d: textstats.quality_score(docs(s, d)),
+        "text_langid": lambda s, d: textstats.lang_id(docs(s, d)),
+        "text_fingerprint": lambda s, d: textstats.fingerprint(docs(s, d)),
+        "mm_features": lambda s, d: multimodal.extract_features(
+            multimodal.assets_from_documents(s, d)
+        ),
+        "mm_frame_sample": lambda s, d: multimodal.frame_sample(
+            multimodal.assets_from_documents(s, d)
+        ),
+    }
+
+
+_SHINGLE_CTE = """
+  toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+  words AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w,1) AS i FROM toks),
+  sh AS (SELECT DISTINCT doc_id,
+                tok || ' ' || lead(tok,1) OVER (PARTITION BY doc_id ORDER BY i)
+                    || ' ' || lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+         FROM words
+         QUALIFY lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+_JACCARD_SQL = f"""
+  WITH {_SHINGLE_CTE}
+  SELECT id_a, id_b,
+         floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8
+"""
+
+_EMB_NORM_CTE = """
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+"""
+
+#: stopword lists — keep in sync with zestdb_spark.functions.textstats
+_SW = {
+    "en": "'the','a','and','of','to','in','is','on','for','with'",
+    "es": "'el','la','de','que','y','en','un','los','del','se'",
+    "de": "'der','die','das','und','ist','von','mit','den','im','ein'",
+    "fr": "'le','les','et','une','des','est','dans','du','au','sur'",
+}
+_HITS = {
+    lang: f"len(list_filter(string_split(text,' '), x -> x IN ({words})))"
+    for lang, words in _SW.items()
+}
+
+_EXT_SQL: dict[str, str] = {
+    "dedup_exact": """
+      WITH recrawl AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents)
+      SELECT md5(text) AS text_hash,
+             min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM recrawl GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    # LSH candidates are exactly verified and FN prob ≤ 4e-8 at the data's
+    # j≥0.9 pairs, so the exact-Jaccard result is the valid oracle.
+    "dedup_minhash": _JACCARD_SQL,
+    "dedup_embedding_cosine": f"""
+      WITH {_EMB_NORM_CTE}
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000.0) / 1000000.0 AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000.0) / 1000000.0 >= 0.45
+    """,
+    "sim_topk_bruteforce": f"""
+      WITH {_EMB_NORM_CTE},
+      q AS (SELECT v, norm FROM n WHERE vec_id = 0)
+      SELECT n.vec_id,
+             floor(list_dot_product(n.v, q.v) / (n.norm * q.norm) * 1000000.0) / 1000000.0 AS cosine
+      FROM n, q WHERE n.vec_id <> 0
+      ORDER BY cosine DESC, n.vec_id ASC LIMIT 10
+    """,
+    "text_token_count": """
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    """,
+    "text_quality": f"""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+               {_HITS['en']} AS hits
+        FROM documents)
+      SELECT doc_id,
+             n AS n_tokens,
+             floor(hits / n * 1000000.0) / 1000000.0 AS stopword_ratio,
+             floor((floor(hits / n * 1000000.0) / 1000000.0 * 0.5
+                    + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
+      FROM t
+    """,
+    "text_langid": f"""
+      WITH t AS (
+        SELECT doc_id, {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+               {_HITS['de']} AS h_de, {_HITS['fr']} AS h_fr
+        FROM documents)
+      SELECT doc_id,
+             CASE
+               WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+               WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+               WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+               WHEN h_fr > 0 THEN 'fr'
+               ELSE 'und'
+             END AS pred_lang
+      FROM t
+    """,
+    "text_fingerprint": r"""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    """,
+    "mm_features": """
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             octet_length(encode(text)) AS byte_len,
+             hex(encode(substring(text, 1, 8))) AS head_hex
+      FROM documents
+    """,
+    "mm_frame_sample": """
+      SELECT doc_id AS asset_id,
+             unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_idx,
+             unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS byte_offset
+      FROM documents
+    """,
+}
+
 # --------------------------------------------------------------------------
 
 
@@ -162,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kv_count"] = _kv_count
     out["kv_read"] = _kv_read
     out["catalog_get"] = _catalog_get
+    out.update(_ext_queries())
     return out
 
 
@@ -170,4 +338,5 @@ def oracle_sql() -> dict[str, str]:
     for name, (path, (_, _load, sql)) in PATH_CORPUS.items():
         out[name] = plan_to_duckdb_sql(compile_path(path), sql)
     out.update(_KV_SQL)
+    out.update(_EXT_SQL)
     return out

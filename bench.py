@@ -1,0 +1,83 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is timed as a full
+plan-build + execute + collect (results are API-sized: top-k rows or
+1-row aggregates). One warm-up action first so JVM/codegen startup
+isn't billed to the first query.
+
+Output: {"metric": "suite_sec", "value": <total>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from zestdb_spark.session import get_spark
+
+#: Headline set: the heaviest/most representative operators. Volume
+#: queries run on the lineitem mapping (~600k rows at sf0.1); the rest
+#: exercise per-series top-k, filters, exact median, and extensions.
+BENCH_QUERIES = [
+    "li_last_n_multi",
+    "li_since_filter",
+    "li_range_sum",
+    "li_range_median",
+    "li_length",
+    "ts_last_n_multi",
+    "ts_since",
+    "filter_equals_multi",
+    "agg_median",
+    "agg_sd",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # warm-up: JVM, parquet footer reads, codegen
+    qs[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding."""
+
+from __future__ import annotations
+
+import pytest
+
+from zestdb_spark.functions import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different text about spark engines here"),
+    (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 1 and out[0]["n_copies"] == 3
+
+
+def test_shingles(spark):
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r["shingle"] for r in dedup.shingles(d, 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_jaccard_pairs_exact(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, 3, 0.5).collect()}
+    # identical docs → jaccard 1.0
+    assert out[(1, 2)] == 1.0 and out[(1, 5)] == 1.0 and out[(2, 5)] == 1.0
+    # (1,3): last word differs → 6 of 8 distinct shingles shared = 0.75
+    assert out[(1, 3)] == 0.75
+    # threshold prunes: 0.8 drops the 0.75 pair
+    high = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(docs, 3, 0.8).collect()}
+    assert (1, 3) not in high and (1, 2) in high
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(docs, 3, 0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, 3, 64, 16, 0.9).collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(docs, 3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # ≈ vec 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(e, 0.9).collect()}
+    assert out == {(1, 2)}

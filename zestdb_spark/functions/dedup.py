@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extension beyond the reference surface (the reference has no dedup of
+any kind — SURVEY.md §2.6), designed for the 100 TB posture:
+
+- ``exact_duplicates``     — hash-groupBy; one shuffle on a 128-bit
+  digest, never on the full text.
+- ``jaccard_pairs``        — EXACT k-shingle Jaccard via shingle
+  self-join; the correctness baseline (O(pairs sharing a shingle) —
+  fine at test scale, quadratic-ish in the worst case).
+- ``minhash_lsh_pairs``    — the scale path: MinHash signatures +
+  banded LSH candidate generation, then exact-Jaccard verification of
+  candidates only. Shuffles are on (band, band-signature) keys —
+  work is proportional to candidates, not pairs.
+- ``simhash_pairs``        — 64-bit SimHash with 4×16-bit band
+  blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band equal), hamming
+  verification via bit_count.
+- ``embedding_dup_pairs``  — cosine near-duplicate pairs over an
+  embedding column (exact; see similarity.py for the ANN path).
+
+Everything is declarative DataFrame ops (explode / groupBy / join) —
+no Python UDFs anywhere, so the hot path stays in whole-stage codegen.
+
+Hashing is engine-portable by construction: token/shingle hashes are
+``conv(substr(md5(s),1,15),16,10)`` (60-bit ints), so the DuckDB
+correctness oracle can reproduce signatures exactly
+(``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5-prefix hash — identical in Spark and DuckDB (see module doc)
+def _hash60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# 28-bit md5-prefix hash for MinHash universal hashing: with a,b < 2^31
+# the product a·x + b stays < 2^60 — no int64 overflow under ANSI mode.
+def _hash28(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+# Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations
+_P = (1 << 31) - 1
+# deterministic (a, b) parameters — fixed engine constants so every run
+# (and the oracle, if ever needed) derives identical signatures
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    params = []
+    a, b = 0x9E3779B9, 0x7F4A7C15
+    for i in range(num_hashes):
+        a = (a * 1103515245 + 12345) % _P
+        b = (b * 1103515245 + 12345) % _P
+        params.append((a or 1, b))
+    return params
+
+
+def q6(col: F.Column) -> F.Column:
+    """Quantize to 6 dp as floor(x·10⁶)/10⁶ — unlike round(), floor of
+    an identical double is identical in every engine (Spark's round
+    goes through the decimal STRING of the double and DuckDB's through
+    double math, so they disagree on exact .5×10⁻⁷ ties)."""
+    return F.floor(col * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups: (text_hash, canonical_id, n_copies) for
+    groups with >1 copy. Groups on md5(text) so the shuffle key is 16
+    bytes regardless of document size; canonical = min doc_id."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle).
+
+    Tokenization is a plain single-space split (matches the oracle's
+    string_split); shingle = k consecutive tokens joined by spaces.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    exploded = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("pos")
+    sh = exploded.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(win) for i in range(1, k)]
+        ).alias("shingle"),
+        F.lead("tok", k - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def _jaccard_from_shingles(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """(doc_id, shingle) [+ candidate (id_a,id_b) restriction] →
+    (id_a, id_b, jaccard). Intersection via shingle equi-join, union by
+    inclusion-exclusion on per-doc distinct counts."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            q6(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (id_a, id_b, jaccard ≥ τ)."""
+    sh = shingles(docs, k)
+    return _jaccard_from_shingles(sh, None).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, h0..h{n-1}) MinHash signature via
+    universal hashing min((a·x + b) mod p) — one groupBy, map-side
+    combinable, no UDFs."""
+    hashed = sh.select("doc_id", _hash28(F.col("shingle")).alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs at scale: MinHash+LSH candidates → EXACT Jaccard
+    verification → (id_a, id_b, jaccard ≥ τ).
+
+    bands=16 × rows=4 over 64 hashes: P(candidate | j) = 1-(1-j⁴)¹⁶,
+    ≈ 1 - 3.8e-8 at j=0.9 and ≈ 0.999 at j=0.8 — false negatives are
+    negligible at the thresholds this is used for, and candidates are
+    exactly verified so there are no false positives.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, k)
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+    ca = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
+    cb = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    candidates = (
+        ca.join(cb, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_from_shingles(sh, candidates).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash64): per-token 60-bit hashes, bitwise majority
+    vote across tokens — computed as 64 sign-sums entirely with
+    built-in bit ops (shiftright/bitwise-and), one groupBy."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", _hash60(F.col("tok")).alias("x"))
+    # sum(+1/-1 per bit), then sign → bit
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(60):
+        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return votes.select("doc_id", acc.alias("simhash64"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ h, blocked on
+    4×15-bit chunks (pigeonhole: h ≤ 3 ⇒ some chunk equal), verified
+    with bit_count(xor). → (id_a, id_b, hamming)."""
+    sig = simhash(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash64", i * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash64", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash64").alias("sig_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash64").alias("sig_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding cosine dedup
+
+def embedding_dup_pairs(embs: DataFrame, tau: float = 0.45) -> DataFrame:
+    """Exact cosine near-duplicate pairs over an array<float> embedding
+    column: (id_a, id_b, cos ≥ τ). Norms are precomputed per vector
+    (one pass) so the pair join multiplies, not re-normalizes.
+
+    Exact all-pairs is O(n²·d) — the test-scale baseline; at 100 TB use
+    similarity.lsh_bucketed_pairs (hyperplane-bucketed) to bound the
+    candidate set.
+    """
+    from zestdb_spark.functions.similarity import with_norm, dot
+
+    e = with_norm(embs)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("norm_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )

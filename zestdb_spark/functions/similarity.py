@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension beyond the reference surface. Two paths:
+- ``cosine_topk``         — brute-force exact top-k for one query
+  vector: one scan, dot products in whole-stage codegen
+  (zip_with + aggregate, no Python), TakeOrderedAndProject for the
+  top-k. This is the correctness baseline AND a respectable scale
+  plan: at 100 TB it is embarrassingly parallel with a k-row result
+  per partition.
+- ``lsh_topk`` / ``lsh_bucketed_pairs`` — random-hyperplane (SimHash
+  for vectors) bucketing: vectors are signed against H fixed
+  hyperplanes into a bucket id; probing same-bucket (+ optional
+  hamming-1 neighbors) bounds candidates. Approximate — recall
+  depends on nbits; results carry exact cosines so a final exact
+  re-rank is free.
+
+Dot products fold left-to-right in array order (F.aggregate), which is
+bit-identical to DuckDB's list_dot_product — the oracle matches
+exactly, no tolerance needed (verified empirically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions.dedup import q6
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold in array order (JVM codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(embs: DataFrame) -> DataFrame:
+    """Add double-cast vector ``v`` and its L2 ``norm``."""
+    v = F.col("embedding").cast("array<double>")
+    return embs.select("vec_id", v.alias("v")).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+
+
+def cosine_topk(embs: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against the vector with id ``query_vec_id``
+    (itself excluded): (vec_id, cosine) — cosine rounded to 6 dp,
+    deterministic tie-break on vec_id."""
+    e = with_norm(embs)
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            q6(dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+# ----------------------------------------------------- LSH (scale path)
+
+def _hyperplanes(nbits: int, dim: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (fixed seed — engine constant,
+    reproducible across runs and clusters)."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((nbits, dim))
+
+
+def bucket_ids(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
+    """(vec_id, v, norm, bucket): sign-bit bucketing against fixed
+    hyperplanes, computed as nbits dot products in codegen."""
+    planes = _hyperplanes(nbits, dim)
+    e = with_norm(embs)
+    bucket = F.lit(0).cast("long")
+    for i in range(nbits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bucket = bucket + F.when(dot(F.col("v"), plane) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return e.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embs: DataFrame, query_vec_id: int, k: int = 10, nbits: int = 12, dim: int = 64
+) -> DataFrame:
+    """Approximate top-k: candidates = query bucket ∪ hamming-1 probe
+    buckets, exact cosine re-rank within candidates. Same output schema
+    as cosine_topk."""
+    b = bucket_ids(embs, nbits, dim)
+    qrow = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm"), F.col("bucket").alias("qb")
+    )
+    cand = (
+        b.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("hd", F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))))
+        .filter(F.col("hd") <= 1)  # multiprobe: own bucket + 1-bit flips
+    )
+    scored = cand.select(
+        "vec_id",
+        q6(dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def lsh_bucketed_pairs(embs: DataFrame, tau: float, nbits: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate near-dup pairs: equi-join on bucket (single shuffle
+    on a small int key) then exact cosine filter — the 100 TB
+    alternative to embedding_dup_pairs' cross join."""
+    b = bucket_ids(embs, nbits, dim)
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("norm_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+        .distinct()
+    )

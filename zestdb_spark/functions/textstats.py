@@ -1,0 +1,89 @@
+"""Text analysis operators for training-data pipelines.
+
+Extension beyond the reference surface: language-ID (stopword n-gram
+heuristic), quality scoring, token counting, and document
+fingerprinting — all pure built-in column expressions (no UDFs), so
+they run in whole-stage codegen over 100 TB of documents and are
+exactly reproducible in the DuckDB oracle.
+
+Arithmetic sticks to +,-,*,/ and round (no transcendentals) so Spark
+and any oracle engine agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions.dedup import q6
+
+#: Stopword lists per language for the n-gram/stopword heuristic.
+#: Fixed engine constants — mirrored verbatim in the oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "se"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr": ("le", "les", "et", "une", "des", "est", "dans", "du", "au", "sur"),
+}
+#: Precedence for argmax ties (checked in this order).
+LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _hits(lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_tokens(), lambda t: t.isin(*words)))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens): single-space tokens, empties excluded —
+    whitespace tokenizer with a BPE-ish lower bound intent."""
+    n = F.size(F.filter(_tokens(), lambda t: t != ""))
+    return docs.select("doc_id", n.alias("n_tokens"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
+    stopword density plus a capped length credit; round 6."""
+    toks = _tokens()
+    n = F.size(F.filter(toks, lambda t: t != ""))
+    hits = _hits("en")
+    ratio = q6(hits / n)
+    length_credit = F.least(n, F.lit(400)) / 400
+    score = q6(ratio * 0.5 + length_credit * 0.5)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        score.alias("score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang): stopword-hit argmax with fixed precedence
+    (en > es > de > fr), 'und' (undetermined) when no list hits."""
+    hits = {lang: _hits(lang) for lang in LANG_ORDER}
+    # argmax with precedence: en wins ties against all, es against de/fr, ...
+    cond_en = (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0)
+    cond_es = (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] > 0)
+    cond_de = (hits["de"] >= hits["fr"]) & (hits["de"] > 0)
+    cond_fr = hits["fr"] > 0
+    pred = (
+        F.when(cond_en, "en")
+        .when(cond_es, "es")
+        .when(cond_de, "de")
+        .when(cond_fr, "fr")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 of whitespace-normalized lowercase text — the
+    canonical content fingerprint for exact-dup detection across
+    formatting variants."""
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(F.trim(normalized)).alias("fp"))
