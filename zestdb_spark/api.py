@@ -1,0 +1,188 @@
+"""ZestEngine — the reference's full request surface over the Spark
+engine: GET/POST/DELETE on reference paths, ZestQL statements, and
+observe registrations, with audit records for every call.
+
+Mirrors the server's dispatch (src/server.re:561-1073) minus transport:
+ZMQ/CoAP framing, CurveZMQ crypto, and macaroon auth are out of
+analytic scope (SURVEY.md §2.12 M4) — `authorize` is a hook that
+accepts everything by default.
+
+Results are reference-shaped JSON strings (serializers.py). For
+DataFrame access (the analytics path) use the plans/operators modules
+directly; this facade is the compatibility layer a reference client
+would hit.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from zestdb_spark import serializers
+from zestdb_spark.errors import BadRequest, UnsupportedMethod
+from zestdb_spark.operators import catalog as cat_ops
+from zestdb_spark.operators import kv as kv_ops
+from zestdb_spark.plans import compile_path, plan_to_dataframe
+from zestdb_spark.plans import zestql as zql
+from zestdb_spark.storage import ZestStore, now_ms
+from zestdb_spark.streaming.observe import ObserverRegistry
+
+
+class ZestEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = ZestStore(spark, root)
+        self.observers = ObserverRegistry()
+        self.started_ms = now_ms()
+        self.server = socket.gethostname()
+
+    # ----------------------------------------------------------- plumbing
+
+    def _audit(self, method: str, path: str, code: int, client: str) -> None:
+        record = (now_ms(), self.server, client, method, path, code)
+        self.store.audit_append(record)
+        self.observers.publish_audit(record)
+
+    def authorize(self, method: str, path: str, token: Optional[str]) -> bool:
+        """M4 hook — macaroon verification point; permissive default."""
+        return True
+
+    # ---------------------------------------------------------------- GET
+
+    def get(self, path: str, client: str = "client") -> str:
+        try:
+            result = self._get(path)
+        except (BadRequest, UnsupportedMethod) as e:
+            self._audit("GET", path, e.code, client)
+            raise
+        self._audit("GET", path, 69, client)  # 69 = CoAP Content
+        self.observers.publish_data(path, result)
+        return result
+
+    def _get(self, path: str) -> str:
+        parts = path.split("/")
+        # M3 service endpoints (src/server.re:68-72,594-632)
+        if path == "/uptime":
+            return json.dumps({"uptime": (now_ms() - self.started_ms) // 1000})
+        if path == "/hello":
+            return json.dumps("world")
+        if path == "/time":
+            return json.dumps({"time": now_ms()})
+        if path == "/cat":
+            return cat_ops.render(self.store.load("catalog_items"))
+
+        if len(parts) >= 3 and parts[1] == "kv":
+            # content-format routing (text/binary) happens at the transport
+            # layer in the reference; the facade defaults to the JSON store
+            return self._get_kv("json", parts)
+        if len(parts) >= 3 and parts[1] == "ts":
+            plan = compile_path(path)
+            table = "ts_numeric" if plan.store == "numeric" else "ts_blob"
+            df = plan_to_dataframe(plan, self.store.load(table), sort=plan.agg is None)
+            if plan.window.op == "length":
+                return serializers.length_to_json(df)
+            if plan.agg is not None:
+                return serializers.aggregate_to_json(df)
+            return serializers.rows_to_json(df, blob=plan.store == "blob")
+        raise BadRequest(f"unrecognized GET path {path!r}")
+
+    def _get_kv(self, kind: str, parts: list[str]) -> str:
+        kv = self.store.load(f"kv_{kind}")
+        if len(parts) == 4 and parts[3] == "keys":
+            return serializers.keys_to_json(kv_ops.keys(kv, parts[2]))
+        if len(parts) == 4 and parts[3] == "count":
+            return serializers.count_to_json(kv_ops.count(kv, parts[2]))
+        if len(parts) == 4:
+            rows = kv_ops.read(kv, parts[2], parts[3]).collect()
+            return rows[0]["value"] if rows else ""
+        raise BadRequest(f"unrecognized KV path {'/'.join(parts)!r}")
+
+    # --------------------------------------------------------------- POST
+
+    def post(self, path: str, payload: Any, client: str = "client") -> None:
+        try:
+            self._post(path, payload)
+        except (BadRequest, UnsupportedMethod) as e:
+            self._audit("POST", path, e.code, client)
+            raise
+        self._audit("POST", path, 65, client)  # 65 = Created
+        self.observers.publish_data(path, payload)
+
+    def _post(self, path: str, payload: Any) -> None:
+        parts = path.split("/")
+        if path == "/cat":
+            self.store.catalog_upsert(payload)
+            return
+        if len(parts) >= 3 and parts[1] == "ts":
+            if parts[2] == "blob":
+                if len(parts) == 4:
+                    self.store.write_blob(parts[3], payload)
+                elif len(parts) == 6 and parts[4] == "at":
+                    self.store.write_blob(parts[3], payload, int(parts[5]))
+                else:
+                    raise BadRequest(f"unrecognized blob write path {path!r}")
+            elif len(parts) == 3:
+                self.store.write_numeric(parts[2], payload)
+            elif len(parts) == 5 and parts[3] == "at":
+                self.store.write_numeric(parts[2], payload, int(parts[4]))
+            else:
+                raise BadRequest(f"unrecognized ts write path {path!r}")
+            return
+        if len(parts) == 4 and parts[1] == "kv":
+            value = payload if isinstance(payload, (str, bytes)) else json.dumps(payload)
+            kind = "binary" if isinstance(payload, bytes) else "json"
+            self.store.kv_upsert(kind, parts[2], parts[3], value)
+            return
+        raise BadRequest(f"unrecognized POST path {path!r}")
+
+    # ------------------------------------------------------------- DELETE
+
+    def delete(self, path: str, client: str = "client") -> None:
+        try:
+            self._delete(path)
+        except (BadRequest, UnsupportedMethod) as e:
+            self._audit("DELETE", path, e.code, client)
+            raise
+        self._audit("DELETE", path, 66, client)  # 66 = Deleted
+
+    def _delete(self, path: str) -> None:
+        parts = path.split("/")
+        if len(parts) >= 3 and parts[1] == "kv":
+            self.store.kv_delete("json", parts[2], parts[3] if len(parts) > 3 else None)
+            return
+        if len(parts) >= 3 and parts[1] == "ts":
+            plan = compile_path(path)  # guards reject non-window paths below
+            self.store.ts_delete(plan)
+            return
+        raise BadRequest(f"unrecognized DELETE path {path!r}")
+
+    # ------------------------------------------------------------- ZestQL
+
+    def zestql(self, statement: str, now: Optional[int] = None) -> Optional[str]:
+        """Execute one ZestQL statement (entry point D, SURVEY.md §3.4)."""
+        stmt = zql.parse(statement, now if now is not None else now_ms())
+        if isinstance(stmt, zql.Get):
+            table = "ts_numeric" if stmt.plan.store == "numeric" else "ts_blob"
+            df = plan_to_dataframe(stmt.plan, self.store.load(table), sort=stmt.plan.agg is None)
+            if stmt.plan.agg is not None:
+                return serializers.aggregate_to_json(df)
+            return serializers.rows_to_json(df)
+        if isinstance(stmt, zql.Post):
+            payload: dict[str, Any] = {"value": stmt.value}
+            if stmt.tag is not None:
+                payload[stmt.tag[0]] = stmt.tag[1]
+            self.post(f"/ts/{stmt.series_id}", payload)
+            return None
+        if isinstance(stmt, zql.Delete):
+            self.store.ts_delete(stmt.plan)
+            return None
+        if isinstance(stmt, zql.Observe):
+            self.observers.register(
+                f"/ts/{stmt.series_id}", mode=stmt.mode, max_age_s=stmt.max_age_s
+            )
+            return None
+        # Connect/Disconnect are transport-level no-ops here
+        return None
