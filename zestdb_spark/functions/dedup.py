@@ -84,60 +84,92 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per doc: (doc_id, shingle).
+def _shingle_array(k: int = 3) -> F.Column:
+    """Array of DISTINCT word k-shingles of ``text`` — built by zipping
+    the token array with its own k−1 shifted slices (O(n), two whole-
+    array slices, no per-element slicing) entirely in scan-local array
+    expressions: ZERO shuffles. An earlier posexplode + lead() window
+    formulation shuffled the full exploded token stream by doc_id —
+    prohibitive at 100 TB.
 
-    Tokenization is a plain single-space split (matches the oracle's
-    string_split); shingle = k consecutive tokens joined by spaces.
+    Correctness of the null handling: slice i is shorter than slice
+    i−1, so a position that is null mid-zip is also null in the LAST
+    slice; checking only the final zip's right side drops exactly the
+    out-of-range positions (concat_ws skips intermediate nulls but
+    those positions are dropped anyway). Docs with fewer than k tokens
+    produce an empty set.
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
-    exploded = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
-    from pyspark.sql import Window as W
+    w = F.split("text", " ")
+    n = F.size(w)
+    acc = w
+    for i in range(1, k):
+        s = F.slice(w, i + 1, F.greatest(n - i, F.lit(0)))
+        if i < k - 1:
+            acc = F.zip_with(acc, s, lambda x, y: F.concat_ws(" ", x, y))
+        else:
+            acc = F.zip_with(
+                acc, s, lambda x, y: F.when(y.isNotNull(), F.concat_ws(" ", x, y))
+            )
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
-    win = W.partitionBy("doc_id").orderBy("pos")
-    sh = exploded.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "tok", *[F.lead("tok", i).over(win) for i in range(1, k)]
-        ).alias("shingle"),
-        F.lead("tok", k - 1).over(win).alias("_last"),
-    ).filter(F.col("_last").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n, shingle): one row per distinct k-shingle, with the
+    doc's distinct-shingle count carried on every row — so downstream
+    Jaccard needs NO separate sizes join."""
+    step = docs.select("doc_id", _shingle_array(k).alias("sh"))
+    return step.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
 
 
-def _jaccard_from_shingles(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """(doc_id, shingle) [+ candidate (id_a,id_b) restriction] →
-    (id_a, id_b, jaccard). Intersection via shingle equi-join, union by
-    inclusion-exclusion on per-doc distinct counts."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle) rows."""
+    return shingle_rows(docs, k).select("doc_id", "shingle")
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame, candidates: DataFrame | None
+) -> DataFrame:
+    """(doc_id, n, shingle) rows [+ candidate (id_a,id_b) restriction]
+    → (id_a, id_b, jaccard).
+
+    Self-join on shingle via ALIASES of one repartitioned plan — the
+    identical exchange is computed once and reused for both sides
+    (ReuseExchange); renaming columns before the join would break
+    subplan identity and double the work. Sizes ride on the rows
+    (first(n) per group), so there are no sizes joins at all. Union by
+    inclusion-exclusion: |A∪B| = na + nb − |A∩B|.
+    """
+    part = sh.repartition("shingle")
+    a, b = part.alias("a"), part.alias("b")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
     if candidates is not None:
         inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            q6(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
+    return inter.select(
+        "id_a",
+        "id_b",
+        q6(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+            "jaccard"
+        ),
     )
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs (id_a, id_b, jaccard ≥ τ)."""
-    sh = shingles(docs, k)
+    sh = shingle_rows(docs, k)
     return _jaccard_from_shingles(sh, None).filter(F.col("jaccard") >= threshold)
 
 
@@ -171,7 +203,7 @@ def minhash_lsh_pairs(
     exactly verified so there are no false positives.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(docs, k)
+    sh = shingle_rows(docs, k)
     sig = minhash_signatures(sh, num_hashes)
 
     band_cols = [
