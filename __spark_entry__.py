@@ -165,7 +165,35 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         recrawl = d.unionAll(d.select(F.col("doc_id") + 1000000, "text"))
         return dedup.exact_duplicates(recrawl)
 
+    def asof_clicks_to_views(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        base = ev.select(
+            "user_id", F.expr("ts div 1000000").alias("timestamp"), "value", "event_type"
+        )
+        left = base.filter(F.col("event_type") == "click").drop("event_type")
+        right = base.filter(F.col("event_type") == "view").drop("event_type")
+        return temporal.asof_join(left, right, by=["user_id"], right_cols=["value"])
+
+    def sessions(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.session_stats(
+            fixtures.ts_numeric_from_events(spark, sf_dir), gap_ms=600_000
+        )
+
+    def rollup_hour(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.rollup_time_bucket(
+            fixtures.ts_numeric_from_events(spark, sf_dir), bucket_ms=3_600_000
+        )
+
     return {
+        "tmp_asof_join": asof_clicks_to_views,
+        "tmp_sessionize": sessions,
+        "tmp_rollup_hour": rollup_hour,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(docs(s, d), 3, 0.8),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 16, 0.8),
@@ -227,7 +255,54 @@ _HITS = {
     for lang, words in _SW.items()
 }
 
+_EXACT_SUM_SQL = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+
 _EXT_SQL: dict[str, str] = {
+    "tmp_asof_join": """
+      WITH l AS (SELECT user_id, epoch_ms(ts) AS "timestamp", value
+                 FROM events WHERE event_type = 'click'),
+           r AS (SELECT user_id, epoch_ms(ts) AS "timestamp", value
+                 FROM events WHERE event_type = 'view')
+      SELECT l.user_id, l."timestamp", l.value, r.value AS value_right
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l."timestamp" >= r."timestamp"
+    """,
+    "tmp_sessionize": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      brk AS (
+        SELECT series_id, "timestamp", value, tag_name, tag_value,
+               CASE WHEN "timestamp" - lag("timestamp") OVER w > 600000
+                    THEN 1 ELSE 0 END AS gap_break
+        FROM ts
+        WINDOW w AS (PARTITION BY series_id
+                     ORDER BY "timestamp" ASC, value ASC,
+                              tag_name ASC NULLS FIRST, tag_value ASC NULLS FIRST)),
+      s AS (
+        SELECT series_id, "timestamp", value,
+               CAST(sum(gap_break) OVER (PARTITION BY series_id
+                    ORDER BY "timestamp" ASC, value ASC,
+                             tag_name ASC NULLS FIRST, tag_value ASC NULLS FIRST
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM brk)
+      SELECT series_id, session_id,
+             count(*) AS n_rows,
+             min("timestamp") AS start_ms,
+             max("timestamp") AS end_ms,
+             max("timestamp") - min("timestamp") AS duration_ms,
+             {_EXACT_SUM_SQL} AS sum_value
+      FROM s GROUP BY series_id, session_id
+    """,
+    "tmp_rollup_hour": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id,
+             "timestamp" - ("timestamp" % 3600000) AS bucket_ms,
+             count(*) AS n,
+             {_EXACT_SUM_SQL} AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             {_EXACT_SUM_SQL} / count(value) AS mean_value
+      FROM ts GROUP BY 1, 2
+    """,
     "dedup_exact": """
       WITH recrawl AS (
         SELECT doc_id, text FROM documents

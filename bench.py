@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "sim_topk_bruteforce",
     "text_quality",
     "text_langid",
+    "tmp_asof_join",
+    "tmp_sessionize",
+    "tmp_rollup_hour",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Temporal operators: as-of join, sessionization, time-bucket rollup."""
+
+from __future__ import annotations
+
+import pytest
+
+from zestdb_spark.operators import temporal
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # right side of the asof: (key, ts, value)
+    rows = [
+        ("a", 100, 1.0),
+        ("a", 200, 2.0),
+        ("a", 300, 3.0),
+        ("b", 150, 9.0),
+    ]
+    return spark.createDataFrame(rows, "series_id string, timestamp long, value double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", 99, 10.0),   # before any quote → NULL
+        ("a", 100, 11.0),  # exact match → 1.0
+        ("a", 250, 12.0),  # between → 2.0
+        ("a", 900, 13.0),  # after all → 3.0
+        ("b", 500, 14.0),  # → 9.0
+        ("c", 100, 15.0),  # key with no quotes → NULL
+    ]
+    return spark.createDataFrame(rows, "series_id string, timestamp long, value double")
+
+
+def test_asof_join_backward_semantics(trades, quotes):
+    out = {
+        (r["series_id"], r["timestamp"]): r["value_right"]
+        for r in temporal.asof_join(trades, quotes).collect()
+    }
+    assert out[("a", 99)] is None
+    assert out[("a", 100)] == 1.0  # exact timestamps match (<=)
+    assert out[("a", 250)] == 2.0
+    assert out[("a", 900)] == 3.0
+    assert out[("b", 500)] == 9.0
+    assert out[("c", 100)] is None
+
+
+def test_asof_join_preserves_left_rows(trades, quotes):
+    assert temporal.asof_join(trades, quotes).count() == trades.count()
+
+
+def test_sessionize_gap_breaks(spark):
+    rows = [
+        ("s", 0, 1.0, None, None),
+        ("s", 1000, 2.0, None, None),
+        ("s", 2000, 3.0, None, None),
+        ("s", 60_000, 4.0, None, None),  # > 10s gap → new session
+        ("s", 61_000, 5.0, None, None),
+        ("t", 0, 6.0, None, None),  # separate key → own sessions
+    ]
+    from zestdb_spark.schema import TS_NUMERIC
+
+    df = spark.createDataFrame(rows, TS_NUMERIC)
+    out = {
+        (r["series_id"], r["timestamp"]): r["session_id"]
+        for r in temporal.sessionize(df, gap_ms=10_000).collect()
+    }
+    assert out[("s", 0)] == 0 and out[("s", 1000)] == 0 and out[("s", 2000)] == 0
+    assert out[("s", 60_000)] == 1 and out[("s", 61_000)] == 1
+    assert out[("t", 0)] == 0
+
+
+def test_session_stats(spark):
+    from zestdb_spark.schema import TS_NUMERIC
+
+    rows = [
+        ("s", 0, 1.0, None, None),
+        ("s", 5_000, 2.0, None, None),
+        ("s", 100_000, 4.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, TS_NUMERIC)
+    stats = {
+        r["session_id"]: (r["n_rows"], r["duration_ms"], r["sum_value"])
+        for r in temporal.session_stats(df, gap_ms=10_000).collect()
+    }
+    assert stats[0] == (2, 5_000, 3.0)
+    assert stats[1] == (1, 0, 4.0)
+
+
+def test_rollup_time_bucket(spark):
+    from zestdb_spark.schema import TS_NUMERIC
+
+    rows = [
+        ("s", 0, 1.0, None, None),
+        ("s", 1800_000, 3.0, None, None),  # same hour
+        ("s", 3600_000, 5.0, None, None),  # next hour
+    ]
+    df = spark.createDataFrame(rows, TS_NUMERIC)
+    out = {
+        r["bucket_ms"]: (r["n"], r["sum_value"], r["min_value"], r["max_value"], r["mean_value"])
+        for r in temporal.rollup_time_bucket(df, bucket_ms=3_600_000).collect()
+    }
+    assert out[0] == (2, 4.0, 1.0, 3.0, 2.0)
+    assert out[3_600_000] == (1, 5.0, 5.0, 5.0, 5.0)

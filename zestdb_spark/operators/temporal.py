@@ -1,0 +1,161 @@
+"""Temporal analytics operators beyond the reference surface.
+
+The reference's only temporal tools are path windows (since/range,
+last/first). Real time-series workloads — and multimodal training-data
+pipelines that must align sensor/event streams — additionally need:
+
+- ``asof_join``      — for each left row, the most recent right row at
+  or before its timestamp (per key). Spark has no native as-of join;
+  this is the classic union + last-non-null-window formulation: ONE
+  shuffle on (key), no UDFs, no range explosion. (DuckDB has a native
+  ASOF JOIN — that's the correctness oracle.)
+- ``sessionize``     — gap-based sessions per key: lag + cumulative
+  sum of gap-breaks, the standard two-window formulation; one shuffle.
+- ``rollup_time_bucket`` — fixed-width time-bucket aggregates per
+  series (the "hypertable rollup"): one groupBy on (series, bucket),
+  map-side combinable.
+
+All three are single-shuffle declarative plans that scale linearly in
+rows; keys partition the work so 1000 executors each see only their
+key ranges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+    right_cols: Sequence[str] = ("value",),
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (backward) join: every ``left`` row gains the latest
+    ``right_cols`` from ``right`` whose ``on`` ≤ the left row's ``on``
+    within the same ``by`` keys; NULL if no earlier right row exists.
+
+    Implementation: tag and union both inputs, sort within each key
+    partition by (on, right-first-on-ties), carry right values forward
+    with last(ignorenulls) over an unbounded-preceding window, then
+    keep the left rows. Equal timestamps match (≤, merge_asof
+    semantics with allow_exact_matches=True).
+    """
+    by = list(by)
+    lcols = [c for c in left.columns if c not in by and c != on]
+    rcols = list(right_cols)
+
+    l_tag = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows sort before left rows at equal __t so exact matches are
+    # visible to the left row (asc __is_left: 0 right, 1 left)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *by,
+        "__t",
+        "__is_left",
+        *lcols,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in rcols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *by,
+        F.col("__t").alias(on),
+        *lcols,
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rcols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous row (same key) exceeds ``gap_ms``.
+    Adds ``session_id`` (0-based per key, ordered by time).
+
+    Deterministic tie handling: rows are ordered by (on, all other
+    columns) so equal-timestamp rows sessionize identically every run.
+    """
+    by = list(by)
+    others = [c for c in df.columns if c not in by and c != on]
+    order = [F.col(on).asc()] + [F.col(c).asc_nulls_first() for c in others]
+    w = Window.partitionBy(*by).orderBy(*order)
+    gap_break = (
+        F.when(
+            F.col(on) - F.lag(on, 1).over(w) > gap_ms, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return df.withColumn(
+        "session_id",
+        F.sum(gap_break).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Per-session aggregates: (by…, session_id, n_rows, start_ms,
+    end_ms, duration_ms, sum_value)."""
+    s = sessionize(df, gap_ms, on, by)
+    return s.groupBy(*by, "session_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(on).alias("start_ms"),
+        F.max(on).alias("end_ms"),
+        (F.max(on) - F.min(on)).alias("duration_ms"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def rollup_time_bucket(
+    df: DataFrame,
+    bucket_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: fixed-width bucket
+    stats per series. bucket = floor(on / bucket_ms) · bucket_ms.
+    Single map-side-combinable groupBy; at 100 TB this is THE pattern
+    for downsampling (and the storage layer's time_bucket partitioning
+    means bucket boundaries align with files — no cross-partition
+    groups)."""
+    bucket = (F.col(on) - (F.col(on) % bucket_ms)).alias("bucket_ms")
+    return df.groupBy(*by, bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count("value")).alias(
+            "mean_value"
+        ),
+    )
