@@ -199,6 +199,9 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 16, 0.8),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(docs(s, d), 3),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), 0.45),
+        "dedup_hybrid": lambda s, d: dedup.hybrid_dup_pairs(
+            docs(s, d), embs(s, d), jaccard_threshold=0.5, cosine_threshold=-1.0
+        ),
         "sim_topk_bruteforce": lambda s, d: similarity.cosine_topk(embs(s, d), 0, 10),
         "sim_topk_lsh": lambda s, d: similarity.lsh_topk(embs(s, d), 0, 10),
         "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
@@ -317,6 +320,22 @@ _EXT_SQL: dict[str, str] = {
     # LSH candidates are exactly verified and FN prob ≤ 4e-8 at the data's
     # j≥0.9 pairs, so the exact-Jaccard result is the valid oracle.
     "dedup_minhash": _JACCARD_SQL,
+    "dedup_hybrid": f"""
+      WITH {_SHINGLE_CTE},
+      jp AS (
+        SELECT id_a, id_b,
+               floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      SELECT jp.id_a, jp.id_b, jp.jaccard,
+             floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000.0) / 1000000.0 AS cosine
+      FROM jp JOIN nn a ON a.vec_id = jp.id_a JOIN nn b ON b.vec_id = jp.id_b
+      WHERE floor(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 1000000.0) / 1000000.0 >= -1.0
+    """,
     "dedup_embedding_cosine": f"""
       WITH {_EMB_NORM_CTE}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -37,12 +37,6 @@ def _hash60(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-# 28-bit md5-prefix hash for MinHash universal hashing: with a,b < 2^31
-# the product a·x + b stays < 2^60 — no int64 overflow under ANSI mode.
-def _hash28(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
-
-
 # Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations
 _P = (1 << 31) - 1
 # deterministic (a, b) parameters — fixed engine constants so every run
@@ -175,11 +169,21 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFr
 
 # ------------------------------------------------------------ MinHash LSH
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, shingle) → (doc_id, h0..h{n-1}) MinHash signature via
-    universal hashing min((a·x + b) mod p) — one groupBy, map-side
-    combinable, no UDFs."""
-    hashed = sh.select("doc_id", _hash28(F.col("shingle")).alias("x"))
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """docs → (doc_id, h0..h{n-1}) MinHash signature via universal
+    hashing min((a·x + b) mod p): shingles hashed to 28-bit ints
+    (a·x + b stays < 2⁶⁰ — no int64 overflow under ANSI mode), then one
+    groupBy with num_hashes min-aggregates. The min-aggs are map-side
+    combinable AND whole-stage-codegen'd — measurably faster than the
+    tempting scan-local array_min(transform(...)) formulation, because
+    higher-order array functions are interpreted per element, outside
+    codegen."""
+    sh = shingle_rows(docs, k)
+    hashed = sh.select(
+        "doc_id", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long").alias("x")
+    )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
@@ -203,8 +207,7 @@ def minhash_lsh_pairs(
     exactly verified so there are no false positives.
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_rows(docs, k)
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(docs, k, num_hashes)
 
     band_cols = [
         F.struct(
@@ -215,10 +218,12 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
+    # the signature aggregation ends in an exchange that both sides of
+    # this self-join share (identical subplan under the renamed
+    # projections → ReuseExchange); no extra repartition needed
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-
     ca = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
     cb = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
     candidates = (
@@ -227,6 +232,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    sh = shingle_rows(docs, k)
     return _jaccard_from_shingles(sh, candidates).filter(
         F.col("jaccard") >= threshold
     )
@@ -291,6 +297,42 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------- hybrid dedup
+
+def hybrid_dup_pairs(
+    docs: DataFrame,
+    embs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.0,
+    k: int = 3,
+) -> DataFrame:
+    """Multimodal near-dup: pairs that clear BOTH a text n-gram-Jaccard
+    bar and an embedding-cosine bar → (id_a, id_b, jaccard, cosine).
+
+    The text side prunes first (LSH-able); cosines are then computed
+    ONLY for surviving pairs via two broadcast-able joins against the
+    (vec_id, v, norm) projection — never an all-pairs vector product.
+    ``embs.vec_id`` must align with ``docs.doc_id``.
+    """
+    from zestdb_spark.functions.similarity import dot, with_norm
+
+    text_pairs = jaccard_pairs(docs, k, jaccard_threshold)
+    e = with_norm(embs)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("norm_b"))
+    return (
+        text_pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
     )
 
 

@@ -1,1 +1,9 @@
-from zestdb_spark.operators import ts_read, ts_filter, ts_agg, kv, catalog, ts_delete  # noqa: F401
+from zestdb_spark.operators import (  # noqa: F401
+    catalog,
+    kv,
+    temporal,
+    ts_agg,
+    ts_delete,
+    ts_filter,
+    ts_read,
+)
