@@ -80,9 +80,20 @@ PATH_CORPUS: dict[str, tuple[str, tuple]] = {
         _EVENTS,
     ),
     "agg_sd_single_row": ("/ts/click/latest/sd", _EVENTS),
+    "ts_first_n_single": ("/ts/purchase/first/40", _EVENTS),
+    "agg_contains_sum": (
+        f"/ts/click,error/since/{_T_JAN10}/filter/k/contains/5/sum",
+        _EVENTS,
+    ),
+    "agg_filtered_min_multi": (
+        f"/ts/view,signup/range/{_T_JAN10}/{_T_JAN20}/filter/k/equals/12/min",
+        _EVENTS,
+    ),
     # blob store
     "blob_last_n": ("/ts/blob/click,view/last/20", _BLOB),
     "blob_since": (f"/ts/blob/error/since/{_T_JAN20}", _BLOB),
+    "blob_range": (f"/ts/blob/purchase,signup/range/{_T_JAN10}/{_T_JAN15}", _BLOB),
+    "blob_first_n": ("/ts/blob/view/first/15", _BLOB),
     "blob_length": ("/ts/blob/click/length", _BLOB),
     # lineitem volume mapping (bench-weight queries)
     "li_last_n_multi": ("/ts/li_A,li_N,li_R/last/100", _LINEITEM),
