@@ -98,6 +98,37 @@ def read_first(df: DataFrame, ids: Sequence[str], n: int) -> DataFrame:
     )
 
 
+def read_last_salted(
+    df: DataFrame, ids: Sequence[str], n: int, salt_buckets: int = 64
+) -> DataFrame:
+    """T2 under HEAVY SKEW: two-phase per-series top-k.
+
+    A single ranking window partitioned by series_id puts one giant
+    series on one task. Phase 1 ranks within (series_id, salt) — salt
+    derived deterministically from the row (xxhash64 of all columns) so
+    the hot series spreads over ``salt_buckets`` tasks; each bucket
+    keeps its local top-n. Phase 2 ranks the ≤ buckets·n survivors per
+    series — a tiny window. Same result set as ``read_last`` (any
+    global top-n row is also top-n within its bucket); costs one extra
+    (small) shuffle, so use only when a series is hot enough to matter.
+    """
+    sel = select_series(df, ids)
+    salt = (F.xxhash64(*[F.col(c) for c in sel.columns]) % salt_buckets).alias("__salt")
+    w1 = Window.partitionBy("series_id", "__salt").orderBy(*_order_cols(sel, True))
+    local = (
+        sel.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy("series_id").orderBy(*_order_cols(sel, True))
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )
+
+
 def read_latest(df: DataFrame, ids: Sequence[str]) -> DataFrame:
     """T4: per-series last/1 (reference: read_latest = read_last n=1)."""
     return read_last(df, ids, 1)
