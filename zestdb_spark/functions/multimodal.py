@@ -81,7 +81,14 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     n_frames = F.greatest(
         (F.length("payload") / every_n_bytes).cast("int"), F.lit(1)
     )
-    return assets.select(
-        "asset_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-    ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+    return (
+        assets.select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("__fi"),
+        )
+        .select(
+            "asset_id",
+            F.col("__fi").cast("long").alias("frame_idx"),
+            (F.col("__fi").cast("long") * every_n_bytes).alias("byte_offset"),
+        )
+    )

@@ -40,8 +40,9 @@ def _hits(lang: str) -> Column:
 
 def token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens): single-space tokens, empties excluded —
-    whitespace tokenizer with a BPE-ish lower bound intent."""
-    n = F.size(F.filter(_tokens(), lambda t: t != ""))
+    whitespace tokenizer with a BPE-ish lower bound intent. LONG to
+    match the oracle engine's count width."""
+    n = F.size(F.filter(_tokens(), lambda t: t != "")).cast("long")
     return docs.select("doc_id", n.alias("n_tokens"))
 
 
@@ -49,7 +50,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
     stopword density plus a capped length credit; round 6."""
     toks = _tokens()
-    n = F.size(F.filter(toks, lambda t: t != ""))
+    n = F.size(F.filter(toks, lambda t: t != "")).cast("long")
     hits = _hits("en")
     ratio = q6(hits / n)
     length_credit = F.least(n, F.lit(400)) / 400
