@@ -201,7 +201,41 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), bucket_ms=3_600_000
         )
 
+    def locf(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        ts = fixtures.ts_numeric_from_events(spark, sf_dir)
+        # dedupe equal (series, ts) observations deterministically (max
+        # wins) so the carry rule is well-defined in both engines
+        uniq = ts.groupBy("series_id", "timestamp").agg(F.max("value").alias("value"))
+        return resample.locf_resample(
+            uniq, start_ms=_T_JAN10, end_ms=_T_JAN20, step_ms=3_600_000
+        )
+
+    def distinct_tags(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        return resample.distinct_rollup(
+            fixtures.ts_numeric_from_events(spark, sf_dir), ["series_id"], "tag_value"
+        )
+
+    def blob_json_extract(spark, sf_dir):
+        from zestdb_spark.operators import blob
+
+        return blob.json_extract(
+            fixtures.ts_blob_from_events(spark, sf_dir), {"k": "$.k"}
+        )
+
+    def blob_json_filter(spark, sf_dir):
+        from zestdb_spark.operators import blob
+
+        return blob.json_filter(fixtures.ts_blob_from_events(spark, sf_dir), "$.k", "42")
+
     return {
+        "rs_locf_hourly": locf,
+        "rs_distinct_tags": distinct_tags,
+        "blob_json_extract": blob_json_extract,
+        "blob_json_filter": blob_json_filter,
         "tmp_asof_join": asof_clicks_to_views,
         "tmp_sessionize": sessions,
         "tmp_rollup_hour": rollup_hour,
@@ -272,6 +306,33 @@ _HITS = {
 _EXACT_SUM_SQL = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
 
 _EXT_SQL: dict[str, str] = {
+    "rs_locf_hourly": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      uniq AS (SELECT series_id, "timestamp", max(value) AS value
+               FROM ts GROUP BY 1, 2),
+      keys AS (SELECT DISTINCT series_id FROM uniq),
+      grid AS (SELECT series_id,
+                      unnest(generate_series({_T_JAN10}, {_T_JAN20}, 3600000)) AS "timestamp"
+               FROM keys)
+      SELECT g.series_id, g."timestamp", d.value
+      FROM grid g ASOF LEFT JOIN uniq d
+        ON g.series_id = d.series_id AND g."timestamp" >= d."timestamp"
+    """,
+    "rs_distinct_tags": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id, count(DISTINCT tag_value) AS n_distinct
+      FROM ts GROUP BY series_id
+    """,
+    "blob_json_extract": f"""
+      WITH b AS ({fixtures.TS_BLOB_FROM_EVENTS_SQL})
+      SELECT series_id, "timestamp", json_extract_string(data, '$.k') AS k
+      FROM b
+    """,
+    "blob_json_filter": f"""
+      WITH b AS ({fixtures.TS_BLOB_FROM_EVENTS_SQL})
+      SELECT series_id, "timestamp", data
+      FROM b WHERE json_extract_string(data, '$.k') = '42'
+    """,
     "tmp_asof_join": """
       WITH l AS (SELECT user_id, epoch_ms(ts) AS "timestamp", value
                  FROM events WHERE event_type = 'click'),

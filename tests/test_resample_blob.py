@@ -1,0 +1,84 @@
+"""LOCF resampling, distinct rollups, and blob JSON analytics."""
+
+from __future__ import annotations
+
+import pytest
+
+from zestdb_spark.operators import blob, resample
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        ("a", 1000, 1.0),
+        ("a", 2500, 2.0),
+        ("a", 6000, 3.0),
+        ("b", 4000, 9.0),
+    ]
+    return spark.createDataFrame(rows, "series_id string, timestamp long, value double")
+
+
+def test_locf_grid_and_carry(series):
+    out = {
+        (r["series_id"], r["timestamp"]): r["value"]
+        for r in resample.locf_resample(series, 0, 6000, 2000).collect()
+    }
+    # grid 0,2000,4000,6000; series a: obs at 1000, 2500, 6000
+    assert out[("a", 0)] is None  # before first obs
+    assert out[("a", 2000)] == 1.0
+    assert out[("a", 4000)] == 2.0
+    assert out[("a", 6000)] == 3.0  # exact-on-grid observation visible
+    # series b: single obs at 4000
+    assert out[("b", 0)] is None and out[("b", 2000)] is None
+    assert out[("b", 4000)] == 9.0 and out[("b", 6000)] == 9.0
+    assert len(out) == 8  # 4 grid points × 2 series
+
+
+def test_distinct_rollup_exact_and_approx(spark):
+    rows = [("s", 1000, 1.0, "k", v) for v in ["a", "b", "a", None, "c"]]
+    from zestdb_spark.schema import TS_NUMERIC
+
+    df = spark.createDataFrame(
+        [(s, t, val, tn, tv) for (s, t, val, tn, tv) in rows], TS_NUMERIC
+    )
+    exact = resample.distinct_rollup(df, ["series_id"], "tag_value").collect()
+    assert exact[0]["n_distinct"] == 3  # NULL not counted
+    approx = resample.distinct_rollup(df, ["series_id"], "tag_value", approximate=True).collect()
+    assert approx[0]["n_distinct"] == 3  # tiny input → HLL is exact
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [
+        ("b1", 1000, '{"k": "42", "nested": {"x": 1}}'),
+        ("b1", 2000, '{"k": "7"}'),
+        ("b2", 1500, '{"other": true}'),
+    ]
+    from zestdb_spark.schema import TS_BLOB
+
+    return spark.createDataFrame(rows, TS_BLOB).cache()
+
+
+def test_blob_json_extract(blobs):
+    out = {r["timestamp"]: (r["k"], r["x"]) for r in blob.json_extract(
+        blobs, {"k": "$.k", "x": "$.nested.x"}).collect()}
+    assert out[1000] == ("42", "1")
+    assert out[2000] == ("7", None)
+    assert out[1500] == (None, None)
+
+
+def test_blob_json_filter_drops_missing(blobs):
+    out = blob.json_filter(blobs, "$.k", "42").collect()
+    assert len(out) == 1 and out[0]["timestamp"] == 1000
+
+
+def test_blob_json_typed(blobs):
+    out = blob.json_typed(blobs, "k STRING, nested STRUCT<x: INT>").collect()
+    parsed = {r["timestamp"]: r["parsed"] for r in out}
+    assert parsed[1000]["nested"]["x"] == 1
+    assert parsed[1500]["k"] is None  # permissive: missing → NULL
+
+
+def test_blob_keys_histogram(blobs):
+    out = {r["key"]: r["n_rows"] for r in blob.json_keys_histogram(blobs, ["b1", "b2"]).collect()}
+    assert out == {"k": 2, "nested": 1, "other": 1}
