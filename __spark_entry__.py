@@ -231,11 +231,36 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blob.json_filter(fixtures.ts_blob_from_events(spark, sf_dir), "$.k", "42")
 
+    def revenue_join(spark, sf_dir):
+        """Join-shape showcase: fact⋈fact shuffle join + broadcast dim,
+        decimal-exact revenue rollup per (mktsegment, returnflag)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        dec = "decimal(38,6)"
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(
+                F.col("c_mktsegment").alias("mktsegment"),
+                F.col("l_returnflag").alias("returnflag"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+
     return {
         "rs_locf_hourly": locf,
         "rs_distinct_tags": distinct_tags,
         "blob_json_extract": blob_json_extract,
         "blob_json_filter": blob_json_filter,
+        "an_revenue_join": revenue_join,
         "tmp_asof_join": asof_clicks_to_views,
         "tmp_sessionize": sessions,
         "tmp_rollup_hour": rollup_hour,
@@ -332,6 +357,16 @@ _EXT_SQL: dict[str, str] = {
       WITH b AS ({fixtures.TS_BLOB_FROM_EVENTS_SQL})
       SELECT series_id, "timestamp", data
       FROM b WHERE json_extract_string(data, '$.k') = '42'
+    """,
+    "an_revenue_join": """
+      SELECT c.c_mktsegment AS mktsegment,
+             l.l_returnflag AS returnflag,
+             count(*) AS n_items,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
     """,
     "tmp_asof_join": """
       WITH l AS (SELECT user_id, epoch_ms(ts) AS "timestamp", value

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "tmp_asof_join",
     "tmp_sessionize",
     "tmp_rollup_hour",
+    "rs_locf_hourly",
+    "an_revenue_join",
 ]
 
 
