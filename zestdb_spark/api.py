@@ -22,7 +22,7 @@ from typing import Any, Optional
 from pyspark.sql import SparkSession
 
 from zestdb_spark import serializers
-from zestdb_spark.errors import BadRequest, UnsupportedMethod
+from zestdb_spark.errors import BadRequest, UnsupportedMethod, ZestError
 from zestdb_spark.operators import catalog as cat_ops
 from zestdb_spark.operators import kv as kv_ops
 from zestdb_spark.plans import compile_path, plan_to_dataframe
@@ -32,12 +32,18 @@ from zestdb_spark.streaming.observe import ObserverRegistry
 
 
 class ZestEngine:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, acl=None, compat_collateral_delete: bool = False):
         self.spark = spark
         self.store = ZestStore(spark, root)
         self.observers = ObserverRegistry()
         self.started_ms = now_ms()
         self.server = socket.gethostname()
+        #: optional zestdb_spark.auth.AclValidator (None = permissive,
+        #: mirroring the reference's opt-in --enable-macaroons)
+        self.acl = acl
+        #: reproduce the reference's delete-by-timestamp collateral
+        #: quirk (SURVEY.md §2.7 D1) when True
+        self.compat_collateral_delete = compat_collateral_delete
 
     # ----------------------------------------------------------- plumbing
 
@@ -46,16 +52,19 @@ class ZestEngine:
         self.store.audit_append(record)
         self.observers.publish_audit(record)
 
-    def authorize(self, method: str, path: str, token: Optional[str]) -> bool:
-        """M4 hook — macaroon verification point; permissive default."""
-        return True
+    def authorize(self, method: str, path: str, token: Optional[str]) -> None:
+        """M4 hook — raises Unauthorized (CoAP 129) when an ACL is
+        configured and denies; permissive when no ACL is set."""
+        if self.acl is not None:
+            self.acl.check(method, path, token)
 
     # ---------------------------------------------------------------- GET
 
-    def get(self, path: str, client: str = "client") -> str:
+    def get(self, path: str, client: str = "client", token: Optional[str] = None) -> str:
         try:
+            self.authorize("GET", path, token)
             result = self._get(path)
-        except (BadRequest, UnsupportedMethod) as e:
+        except ZestError as e:
             self._audit("GET", path, e.code, client)
             raise
         self._audit("GET", path, 69, client)  # 69 = CoAP Content
@@ -102,10 +111,11 @@ class ZestEngine:
 
     # --------------------------------------------------------------- POST
 
-    def post(self, path: str, payload: Any, client: str = "client") -> None:
+    def post(self, path: str, payload: Any, client: str = "client", token: Optional[str] = None) -> None:
         try:
+            self.authorize("POST", path, token)
             self._post(path, payload)
-        except (BadRequest, UnsupportedMethod) as e:
+        except ZestError as e:
             self._audit("POST", path, e.code, client)
             raise
         self._audit("POST", path, 65, client)  # 65 = Created
@@ -140,10 +150,11 @@ class ZestEngine:
 
     # ------------------------------------------------------------- DELETE
 
-    def delete(self, path: str, client: str = "client") -> None:
+    def delete(self, path: str, client: str = "client", token: Optional[str] = None) -> None:
         try:
+            self.authorize("DELETE", path, token)
             self._delete(path)
-        except (BadRequest, UnsupportedMethod) as e:
+        except ZestError as e:
             self._audit("DELETE", path, e.code, client)
             raise
         self._audit("DELETE", path, 66, client)  # 66 = Deleted
@@ -155,7 +166,7 @@ class ZestEngine:
             return
         if len(parts) >= 3 and parts[1] == "ts":
             plan = compile_path(path)  # guards reject non-window paths below
-            self.store.ts_delete(plan)
+            self.store.ts_delete(plan, compat_collateral=self.compat_collateral_delete)
             return
         raise BadRequest(f"unrecognized DELETE path {path!r}")
 

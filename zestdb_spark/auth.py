@@ -1,0 +1,74 @@
+"""Thin ACL shim (SURVEY.md §2.12 M4).
+
+The reference authorizes requests with macaroons whose caveats restrict
+method / path / target, with wildcard paths (src/token.re:3-21,
+src/server.re:811-820; `utils/mint.re` mints them). Cryptographic
+macaroon verification is transport-layer and out of analytic scope —
+this shim reproduces the AUTHORIZATION semantics: a token is a set of
+grants, each ``(method, path-pattern)`` where the pattern is exact or a
+``/prefix/*`` wildcard (the same matching rule as observation scoping,
+src/token.re:3-13).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from zestdb_spark.errors import Unauthorized
+
+_METHODS = ("GET", "POST", "DELETE", "OBSERVE")
+
+
+def path_matches(pattern: str, path: str) -> bool:
+    """Exact match, or wildcard prefix ``/a/b/*`` (src/token.re:3-13)."""
+    if pattern == "*":
+        return True
+    if pattern.endswith("/*"):
+        return path == pattern[:-2] or path.startswith(pattern[:-2] + "/")
+    return path == pattern
+
+
+@dataclass(frozen=True)
+class Grant:
+    method: str  # GET | POST | DELETE | OBSERVE | *
+    path: str  # exact, /prefix/*, or *
+
+    def allows(self, method: str, path: str) -> bool:
+        return (self.method == "*" or self.method == method.upper()) and path_matches(
+            self.path, path
+        )
+
+
+@dataclass
+class Token:
+    grants: list[Grant] = field(default_factory=list)
+
+    def allows(self, method: str, path: str) -> bool:
+        return any(g.allows(method, path) for g in self.grants)
+
+
+class AclValidator:
+    """Pluggable `ZestEngine.authorize` implementation: token-id →
+    grant set; unknown token or no matching grant → Unauthorized
+    (CoAP 129, src/server.re:811-820). ``enabled=False`` (the default
+    engine behavior) accepts everything — matching the reference's
+    ``--enable-macaroons`` opt-in."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._tokens: dict[str, Token] = {}
+
+    def mint(self, token_id: str, grants: list[tuple[str, str]]) -> Token:
+        tok = Token([Grant(m.upper(), p) for m, p in grants])
+        self._tokens[token_id] = tok
+        return tok
+
+    def revoke(self, token_id: str) -> None:
+        self._tokens.pop(token_id, None)
+
+    def check(self, method: str, path: str, token_id: str | None) -> None:
+        if not self.enabled:
+            return
+        tok = self._tokens.get(token_id or "")
+        if tok is None or not tok.allows(method, path):
+            raise Unauthorized(f"{method} {path} not permitted for this token")
