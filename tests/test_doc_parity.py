@@ -1,0 +1,84 @@
+"""The reference's documented API examples (docs/README.md:52-224),
+executed verbatim through ZestEngine — the de-facto acceptance spec
+(SURVEY.md §5). Every documented URL shape appears here with the doc's
+own example identifiers and payloads."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from zestdb_spark.api import ZestEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = ZestEngine(spark, str(tmp_path_factory.mktemp("docstore")))
+    # seed per the doc's multi-sensor design discussion
+    eng.post("/ts/sensor/at/1000", {"room": "lounge", "value": 1})
+    eng.post("/ts/sensor/at/2000", {"room": "kitchen", "value": 5})
+    eng.post("/ts/sensor/at/3000", {"room": "lounge", "value": 3})
+    eng.post("/ts/sensor1/at/1000", {"serial": "SN0042", "value": 10.0})
+    eng.post("/ts/sensor1/at/2000", {"serial": "A001", "value": 20.0})
+    eng.post("/ts/sensor2/at/1500", {"serial": "SN0099", "value": 30.0})
+    return eng
+
+
+def test_kv_api_docs(engine):
+    # "you might write a value to id='lounge' with key='lightbulb'"
+    engine.post("/kv/lounge/lightbulb", {"name": "dave", "age": 30})
+    assert json.loads(engine.get("/kv/lounge/lightbulb")) == {"name": "dave", "age": 30}
+    assert json.loads(engine.get("/kv/lounge/keys")) == ["lightbulb"]
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 1}
+    engine.delete("/kv/lounge/lightbulb")
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 0}
+    engine.post("/kv/lounge/a", "1")
+    engine.post("/kv/lounge/b", "2")
+    engine.delete("/kv/lounge")  # delete all entries
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 0}
+
+
+def test_ts_result_shape_matches_doc(engine):
+    # doc: {"timestamp":1513160985841,"data":{"foo":"bar","value":1}}
+    out = json.loads(engine.get("/ts/sensor/latest"))
+    assert set(out[0].keys()) == {"timestamp", "data"}
+    assert out[0]["data"] == {"value": 3.0, "room": "lounge"}
+
+
+def test_ts_windows_docs(engine):
+    assert len(json.loads(engine.get("/ts/sensor/last/2"))) == 2
+    assert json.loads(engine.get("/ts/sensor/earliest"))[0]["timestamp"] == 1000
+    assert len(json.loads(engine.get("/ts/sensor/first/2"))) == 2
+    assert len(json.loads(engine.get("/ts/sensor/since/2000"))) == 2  # inclusive
+    assert len(json.loads(engine.get("/ts/sensor/range/1000/2000"))) == 2  # inclusive
+    assert json.loads(engine.get("/ts/sensor/length")) == {"length": 3}
+
+
+def test_complex_query_docs(engine):
+    # the doc's flagship: /ts/sensor/last/100/filter/room/equals/lounge/max
+    out = json.loads(engine.get("/ts/sensor/last/100/filter/room/equals/lounge/max"))
+    assert out == {"result": 3.0}
+    # and the join alternative:
+    # /ts/sensor1,sensor2/last/10/filter/serial/contains/SN00
+    out = json.loads(engine.get("/ts/sensor1,sensor2/last/10/filter/serial/contains/SN00"))
+    assert {r["data"]["serial"] for r in out} == {"SN0042", "SN0099"}
+    # aggregation result shape: {"result": 1}
+    agg = json.loads(engine.get("/ts/sensor1,sensor2/last/10/count"))
+    assert agg == {"result": 3.0}
+
+
+def test_delete_docs(engine, spark, tmp_path):
+    eng = ZestEngine(spark, str(tmp_path / "delstore"))
+    for t in (1000, 2000, 3000):
+        eng.post(f"/ts/d1/at/{t}", {"value": float(t)})
+    eng.delete("/ts/d1/since/2000")  # inclusive
+    assert json.loads(eng.get("/ts/d1/length")) == {"length": 1}
+    eng2_rows = json.loads(eng.get("/ts/d1/last/10"))
+    assert [r["timestamp"] for r in eng2_rows] == [1000]
+
+
+def test_general_api_docs(engine):
+    cat = json.loads(engine.get("/cat"))
+    assert "catalogue-metadata" in cat and "items" in cat
+    assert "uptime" in json.loads(engine.get("/uptime"))
