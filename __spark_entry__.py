@@ -261,6 +261,9 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_json_extract": blob_json_extract,
         "blob_json_filter": blob_json_filter,
         "an_revenue_join": revenue_join,
+        "pipe_clean_corpus": lambda s, d: __import__(
+            "zestdb_spark.functions.pipeline", fromlist=["clean_corpus"]
+        ).clean_corpus(docs(s, d), min_score=0.1, jaccard_threshold=0.8),
         "tmp_asof_join": asof_clicks_to_views,
         "tmp_sessionize": sessions,
         "tmp_rollup_hour": rollup_hour,
@@ -367,6 +370,40 @@ _EXT_SQL: dict[str, str] = {
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
+    """,
+    "pipe_clean_corpus": f"""
+      WITH base AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+               {_HITS['en']} AS hits
+        FROM documents),
+      q AS (SELECT doc_id, text, n,
+                   floor((floor(hits / n * 1000000.0) / 1000000.0 * 0.5
+                          + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
+            FROM base),
+      gated AS (SELECT doc_id, text, n, score FROM q WHERE score >= 0.1),
+      {_SHINGLE_CTE.replace("FROM documents", "FROM gated")},
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8),
+      doomed AS (SELECT DISTINCT id_b FROM jp),
+      kept AS (SELECT g.* FROM gated g ANTI JOIN doomed dd ON g.doc_id = dd.id_b),
+      langs AS (
+        SELECT doc_id,
+               {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+               {_HITS['de']} AS h_de, {_HITS['fr']} AS h_fr
+        FROM kept)
+      SELECT k.doc_id, k.n AS n_tokens, k.score,
+             CASE
+               WHEN l.h_en >= l.h_es AND l.h_en >= l.h_de AND l.h_en >= l.h_fr AND l.h_en > 0 THEN 'en'
+               WHEN l.h_es >= l.h_de AND l.h_es >= l.h_fr AND l.h_es > 0 THEN 'es'
+               WHEN l.h_de >= l.h_fr AND l.h_de > 0 THEN 'de'
+               WHEN l.h_fr > 0 THEN 'fr'
+               ELSE 'und'
+             END AS pred_lang
+      FROM kept k JOIN langs l ON l.doc_id = k.doc_id
     """,
     "tmp_asof_join": """
       WITH l AS (SELECT user_id, epoch_ms(ts) AS "timestamp", value

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "tmp_rollup_hour",
     "rs_locf_hourly",
     "an_revenue_join",
+    "pipe_clean_corpus",
 ]
 
 
