@@ -1,0 +1,37 @@
+"""Store durability: a fresh engine over the same root sees all prior
+writes (every append is durable — the reference needs an explicit
+flush-on-shutdown, SURVEY.md §2.12 M5; parquet appends don't)."""
+
+from __future__ import annotations
+
+import json
+
+from zestdb_spark.api import ZestEngine
+
+
+def test_reopen_store_sees_all_writes(spark, tmp_path):
+    root = str(tmp_path / "durable")
+    e1 = ZestEngine(spark, root)
+    e1.post("/ts/d/at/1000", {"value": 1.0, "room": "a"})
+    e1.post("/ts/blob/bd/at/500", {"x": 1})
+    e1.post("/kv/ns/k1", {"v": 1})
+    del e1
+
+    e2 = ZestEngine(spark, root)
+    assert json.loads(e2.get("/ts/d/length")) == {"length": 1}
+    assert json.loads(e2.get("/ts/blob/bd/latest"))[0]["data"] == {"x": 1}
+    assert json.loads(e2.get("/kv/ns/count")) == {"count": 1}
+    # and writes through the new instance land in the same tables
+    e2.post("/ts/d/at/2000", {"value": 2.0})
+    assert json.loads(e2.get("/ts/d/length")) == {"length": 2}
+
+
+def test_kv_upsert_survives_reopen(spark, tmp_path):
+    root = str(tmp_path / "durable2")
+    e1 = ZestEngine(spark, root)
+    e1.post("/kv/ns/k", "old")
+    e1.post("/kv/ns/k", "new")  # LWW overwrite
+    e2 = ZestEngine(spark, root)
+    # str payloads store raw (text semantics), not JSON-encoded
+    assert e2.get("/kv/ns/k") == "new"
+    assert json.loads(e2.get("/kv/ns/count")) == {"count": 1}
