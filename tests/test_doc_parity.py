@@ -33,8 +33,9 @@ def test_kv_api_docs(engine):
     assert json.loads(engine.get("/kv/lounge/count")) == {"count": 1}
     engine.delete("/kv/lounge/lightbulb")
     assert json.loads(engine.get("/kv/lounge/count")) == {"count": 0}
-    engine.post("/kv/lounge/a", "1")
-    engine.post("/kv/lounge/b", "2")
+    engine.post("/kv/lounge/a", {"n": 1})
+    engine.post("/kv/lounge/b", {"n": 2})
+    assert json.loads(engine.get("/kv/lounge/count")) == {"count": 2}
     engine.delete("/kv/lounge")  # delete all entries
     assert json.loads(engine.get("/kv/lounge/count")) == {"count": 0}
 

@@ -29,9 +29,21 @@ def test_reopen_store_sees_all_writes(spark, tmp_path):
 def test_kv_upsert_survives_reopen(spark, tmp_path):
     root = str(tmp_path / "durable2")
     e1 = ZestEngine(spark, root)
-    e1.post("/kv/ns/k", "old")
+    e1.post("/kv/ns/k", "old")  # str → text store (content-format 0)
     e1.post("/kv/ns/k", "new")  # LWW overwrite
     e2 = ZestEngine(spark, root)
-    # str payloads store raw (text semantics), not JSON-encoded
-    assert e2.get("/kv/ns/k") == "new"
-    assert json.loads(e2.get("/kv/ns/count")) == {"count": 1}
+    assert e2.get("/kv/ns/k", content_format="text") == "new"
+    assert json.loads(e2.get("/kv/ns/count", content_format="text")) == {"count": 1}
+
+
+def test_kv_content_format_stores_are_separate(spark, tmp_path):
+    eng = ZestEngine(spark, str(tmp_path / "formats"))
+    eng.post("/kv/ns/k", {"a": 1})  # json
+    eng.post("/kv/ns/k", "plain text")  # text
+    eng.post("/kv/ns/k", b"\x00\x01bin")  # binary
+    assert json.loads(eng.get("/kv/ns/k")) == {"a": 1}
+    assert eng.get("/kv/ns/k", content_format="text") == "plain text"
+    assert eng.get("/kv/ns/k", content_format="binary") == "\x00\x01bin"
+    # each store counts independently (reference: one store per format)
+    for fmt in ("json", "text", "binary"):
+        assert json.loads(eng.get("/kv/ns/count", content_format=fmt)) == {"count": 1}

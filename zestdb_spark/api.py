@@ -44,6 +44,8 @@ class ZestEngine:
         #: reproduce the reference's delete-by-timestamp collateral
         #: quirk (SURVEY.md §2.7 D1) when True
         self.compat_collateral_delete = compat_collateral_delete
+        #: per-request content-format (set by get/post/delete)
+        self._format: Optional[str] = None
 
     # ----------------------------------------------------------- plumbing
 
@@ -60,9 +62,20 @@ class ZestEngine:
 
     # ---------------------------------------------------------------- GET
 
-    def get(self, path: str, client: str = "client", token: Optional[str] = None) -> str:
+    def get(
+        self,
+        path: str,
+        client: str = "client",
+        token: Optional[str] = None,
+        content_format: Optional[str] = None,
+    ) -> str:
+        """``content_format`` routes KV reads to the json/text/binary
+        store — the engine's stand-in for the reference's CoAP
+        content-format option (0=text, 42=binary, 50=json,
+        src/prov.re:30-36); default json."""
         try:
             self.authorize("GET", path, token)
+            self._format = content_format
             result = self._get(path)
         except ZestError as e:
             self._audit("GET", path, e.code, client)
@@ -84,9 +97,7 @@ class ZestEngine:
             return cat_ops.render(self.store.load("catalog_items"))
 
         if len(parts) >= 3 and parts[1] == "kv":
-            # content-format routing (text/binary) happens at the transport
-            # layer in the reference; the facade defaults to the JSON store
-            return self._get_kv("json", parts)
+            return self._get_kv(self._format or "json", parts)
         if len(parts) >= 3 and parts[1] == "ts":
             plan = compile_path(path)
             table = "ts_numeric" if plan.store == "numeric" else "ts_blob"
@@ -106,14 +117,27 @@ class ZestEngine:
             return serializers.count_to_json(kv_ops.count(kv, parts[2]))
         if len(parts) == 4:
             rows = kv_ops.read(kv, parts[2], parts[3]).collect()
-            return rows[0]["value"] if rows else ""
+            if not rows:
+                return ""
+            value = rows[0]["value"]
+            return bytes(value).decode("latin-1") if isinstance(value, (bytes, bytearray)) else value
         raise BadRequest(f"unrecognized KV path {'/'.join(parts)!r}")
 
     # --------------------------------------------------------------- POST
 
-    def post(self, path: str, payload: Any, client: str = "client", token: Optional[str] = None) -> None:
+    def post(
+        self,
+        path: str,
+        payload: Any,
+        client: str = "client",
+        token: Optional[str] = None,
+        content_format: Optional[str] = None,
+    ) -> None:
+        """KV writes route by ``content_format`` when given, else by
+        payload type: bytes→binary, str→text, JSON values→json."""
         try:
             self.authorize("POST", path, token)
+            self._format = content_format
             self._post(path, payload)
         except ZestError as e:
             self._audit("POST", path, e.code, client)
@@ -142,17 +166,35 @@ class ZestEngine:
                 raise BadRequest(f"unrecognized ts write path {path!r}")
             return
         if len(parts) == 4 and parts[1] == "kv":
-            value = payload if isinstance(payload, (str, bytes)) else json.dumps(payload)
-            kind = "binary" if isinstance(payload, bytes) else "json"
+            kind = self._format
+            if kind is None:
+                kind = (
+                    "binary"
+                    if isinstance(payload, (bytes, bytearray))
+                    else "text" if isinstance(payload, str) else "json"
+                )
+            if kind == "json" and not isinstance(payload, str):
+                value = json.dumps(payload)
+            elif kind == "binary" and isinstance(payload, str):
+                value = payload.encode()
+            else:
+                value = payload
             self.store.kv_upsert(kind, parts[2], parts[3], value)
             return
         raise BadRequest(f"unrecognized POST path {path!r}")
 
     # ------------------------------------------------------------- DELETE
 
-    def delete(self, path: str, client: str = "client", token: Optional[str] = None) -> None:
+    def delete(
+        self,
+        path: str,
+        client: str = "client",
+        token: Optional[str] = None,
+        content_format: Optional[str] = None,
+    ) -> None:
         try:
             self.authorize("DELETE", path, token)
+            self._format = content_format
             self._delete(path)
         except ZestError as e:
             self._audit("DELETE", path, e.code, client)
@@ -162,7 +204,9 @@ class ZestEngine:
     def _delete(self, path: str) -> None:
         parts = path.split("/")
         if len(parts) >= 3 and parts[1] == "kv":
-            self.store.kv_delete("json", parts[2], parts[3] if len(parts) > 3 else None)
+            self.store.kv_delete(
+                self._format or "json", parts[2], parts[3] if len(parts) > 3 else None
+            )
             return
         if len(parts) >= 3 and parts[1] == "ts":
             plan = compile_path(path)  # guards reject non-window paths below
