@@ -138,6 +138,18 @@ def _catalog_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixtures.catalog_items_from_tables(spark, sf_dir)
 
 
+def _kv_text_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zestdb_spark.operators import kv
+
+    return kv.keys(fixtures.kv_text_from_supplier(spark, sf_dir), "suppliers")
+
+
+def _kv_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zestdb_spark.operators import kv
+
+    return kv.read(fixtures.kv_text_from_supplier(spark, sf_dir), "suppliers", "Supplier#000000007")
+
+
 _KV_SQL = {
     "kv_keys": (
         f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
@@ -152,6 +164,14 @@ _KV_SQL = {
         "SELECT value FROM kv WHERE id = 'EUROPE' AND key = 'NATION_13'"
     ),
     "catalog_get": fixtures.CATALOG_ITEMS_SQL,
+    "kv_text_keys": (
+        f"WITH kv AS ({fixtures.KV_TEXT_FROM_SUPPLIER_SQL}) "
+        "SELECT key FROM kv WHERE id = 'suppliers'"
+    ),
+    "kv_text_read": (
+        f"WITH kv AS ({fixtures.KV_TEXT_FROM_SUPPLIER_SQL}) "
+        "SELECT value FROM kv WHERE id = 'suppliers' AND key = 'Supplier#000000007'"
+    ),
 }
 
 # ----------------------------------------------------- extension operators
@@ -566,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kv_keys"] = _kv_keys
     out["kv_count"] = _kv_count
     out["kv_read"] = _kv_read
+    out["kv_text_keys"] = _kv_text_keys
+    out["kv_text_read"] = _kv_text_read
     out["catalog_get"] = _catalog_get
     out.update(_ext_queries())
     return out

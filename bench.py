@@ -65,11 +65,16 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen
     qs[names[0]](spark, sf_dir).collect()
 
+    # min of 2 runs per query: the first run can absorb stragglers from
+    # JIT/GC; the min is the steadier signal for round-over-round compare
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -110,6 +110,25 @@ KV_JSON_FROM_NATION_SQL = """
   FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 """
 
+def kv_text_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format KV: one namespace, key per supplier, plain-text value."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return s.select(
+        F.lit("suppliers").alias("id"),
+        F.col("s_name").alias("key"),
+        F.concat(F.col("s_name"), F.lit(" balance "), F.col("s_acctbal").cast("string")).alias(
+            "value"
+        ),
+    )
+
+
+KV_TEXT_FROM_SUPPLIER_SQL = """
+  SELECT 'suppliers' AS id,
+         s_name AS key,
+         s_name || ' balance ' || CAST(s_acctbal AS VARCHAR) AS value
+  FROM supplier
+"""
+
 # ----------------------------------------------------------------- catalog
 
 def catalog_items_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
