@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
-
 from zestdb_spark import schema as S
 from zestdb_spark.streaming import observe
 from zestdb_spark.streaming.observe import ObserverRegistry

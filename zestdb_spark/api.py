@@ -22,7 +22,7 @@ from typing import Any, Optional
 from pyspark.sql import SparkSession
 
 from zestdb_spark import serializers
-from zestdb_spark.errors import BadRequest, UnsupportedMethod, ZestError
+from zestdb_spark.errors import BadRequest, ZestError
 from zestdb_spark.operators import catalog as cat_ops
 from zestdb_spark.operators import kv as kv_ops
 from zestdb_spark.plans import compile_path, plan_to_dataframe

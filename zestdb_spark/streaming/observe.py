@@ -25,7 +25,6 @@ Payload shapes follow src/server.re:74-141: data observers get
 from __future__ import annotations
 
 import itertools
-import json
 import time
 import uuid
 from dataclasses import dataclass, field
