@@ -150,6 +150,17 @@ def _kv_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.read(fixtures.kv_text_from_supplier(spark, sf_dir), "suppliers", "Supplier#000000007")
 
 
+def _sql_front_end_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third front-end under the correctness gate: plain spark.sql over a
+    registered view, using the engine's last_n SQL template."""
+    from zestdb_spark import sql as zsql
+
+    fixtures.ts_numeric_from_events(spark, sf_dir).createOrReplaceTempView(
+        "ts_numeric_events_sqlfe"
+    )
+    return spark.sql(zsql.last_n_sql("ts_numeric_events_sqlfe", ["click", "error"], 30))
+
+
 _KV_SQL = {
     "kv_keys": (
         f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
@@ -588,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kv_read"] = _kv_read
     out["kv_text_keys"] = _kv_text_keys
     out["kv_text_read"] = _kv_text_read
+    out["sql_front_end_last_n"] = _sql_front_end_last_n
     out["catalog_get"] = _catalog_get
     out.update(_ext_queries())
     return out
@@ -597,6 +609,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (path, (_, _load, sql)) in PATH_CORPUS.items():
         out[name] = plan_to_duckdb_sql(compile_path(path), sql)
+    # SQL front-end query shares the path corpus oracle shape
+    out["sql_front_end_last_n"] = plan_to_duckdb_sql(
+        compile_path("/ts/click,error/last/30"), fixtures.TS_NUMERIC_FROM_EVENTS_SQL
+    )
     out.update(_KV_SQL)
     out.update(_EXT_SQL)
     return out

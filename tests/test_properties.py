@@ -113,3 +113,42 @@ def test_latest_is_deterministic(spark, rows):
     a = sorted(tuple(r) for r in ts_read.read_latest(df1, ["s1", "s2", "s3"]).collect())
     b = sorted(tuple(r) for r in ts_read.read_latest(df2, ["s1", "s2", "s3"]).collect())
     assert a == b
+
+
+# ------------------------------------------------- front-end round trips
+
+from zestdb_spark.plans.paths import plan_to_path  # noqa: E402
+from zestdb_spark.plans.plan import QueryPlan, Window as PWindow  # noqa: E402
+
+_ids = st.lists(
+    st.text(alphabet="abcdefgh012", min_size=1, max_size=6), min_size=1, max_size=3
+).map(tuple)
+_windows = st.one_of(
+    st.just(PWindow("latest")),
+    st.just(PWindow("earliest")),
+    st.just(PWindow("length")),
+    st.integers(1, 10**6).map(lambda n: PWindow("last", n=n)),
+    st.integers(1, 10**6).map(lambda n: PWindow("first", n=n)),
+    st.integers(0, 10**13).map(lambda t: PWindow("since", from_ms=t)),
+    st.tuples(st.integers(0, 10**13), st.integers(0, 10**13)).map(
+        lambda t: PWindow("range", from_ms=t[0], to_ms=t[1])
+    ),
+)
+_filters = st.one_of(
+    st.none(),
+    st.tuples(
+        st.sampled_from(["equals", "contains"]),
+        st.text(alphabet="abcxyz", min_size=1, max_size=5),
+        st.text(alphabet="abcxyz0189", min_size=1, max_size=6),
+    ),
+)
+_aggs = st.sampled_from([None, "sum", "count", "min", "max", "mean", "median", "sd"])
+
+
+@given(ids=_ids, window=_windows, filt=_filters, agg=_aggs)
+@settings(max_examples=200, deadline=None)
+def test_path_round_trip(ids, window, filt, agg):
+    if window.op == "length":
+        filt, agg = None, None
+    plan = QueryPlan(ids=ids, window=window, filter=filt, agg=agg)
+    assert compile_path(plan_to_path(plan)) == plan

@@ -43,6 +43,30 @@ def _parse_fn(parts: list[str]) -> tuple:
     raise BadRequest(f"invalid function suffix: {'/'.join(parts)}")
 
 
+def plan_to_path(plan: QueryPlan) -> str:
+    """Inverse of ``compile_path``: render a QueryPlan back to its URI
+    path (round-trip property: compile_path(plan_to_path(p)) == p)."""
+    parts = ["", "ts"]
+    if plan.store == "blob":
+        parts.append("blob")
+    parts.append(",".join(plan.ids))
+    w = plan.window
+    if w.op in ("latest", "earliest", "length"):
+        parts.append(w.op)
+    elif w.op in ("last", "first"):
+        parts += [w.op, str(w.n)]
+    elif w.op == "since":
+        parts += ["since", str(w.from_ms)]
+    else:
+        parts += ["range", str(w.from_ms), str(w.to_ms)]
+    if plan.filter is not None:
+        op, tag, val = plan.filter
+        parts += ["filter", tag, op, val]
+    if plan.agg is not None:
+        parts.append(plan.agg)
+    return "/".join(parts)
+
+
 def compile_path(path: str) -> QueryPlan:
     """GET path → QueryPlan. Raises BadRequest on unrecognized shapes."""
     parts = path.split("/")
