@@ -232,7 +232,15 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = shingle_rows(docs, k)
+    # verify ONLY candidate documents: restrict the shingle stream to
+    # docs that appear in some candidate pair before the intersection
+    # self-join — work becomes O(candidate docs), not O(corpus)
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionAll(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_rows(docs, k).join(F.broadcast(cand_docs), "doc_id", "left_semi")
     return _jaccard_from_shingles(sh, candidates).filter(
         F.col("jaccard") >= threshold
     )
