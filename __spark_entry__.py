@@ -312,6 +312,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.quality_score(docs(s, d)),
         "text_langid": lambda s, d: textstats.lang_id(docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.fingerprint(docs(s, d)),
+        "text_winnow": lambda s, d: textstats.winnow_fingerprints(docs(s, d), 8, 4),
         "mm_features": lambda s, d: multimodal.extract_features(
             multimodal.assets_from_documents(s, d)
         ),
@@ -563,6 +564,22 @@ _EXT_SQL: dict[str, str] = {
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents
+    """,
+    "text_winnow": """
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+                              i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)) AS hs
+        FROM documents
+        WHERE len(text) >= 8),
+      w AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                i -> list_aggregate(hs[i:i+3], 'min'))) AS fps
+        FROM h
+        WHERE len(hs) >= 4)
+      SELECT doc_id, unnest(fps) AS fp FROM w
     """,
     "mm_features": """
       SELECT doc_id AS asset_id,
