@@ -20,7 +20,6 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry  # noqa: E402
-from zestdb_spark.session import get_spark  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -66,7 +65,13 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("selfcheck")
+    # Deliberately a VANILLA session (no zestdb confs) — the driver's
+    # correctness gate constructs its own; round 1 failed 39 rows on a
+    # conf only our factory set. queries() must work on any session.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").appName("selfcheck").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
     if name_filter:
         qs = {k: v for k, v in qs.items() if any(f in k for f in name_filter)}

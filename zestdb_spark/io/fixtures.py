@@ -25,8 +25,28 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ events
 
+def harden_session(spark: SparkSession) -> SparkSession:
+    """Make ANY SparkSession — including the driver harness's vanilla
+    one — able to run the fixture mappings. Both confs are
+    runtime-settable, so the ``queries()`` contract assumes nothing
+    about the caller's session factory:
+
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS), which
+      Spark refuses to read as a timestamp otherwise.
+    - ``session.timeZone=UTC``: the lineitem/orders TIMESTAMP_NTZ →
+      epoch-ms casts are only oracle-exact under UTC.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return harden_session(spark).read.parquet(f"{sf_dir}/events.parquet")
+
+
 def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     tagged = F.col("user_id") % 5 != 0
     return ev.select(
         F.col("event_type").alias("series_id"),
@@ -49,7 +69,7 @@ TS_NUMERIC_FROM_EVENTS_SQL = """
 
 
 def ts_blob_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     return ev.select(
         F.col("event_type").alias("series_id"),
         F.expr("ts div 1000000").alias("timestamp"),
@@ -68,7 +88,7 @@ TS_BLOB_FROM_EVENTS_SQL = """
 
 def ts_numeric_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk/bench mapping: one series per returnflag, price as value."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = harden_session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.select(
         F.concat(F.lit("li_"), F.col("l_returnflag")).alias("series_id"),
         F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),

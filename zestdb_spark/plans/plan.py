@@ -43,5 +43,8 @@ class QueryPlan:
 
     @property
     def descending(self) -> bool:
-        """Presentation order: last-family sorts desc (timeseries.re:168-175)."""
-        return self.window.op in ("latest", "last")
+        """Presentation order: the reference renders latest/last AND
+        since/range newest-first (timeseries.re:168-175 and :409,:429 —
+        return_data(~sort=`Last)); only earliest/first render
+        oldest-first."""
+        return self.window.op in ("latest", "last", "since", "range")
