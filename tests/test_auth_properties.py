@@ -16,7 +16,9 @@ def test_path_matching_rules():
     assert path_matches("/ts/a", "/ts/a")
     assert not path_matches("/ts/a", "/ts/a/latest")  # exact is exact
     assert path_matches("/ts/*", "/ts/a/latest")
-    assert path_matches("/ts/*", "/ts")  # bare prefix matches itself
+    # reference rule (token.re:3-13): /ts/* requires a longer path,
+    # so the bare prefix itself does NOT match
+    assert not path_matches("/ts/*", "/ts")
     assert not path_matches("/ts/*", "/kv/a")
     assert path_matches("*", "/anything/at/all")
 

@@ -47,3 +47,66 @@ def test_kv_content_format_stores_are_separate(spark, tmp_path):
     # each store counts independently (reference: one store per format)
     for fmt in ("json", "text", "binary"):
         assert json.loads(eng.get("/kv/ns/count", content_format=fmt)) == {"count": 1}
+
+
+def _file_states(root):
+    """(relpath, size, sha) of every data file under root."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, root)
+            out[rel] = hashlib.sha1(open(full, "rb").read()).hexdigest()
+    return out
+
+
+def test_ts_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped delete: files of (series, day) partitions outside
+    the delete window stay byte-identical — the 100 TB property (only
+    pruned partitions are re-read/rewritten)."""
+    import os
+
+    root = str(tmp_path / "scoped")
+    eng = ZestEngine(spark, root)
+    day = 86_400_000
+    for series in ("a", "b"):
+        for d in range(3):
+            eng.post(f"/ts/{series}/at/{d * day + 500}", {"value": float(d)})
+
+    before = _file_states(os.path.join(root, "ts_numeric"))
+    # delete day-1 of series a only
+    eng.delete(f"/ts/a/range/{day}/{2 * day - 1}")
+
+    after = _file_states(os.path.join(root, "ts_numeric"))
+    touched_prefix = os.path.join("series_id=a", "time_bucket=1")
+    for rel, sha in before.items():
+        if rel.startswith(touched_prefix):
+            assert rel not in after  # partition removed
+        else:
+            assert after.get(rel) == sha, f"untouched partition rewritten: {rel}"
+    assert json.loads(eng.get("/ts/a/length")) == {"length": 2}
+    assert json.loads(eng.get("/ts/b/length")) == {"length": 3}
+
+
+def test_kv_upsert_rewrites_only_touched_namespace(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "kvscope")
+    eng = ZestEngine(spark, root)
+    eng.post("/kv/ns1/k1", {"v": 1})
+    eng.post("/kv/ns2/k1", {"v": 2})
+    before = _file_states(os.path.join(root, "kv_json"))
+
+    eng.post("/kv/ns1/k2", {"v": 3})  # upsert into ns1 only
+
+    after = _file_states(os.path.join(root, "kv_json"))
+    for rel, sha in before.items():
+        if rel.startswith("id=ns2"):
+            assert after.get(rel) == sha, f"untouched namespace rewritten: {rel}"
+    assert json.loads(eng.get("/kv/ns1/count")) == {"count": 2}
+    assert json.loads(eng.get("/kv/ns2/count")) == {"count": 1}

@@ -69,7 +69,8 @@ def test_sd_is_sample_stddev(ts):
     vals = [5.0, 6.0]
     m = sum(vals) / 2
     expected = math.sqrt(sum((v - m) ** 2 for v in vals) / (len(vals) - 1))
-    assert _agg(ts, ["pair"], "sd") == pytest.approx(expected)
+    # sd is floor-quantized to 6 dp (the q6 rule — see ts_agg._quant6)
+    assert _agg(ts, ["pair"], "sd") == math.floor(expected * 1e6) / 1e6
 
 
 def test_agg_empty_input_is_null(ts):

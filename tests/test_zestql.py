@@ -74,6 +74,8 @@ def test_post_with_tag():
 def test_observe_modes_and_ttl():
     o = zql.parse('observe from "sensor1" for 10s;', NOW)
     assert o.mode == "data" and o.max_age_s == 10
+    # non-second units honor their multiplier (ADVICE r1)
+    assert zql.parse('observe from "s" for 5 min;', NOW).max_age_s == 300
     o2 = zql.parse('observe from "sensor1" mode audit;', NOW)
     assert o2.mode == "audit" and o2.max_age_s == 0
 

@@ -20,11 +20,15 @@ _METHODS = ("GET", "POST", "DELETE", "OBSERVE")
 
 
 def path_matches(pattern: str, path: str) -> bool:
-    """Exact match, or wildcard prefix ``/a/b/*`` (src/token.re:3-13)."""
+    """Exact match, or wildcard prefix ``/a/b/*`` (src/token.re:3-13).
+
+    The reference requires len(pattern) <= len(path), so ``/a/b/*``
+    never matches the bare ``/a/b`` — same rule as observe.py's
+    matcher."""
     if pattern == "*":
         return True
     if pattern.endswith("/*"):
-        return path == pattern[:-2] or path.startswith(pattern[:-2] + "/")
+        return path.startswith(pattern[:-2] + "/")
     return path == pattern
 
 

@@ -28,8 +28,8 @@ _ASC_SQL = (
 _BLOB_DESC_SQL = '"timestamp" DESC, data DESC, series_id DESC'
 _BLOB_ASC_SQL = '"timestamp" ASC, data ASC, series_id ASC'
 
-# sum/mean accumulate in DECIMAL(38,6) and sd rounds to 6 dp, mirroring
-# operators/ts_agg.py's determinism strategy (see its module docstring).
+# sum/mean accumulate in DECIMAL(38,6) and sd floor-quantizes to 6 dp,
+# mirroring operators/ts_agg.py's determinism strategy.
 _EXACT_SUM = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
 _AGG_SQL = {
     "sum": _EXACT_SUM,
@@ -38,7 +38,7 @@ _AGG_SQL = {
     "max": "max(value)",
     "mean": f"{_EXACT_SUM} / count(value)",
     "median": "median(value)",
-    "sd": "round(stddev_samp(value), 6)",
+    "sd": "floor(stddev_samp(value) * 1000000.0) / 1000000.0",
 }
 
 

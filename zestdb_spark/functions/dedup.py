@@ -51,6 +51,18 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive in one scan partition, but the
+    shingle/signature stages amplify work ~50× per row — spread the
+    scan across the cluster first. No-op (no shuffle) when the source
+    is already at least as parallel as the cluster, i.e. always at real
+    scale; the repartition only fires for small-file local runs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def q6(col: F.Column) -> F.Column:
     """Quantize to 6 dp as floor(x·10⁶)/10⁶ — unlike round(), floor of
     an identical double is identical in every engine (Spark's round
@@ -111,7 +123,7 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, n, shingle): one row per distinct k-shingle, with the
     doc's distinct-shingle count carried on every row — so downstream
     Jaccard needs NO separate sizes join."""
-    step = docs.select("doc_id", _shingle_array(k).alias("sh"))
+    step = _spread(docs).select("doc_id", _shingle_array(k).alias("sh"))
     return step.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
     )
@@ -179,10 +191,17 @@ def minhash_signatures(
     combinable AND whole-stage-codegen'd — measurably faster than the
     tempting scan-local array_min(transform(...)) formulation, because
     higher-order array functions are interpreted per element, outside
-    codegen."""
+    codegen.
+
+    Shingles are hashed with native ``xxhash64`` (masked to 28 bits),
+    not the md5-hex-conv portable hash: signatures are engine-internal
+    (candidates are exactly verified downstream, and the oracle mirrors
+    the exact-Jaccard result, never the signatures), so the hash only
+    needs determinism — and xxhash64 skips md5's per-row hex-string
+    allocation entirely."""
     sh = shingle_rows(docs, k)
     hashed = sh.select(
-        "doc_id", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long").alias("x")
+        "doc_id", F.xxhash64("shingle").bitwiseAND(F.lit((1 << 28) - 1)).alias("x")
     )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
@@ -204,7 +223,10 @@ def minhash_lsh_pairs(
     bands=16 × rows=4 over 64 hashes: P(candidate | j) = 1-(1-j⁴)¹⁶,
     ≈ 1 - 3.8e-8 at j=0.9 and ≈ 0.999 at j=0.8 — false negatives are
     negligible at the thresholds this is used for, and candidates are
-    exactly verified so there are no false positives.
+    exactly verified so there are no false positives. For thresholds
+    below ~0.7, pass bands=32 (rows=2): the capture curve shifts left
+    (miss prob 1e-4 at j=0.5, 6e-15 at j=0.8) at the cost of a wider
+    candidate net.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes)
@@ -232,15 +254,17 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify ONLY candidate documents: restrict the shingle stream to
-    # docs that appear in some candidate pair before the intersection
-    # self-join — work becomes O(candidate docs), not O(corpus)
+    # verify ONLY candidate documents: semi-join docs BEFORE shingling,
+    # so the verification pass re-tokenizes just the candidate docs —
+    # not the whole corpus and then filtering the exploded stream
     cand_docs = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .unionAll(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_rows(docs, k).join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh = shingle_rows(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), k
+    )
     return _jaccard_from_shingles(sh, candidates).filter(
         F.col("jaccard") >= threshold
     )
@@ -252,7 +276,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash64): per-token 60-bit hashes, bitwise majority
     vote across tokens — computed as 64 sign-sums entirely with
     built-in bit ops (shiftright/bitwise-and), one groupBy."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", _hash60(F.col("tok")).alias("x"))
     # sum(+1/-1 per bit), then sign → bit
@@ -320,14 +344,18 @@ def hybrid_dup_pairs(
     """Multimodal near-dup: pairs that clear BOTH a text n-gram-Jaccard
     bar and an embedding-cosine bar → (id_a, id_b, jaccard, cosine).
 
-    The text side prunes first (LSH-able); cosines are then computed
-    ONLY for surviving pairs via two broadcast-able joins against the
-    (vec_id, v, norm) projection — never an all-pairs vector product.
-    ``embs.vec_id`` must align with ``docs.doc_id``.
+    The text side prunes first via MinHash-LSH (banded 32×2 so the
+    capture curve covers thresholds down to ~0.5; candidates exactly
+    verified); cosines are then computed ONLY for surviving pairs via
+    two joins against the (vec_id, v, norm) projection — never an
+    all-pairs vector product. ``embs.vec_id`` must align with
+    ``docs.doc_id``.
     """
     from zestdb_spark.functions.similarity import dot, with_norm
 
-    text_pairs = jaccard_pairs(docs, k, jaccard_threshold)
+    text_pairs = minhash_lsh_pairs(
+        docs, k, num_hashes=64, bands=32, threshold=jaccard_threshold
+    )
     e = with_norm(embs)
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("norm_b"))

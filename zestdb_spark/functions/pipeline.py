@@ -3,9 +3,11 @@
 ``clean_corpus`` chains the extension operators the way a real
 pretraining-data job does:
   1. quality gate   — stopword/length score ≥ threshold (textstats),
-  2. near-dup prune — n-gram Jaccard pairs ≥ τ; of each duplicate pair
-     the LOWER doc_id survives (drop every doc that appears as the
-     higher id of a pair — deterministic, order-free),
+  2. near-dup prune — MinHash-LSH candidates, exactly verified to
+     n-gram Jaccard ≥ τ (the scale path — never an all-pairs shingle
+     join); of each duplicate pair the LOWER doc_id survives (drop
+     every doc that appears as the higher id of a pair —
+     deterministic, order-free),
   3. annotate       — token counts + language ID on the survivors.
 
 Everything stays one lazy DataFrame: Catalyst sees the whole chain, so
@@ -34,7 +36,7 @@ def clean_corpus(
     scored = textstats.quality_score(docs).filter(F.col("score") >= min_score)
     gated = docs.join(scored.select("doc_id"), "doc_id", "left_semi")
 
-    pairs = dedup.jaccard_pairs(gated, k, jaccard_threshold)
+    pairs = dedup.minhash_lsh_pairs(gated, k, 64, 16, jaccard_threshold)
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = gated.join(F.broadcast(doomed), "doc_id", "left_anti")
 

@@ -40,6 +40,12 @@ def _exact_sum() -> Column:
     return F.sum(F.col("value").cast(_DEC)).cast("double")
 
 
+def _quant6(c: Column) -> Column:
+    """Floor-quantization to 6 dp (the q6 rule): floor-via-double-math
+    agrees across engines, unlike round()'s .5×10⁻⁷ tie handling."""
+    return F.floor(c * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
+
 AGGREGATES: dict[str, Callable[[], Column]] = {
     "sum": _exact_sum,
     "count": lambda: F.count("value").cast("double"),  # float count, numeric.re:41
@@ -47,7 +53,8 @@ AGGREGATES: dict[str, Callable[[], Column]] = {
     "max": lambda: F.max("value"),
     "mean": lambda: _exact_sum() / F.count("value"),
     "median": lambda: F.median("value"),
-    "sd": lambda: F.round(F.stddev_samp("value"), 6),
+    # n<2 → NULL (not Spark's NaN) so single-row sd matches SQL engines
+    "sd": lambda: F.when(F.count("value") >= 2, _quant6(F.stddev_samp("value"))),
 }
 
 

@@ -211,8 +211,11 @@ def parse(statement: str, now_ms: int) -> Statement:
                 raise BadRequest(f"ZestQL: unknown observe mode {mode!r}")
         max_age = 0
         if p.accept_kw("for"):
-            max_age = p.integer()
-            p.unit_ms()  # grammar allows seconds only; accept any unit token
+            n = p.integer()
+            # grammar allows only SECONDS (parser.mly max_age); we accept
+            # any unit but honor its multiplier instead of silently
+            # registering 'FOR 5 min' as a 5-second TTL
+            max_age = n * p.unit_ms() // 1000
         return Observe(series_id=series, mode=mode, max_age_s=max_age)
 
     if kw in ("get", "delete"):

@@ -28,8 +28,10 @@ from __future__ import annotations
 import json
 import numbers
 import os
+import shutil
 import time
 from typing import Any, Optional
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,6 +113,44 @@ class ZestStore:
             return T.StructType(list(base.fields) + [T.StructField("time_bucket", T.LongType(), True)])
         return base
 
+    # -------------------------------------------- partition-dir plumbing
+    # Parquet emulation of table-format partition-scoped commits: writes
+    # land in a .tmp dir, then only the touched Hive-style partition
+    # dirs are swapped into the live table. With Delta/Iceberg on the
+    # classpath this whole block becomes MERGE/DELETE and goes away.
+
+    @staticmethod
+    def _part_dirs(path: str, col: str):
+        """(decoded value, full path) for ``col=<escaped>`` dirs under
+        ``path`` — decoding via percent-unquote, the same escaping Spark
+        (Hive ``escapePathName``) applies when writing."""
+        prefix = col + "="
+        if not os.path.isdir(path):
+            return
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if name.startswith(prefix) and os.path.isdir(full):
+                yield unquote(name[len(prefix):]), full
+
+    @classmethod
+    def _promote_partitions(cls, tmp: str, real: str) -> None:
+        """Move every partition dir written under ``tmp`` into ``real``,
+        replacing same-named dirs; recurses so nested layouts
+        (series_id=X/time_bucket=N) replace at the leaf level."""
+        os.makedirs(real, exist_ok=True)
+        for name in sorted(os.listdir(tmp)):
+            src = os.path.join(tmp, name)
+            if "=" not in name or not os.path.isdir(src):
+                continue
+            dst = os.path.join(real, name)
+            if os.path.isdir(dst):
+                if any("=" in s for s in os.listdir(src)):
+                    cls._promote_partitions(src, dst)
+                    continue
+                shutil.rmtree(dst)
+            shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # ------------------------------------------------------------- writes
 
     def _append_ts(self, table: str, rows: DataFrame) -> None:
@@ -154,26 +194,49 @@ class ZestStore:
         return ts
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
-        # materialize before overwriting the dir we read from
-        out = df.cache()
-        out.count()
-        out.write.mode("overwrite").parquet(self._path(table))
-        out.unpersist()
+        """Whole-table rewrite (catalog only — href-keyed, control-plane
+        sized). Write-to-tmp then atomic swap: never overwrite the dir a
+        lazy plan is still reading from (an evicted cache block would
+        otherwise recompute from the half-truncated source)."""
+        tmp = self._path(table) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        real = self._path(table)
+        if os.path.isdir(real):
+            shutil.rmtree(real)
+        os.rename(tmp, real)
+
+    def _rewrite_kv_namespace(self, table: str, id_: str, new_rows: DataFrame) -> None:
+        """Replace ONE ``id=<id_>`` partition of an id-partitioned KV
+        table with ``new_rows`` — every other namespace's files are
+        untouched (the reference's per-namespace git tree writes;
+        MERGE INTO on a real table format)."""
+        tmp = self._path(table) + ".tmp"
+        new_rows.write.mode("overwrite").partitionBy("id").parquet(tmp)
+        real = self._path(table)
+        for val, full in self._part_dirs(real, "id"):
+            if val == id_:
+                shutil.rmtree(full)
+        self._promote_partitions(tmp, real)
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
-        """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20."""
+        """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
+        Rewrites only the touched namespace partition."""
         table = f"kv_{kind}"
         from zestdb_spark.operators import kv as kv_ops
 
         updates = self.spark.createDataFrame([(id_, key, value)], _TABLES[table])
-        self._overwrite(table, kv_ops.upsert(self.load(table), updates))
+        ns = self.load(table).filter(F.col("id") == id_)
+        self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
 
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
-        """D3: delete key or whole id namespace."""
+        """D3: delete key or whole id namespace (namespace-scoped)."""
         from zestdb_spark.operators import kv as kv_ops
 
         table = f"kv_{kind}"
-        self._overwrite(table, kv_ops.delete(self.load(table), id_, key))
+        if not self._exists(table):
+            return
+        ns = self.load(table).filter(F.col("id") == id_)
+        self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
 
     def catalog_upsert(self, item: dict) -> None:
         """S5/M2: validate + upsert by href (src/hc.re:43-51)."""
@@ -182,26 +245,53 @@ class ZestStore:
         self._overwrite("catalog_items", cat_ops.upsert_item(self.load("catalog_items"), item))
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
-        """D1: rewrite the table without the matched rows. With a real
-        table format this is DELETE FROM + partition pruning; parquet
-        emulation rewrites (only) the table."""
+        """D1: partition-scoped delete. Only the (series_id, time_bucket)
+        partitions the window can touch are re-read and rewritten —
+        untouched partition files stay byte-identical (asserted by
+        tests/test_durability.py). DELETE FROM + partition pruning on a
+        real table format."""
         from zestdb_spark.operators import ts_delete as del_ops
 
         table = "ts_numeric" if plan.store == "numeric" else "ts_blob"
-        survivors = del_ops.delete_plan(self.load(table), plan, compat_collateral)
-        out = survivors.cache()
-        out.count()
+        if plan.window.op not in ("since", "range") or plan.agg is not None:
+            # raise the reference's 134 before touching any file
+            del_ops.delete_plan(self.load(table), plan, compat_collateral)
+            return
+        if not self._exists(table):
+            return
+
+        w = plan.window
+        from_bucket = w.from_ms // _DAY_MS
+        to_bucket = w.to_ms // _DAY_MS if w.op == "range" else None
+        ids = set(plan.ids)
+
+        def affected(series: str, bucket: int) -> bool:
+            return (
+                series in ids
+                and bucket >= from_bucket
+                and (to_bucket is None or bucket <= to_bucket)
+            )
+
+        part_cond = F.col("series_id").isin(list(ids)) & (
+            F.col("time_bucket") >= F.lit(from_bucket)
+        )
+        if to_bucket is not None:
+            part_cond = part_cond & (F.col("time_bucket") <= F.lit(to_bucket))
+
+        full = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
+        survivors = del_ops.delete_plan(full.filter(part_cond), plan, compat_collateral)
+
         tmp = self._path(table) + ".tmp"
-        out.withColumn("time_bucket", (F.col("timestamp") / _DAY_MS).cast("long")).write.mode(
-            "overwrite"
-        ).partitionBy("series_id", "time_bucket").parquet(tmp)
-        out.unpersist()
-        import shutil
+        survivors.write.mode("overwrite").partitionBy("series_id", "time_bucket").parquet(tmp)
 
         real = self._path(table)
-        if os.path.isdir(real):
-            shutil.rmtree(real)
-        os.rename(tmp, real)
+        for series, series_dir in self._part_dirs(real, "series_id"):
+            for bucket, bucket_dir in self._part_dirs(series_dir, "time_bucket"):
+                if affected(series, int(bucket)):
+                    shutil.rmtree(bucket_dir)
+            if not any(self._part_dirs(series_dir, "time_bucket")):
+                shutil.rmtree(series_dir)
+        self._promote_partitions(tmp, real)
 
     def audit_append(self, record: tuple) -> None:
         """Append one audit row (timestamp, server, client, method,
