@@ -14,13 +14,16 @@ from zestdb_spark.errors import BadRequest
 
 @pytest.fixture(scope="module")
 def engine(spark, tmp_path_factory):
-    return ZestEngine(spark, str(tmp_path_factory.mktemp("store")))
+    """Engine pre-seeded with the sensor1 series — tests must not
+    depend on writes performed by OTHER tests (breaks under -k)."""
+    eng = ZestEngine(spark, str(tmp_path_factory.mktemp("store")))
+    eng.post("/ts/sensor1/at/1000", {"value": 1.0, "room": "lounge"})
+    eng.post("/ts/sensor1/at/2000", {"value": 2.0, "room": "kitchen"})
+    eng.post("/ts/sensor1/at/3000", {"value": 3.0})
+    return eng
 
 
 def test_ts_write_read_roundtrip(engine):
-    engine.post("/ts/sensor1/at/1000", {"value": 1.0, "room": "lounge"})
-    engine.post("/ts/sensor1/at/2000", {"value": 2.0, "room": "kitchen"})
-    engine.post("/ts/sensor1/at/3000", {"value": 3.0})
     out = json.loads(engine.get("/ts/sensor1/latest"))
     assert out == [{"timestamp": 3000, "data": {"value": 3.0}}]
     out = json.loads(engine.get("/ts/sensor1/last/2"))

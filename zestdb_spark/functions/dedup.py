@@ -227,7 +227,17 @@ def minhash_lsh_pairs(
     below ~0.7, pass bands=32 (rows=2): the capture curve shifts left
     (miss prob 1e-4 at j=0.5, 6e-15 at j=0.8) at the cost of a wider
     candidate net.
+
+    The candidate pair set is ``persist()``-ed: it feeds THREE
+    downstream subtrees (the candidate-doc restriction and both sides
+    of the pair join), and without materialization Spark recomputes
+    the whole shingle→signature→band-join pipeline for each — measured
+    ~3× the candidate-generation cost at sf0.1. Candidates are the
+    tiny output of LSH (≪ corpus), so the cached footprint is small;
+    an evicted block just recomputes (correctness-neutral).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes)
 
@@ -253,20 +263,35 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # verify ONLY candidate documents: semi-join docs BEFORE shingling,
-    # so the verification pass re-tokenizes just the candidate docs —
-    # not the whole corpus and then filtering the exploded stream
+    # Exact verification WITHOUT a second shingle explode/self-join:
+    # re-shingle only the candidate docs, keep each doc's shingles as
+    # ONE array row, then join the pair list to the arrays on both
+    # sides and take size(array_intersect) — |A∩B| over distinct
+    # shingle sets, identical to the exploded-count formulation but
+    # with two slim joins instead of repartition-by-shingle + self-join
+    # + pair groupBy. Work stays ∝ candidate docs, not corpus.
     cand_docs = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .unionAll(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_rows(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), k
-    )
-    return _jaccard_from_shingles(sh, candidates).filter(
-        F.col("jaccard") >= threshold
+    arr = _spread(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).select("doc_id", _shingle_array(k).alias("sh"))
+    a = arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            q6(inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
