@@ -1,0 +1,111 @@
+"""zest_tail data source: per-series limit pushdown over the store
+layout (SURVEY §7.3). Must return exactly the canonical last/n row set
+(same total order) while planning one partition per requested series."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zestdb_spark.api import ZestEngine
+from zestdb_spark.schema import TS_NUMERIC
+from zestdb_spark.sources import register
+from zestdb_spark.sources.tail_source import ZestTailReader, _series_dirs
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tailstore"))
+    eng = ZestEngine(spark, root)
+    day = 86_400_000
+    rows = []
+    # 3 series × 5 day-buckets × 40 rows, with timestamp ties inside
+    for s in ("a", "b", "c"):
+        for d in range(5):
+            for i in range(40):
+                ts = d * day + (i // 2) * 1000  # pairs of tied timestamps
+                rows.append((s, ts, float(i % 7), "k", str(i % 3)))
+    eng.ingest_bulk(
+        spark.createDataFrame(rows, TS_NUMERIC), path="/ts/bulk/tail", client="t"
+    )
+    register(spark)
+    return eng
+
+
+def _tail(spark, eng, series: str, n: int):
+    return (
+        spark.read.format("zest_tail")
+        .option("root", eng.store._path("ts_numeric"))
+        .option("series", series)
+        .option("n", n)
+        .load()
+    )
+
+
+def _canonical(eng, series: list[str], n: int):
+    from zestdb_spark.operators import ts_read
+
+    return ts_read.read_last(eng.store.load("ts_numeric"), series, n)
+
+
+def _key_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tail_matches_canonical_last_n(spark, store):
+    got = _tail(spark, store, "a,b", 25)
+    want = _canonical(store, ["a", "b"], 25)
+    assert _key_set(got) == _key_set(want)
+    assert got.columns == want.columns
+
+
+def test_tail_spans_bucket_boundary(spark, store):
+    # n=60 crosses from the newest day-bucket (40 rows) into the next
+    got = _tail(spark, store, "c", 60)
+    want = _canonical(store, ["c"], 60)
+    assert _key_set(got) == _key_set(want)
+
+
+def test_tail_overcount_returns_all(spark, store):
+    got = _tail(spark, store, "a", 10_000)
+    assert got.count() == 200
+
+
+def test_tail_missing_series_is_empty(spark, store):
+    assert _tail(spark, store, "ghost", 5).count() == 0
+
+
+def test_planning_prunes_to_requested_series(store):
+    reader = ZestTailReader(
+        {"root": store.store._path("ts_numeric"), "series": "a,c", "n": "5"}
+    )
+    parts = reader.partitions()
+    assert sorted(p.series_id for p in parts) == ["a", "c"]
+
+
+def test_reader_skips_old_row_groups(spark, store):
+    """The footer-ordered early-exit must touch only the newest groups:
+    n=5 over 5 day-buckets stops after the newest bucket's row group."""
+    import pyarrow.parquet as pq
+
+    reader = ZestTailReader(
+        {"root": store.store._path("ts_numeric"), "series": "a", "n": "5"}
+    )
+    (part,) = reader.partitions()
+    read_calls = []
+    orig = pq.ParquetFile.read_row_group
+
+    def counting(self, g, **kw):
+        read_calls.append(g)
+        return orig(self, g, **kw)
+
+    pq.ParquetFile.read_row_group = counting
+    try:
+        batches = list(reader.read(part))
+    finally:
+        pq.ParquetFile.read_row_group = orig
+    assert sum(b.num_rows for b in batches) == 5
+    # 5 buckets exist for the series; at most 2 groups may be read
+    # (the newest, plus one tie-check neighbour)
+    assert len(read_calls) <= 2

@@ -138,6 +138,7 @@ class ZestEngine:
         try:
             self.authorize("POST", path, token)
             self._format = content_format
+            self.store.set_request_context("POST", path, client, content_format)
             self._post(path, payload)
         except ZestError as e:
             self._audit("POST", path, e.code, client)
@@ -195,6 +196,7 @@ class ZestEngine:
         try:
             self.authorize("DELETE", path, token)
             self._format = content_format
+            self.store.set_request_context("DELETE", path, client, content_format)
             self._delete(path)
         except ZestError as e:
             self._audit("DELETE", path, e.code, client)
@@ -213,6 +215,17 @@ class ZestEngine:
             self.store.ts_delete(plan, compat_collateral=self.compat_collateral_delete)
             return
         raise BadRequest(f"unrecognized DELETE path {path!r}")
+
+    # ---------------------------------------------------------- bulk ingest
+
+    def ingest_bulk(self, rows, path: str = "/ts/bulk", client: str = "loader") -> None:
+        """S6 write side at scale: one distributed append of a
+        ts_numeric-shaped DataFrame under a single provenance record —
+        the whole batch is one 'commit', exactly like a reference shard
+        write carries one Prov.info message (src/prov.re:38-46)."""
+        self.store.set_request_context("POST", path, client, None)
+        self.store.write_numeric_bulk(rows)
+        self._audit("POST", path, 65, client)
 
     # ------------------------------------------------------------- ZestQL
 

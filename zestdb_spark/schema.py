@@ -91,6 +91,29 @@ AUDIT = T.StructType(
     ]
 )
 
+# ------------------------------------------------------- provenance log
+
+# One row per write batch — the Spark equivalent of the reference's
+# per-commit provenance message (src/prov.re:38-46 renders
+# "event, trigger = (host, method, format, path)" and every
+# shard write carries it as the Irmin commit message,
+# src/timeseries/shard.re:9-11). ``write_id`` joins data rows
+# (stamped at append time) to the batch that wrote them; ``n_rows``
+# is NULL for bulk appends (counting would re-read the batch).
+WRITE_LOG = T.StructType(
+    [
+        T.StructField("write_id", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("server", T.StringType(), False),
+        T.StructField("client", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content_format", T.StringType(), True),
+        T.StructField("target_table", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+    ]
+)
+
 # ------------------------------------------------------- extension tables
 
 DOCUMENTS = T.StructType(

@@ -1,0 +1,183 @@
+"""Per-series limit-pushdown source over the ZestStore layout.
+
+The reference answers ``last/n`` from an in-memory tail buffer plus a
+walk of at most the newest shards (src/timeseries/timeseries.re:250-283
+folds shards newest-first and stops at n). The native parquet reader
+has no equivalent: a ``last/n`` over a huge series scans every file of
+the series before the window-function top-k throws 99.99% of it away.
+Partition pruning removes other SERIES, but nothing prunes the TIME
+axis, because "newest n rows" isn't a static predicate.
+
+This PySpark Python Data Source (Spark 4 ``pyspark.sql.datasource``)
+restores the reference's access pattern at cluster scale:
+
+- **planning**: one :class:`InputPartition` per requested series — the
+  series_id= dirs are pruned by listing, and Spark schedules each
+  series tail as an independent task (embarrassingly parallel across
+  series, like everything else in the engine).
+- **reading**: parquet FOOTERS first. Row groups across the series'
+  files are ordered by their max(timestamp) statistic, newest first,
+  and read one at a time until the accumulated rows provably contain
+  the top n — i.e. until ``count ≥ n`` and the next row group's
+  max-stat falls strictly below the running n-th-largest timestamp
+  (``<`` not ``≤``, so timestamp ties are still collected and the
+  total-order tie-break stays exact). Everything older is never
+  decompressed, never even read beyond its footer.
+- **returning**: Arrow RecordBatches (zero-copy into Spark's vectorized
+  pipeline), already trimmed to the per-series top n under the same
+  total order as operators/ts_read.py (timestamp DESC, value DESC,
+  tag_name DESC, tag_value DESC), so downstream needs no re-window.
+
+At 100 TB this turns "scan a year, keep 100 rows" into "read ~1 row
+group per series" — I/O proportional to the ANSWER, not the table.
+
+Usage::
+
+    from zestdb_spark.sources import register
+    register(spark)
+    df = (spark.read.format("zest_tail")
+          .option("root", store_root)            # .../ts_numeric dir
+          .option("series", "click,view")
+          .option("n", 100)
+          .load())
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: total order shared with operators/ts_read.py — ties on timestamp are
+#: broken by the remaining columns so the returned row SET is unique
+_ORDER_COLS = ("timestamp", "value", "tag_name", "tag_value")
+
+_SCHEMA = (
+    "series_id string, timestamp long, value double, "
+    "tag_name string, tag_value string"
+)
+
+
+class _SeriesTail(InputPartition):
+    def __init__(self, series_id: str, files: list[str], n: int):
+        self.series_id = series_id
+        self.files = files
+        self.n = n
+
+
+def _series_dirs(root: str) -> dict[str, str]:
+    out = {}
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if name.startswith("series_id=") and os.path.isdir(full):
+            out[unquote(name[len("series_id="):])] = full
+    return out
+
+
+def _parquet_files(series_dir: str) -> list[str]:
+    files = []
+    for dirpath, _dirs, names in os.walk(series_dir):
+        for f in sorted(names):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                files.append(os.path.join(dirpath, f))
+    return files
+
+
+class ZestTailReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options["root"]
+        self.n = int(options.get("n", 100))
+        series_opt = options.get("series")
+        self.series = series_opt.split(",") if series_opt else None
+
+    def partitions(self):
+        dirs = _series_dirs(self.root)
+        wanted = self.series if self.series is not None else sorted(dirs)
+        # missing series plan to zero partitions — empty result, like the
+        # reference's empty-shard read (not an error)
+        return [
+            _SeriesTail(s, _parquet_files(dirs[s]), self.n)
+            for s in wanted
+            if s in dirs
+        ]
+
+    def read(self, partition: _SeriesTail):
+        if partition is None:  # empty partitions() → one None-partition call
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # footer pass: (max_ts stat, file, row-group index), newest first.
+        # Footers are KB-sized reads; no data pages are touched yet.
+        groups: list[tuple[int, str, int]] = []
+        for path in partition.files:
+            md = pq.ParquetFile(path).metadata
+            ts_idx = md.schema.names.index("timestamp")
+            for g in range(md.num_row_groups):
+                stats = md.row_group(g).column(ts_idx).statistics
+                # stats can be absent on exotic writers — treat as +inf
+                # (always read) rather than silently skipping data
+                max_ts = stats.max if stats is not None and stats.has_min_max else None
+                groups.append((max_ts, path, g))
+        groups.sort(key=lambda t: (t[0] is not None, t[0]), reverse=True)
+
+        batches: list[pa.Table] = []
+        count = 0
+        cutoff = None  # running n-th largest timestamp
+        open_files: dict[str, pq.ParquetFile] = {}
+        for max_ts, path, g in groups:
+            if (
+                count >= partition.n
+                and cutoff is not None
+                and max_ts is not None
+                and max_ts < cutoff
+            ):
+                break  # every remaining group is provably older than row n
+            f = open_files.setdefault(path, pq.ParquetFile(path))
+            t = f.read_row_group(g, columns=["timestamp", "value", "tag_name", "tag_value"])
+            batches.append(t)
+            count += t.num_rows
+            if count >= partition.n:
+                all_ts = pa.concat_tables(batches)["timestamp"]
+                import pyarrow.compute as pc
+
+                topn = pc.sort_indices(all_ts, sort_keys=[("", "descending")])[
+                    : partition.n
+                ]
+                cutoff = pc.take(all_ts.combine_chunks(), topn)[-1].as_py()
+
+        if not batches:
+            return iter(())
+        table = pa.concat_tables(batches)
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[(c, "descending") for c in _ORDER_COLS],
+            null_placement="at_end",
+        )[: partition.n]
+        table = table.take(idx)
+        table = table.add_column(
+            0, "series_id", pa.array([partition.series_id] * table.num_rows)
+        )
+        return iter(table.to_batches())
+
+
+class ZestTailDataSource(DataSource):
+    """``spark.read.format("zest_tail")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zest_tail"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> ZestTailReader:
+        return ZestTailReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(ZestTailDataSource)

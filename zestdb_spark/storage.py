@@ -50,7 +50,12 @@ _TABLES = {
     "kv_binary": S.KV_BINARY,
     "catalog_items": S.CATALOG_ITEMS,
     "audit": S.AUDIT,
+    "write_log": S.WRITE_LOG,
 }
+
+#: tables whose stored rows carry a hidden ``write_id`` provenance stamp
+#: (pruned from canonical ``load()``; see ``load_with_provenance``)
+_STAMPED = ("ts_numeric", "ts_blob")
 
 
 def now_ms() -> int:
@@ -84,6 +89,11 @@ class ZestStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        #: request provenance (method, path, client, content_format) —
+        #: set per-request by the engine facade, consumed by mutations
+        self._ctx: Optional[tuple[str, str, str, Optional[str]]] = None
+        self._write_seq: Optional[int] = None
+        self._server = __import__("socket").gethostname()
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -110,8 +120,61 @@ class ZestStore:
         if table in ("ts_numeric", "ts_blob"):
             from pyspark.sql import types as T
 
-            return T.StructType(list(base.fields) + [T.StructField("time_bucket", T.LongType(), True)])
+            return T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("write_id", T.LongType(), True),
+                    T.StructField("time_bucket", T.LongType(), True),
+                ]
+            )
         return base
+
+    def load_with_provenance(self, table: str) -> DataFrame:
+        """Canonical columns plus the ``write_id`` provenance stamp —
+        join against ``load('write_log')`` for per-row (who, how, which
+        path, when) lineage, the analytic equivalent of the reference's
+        per-commit provenance message (src/prov.re:38-46)."""
+        if table not in _STAMPED:
+            raise KeyError(f"{table!r} rows are not provenance-stamped")
+        if not self._exists(table):
+            return self.spark.createDataFrame([], self._read_schema(table)).select(
+                *[f.name for f in _TABLES[table].fields], "write_id"
+            )
+        df = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
+        return df.select(*[f.name for f in _TABLES[table].fields], "write_id")
+
+    # --------------------------------------------------------- provenance
+
+    def set_request_context(
+        self, method: str, path: str, client: str, content_format: Optional[str] = None
+    ) -> None:
+        """Record the request that the next mutation(s) execute under —
+        called by the engine facade at dispatch; direct store callers
+        that skip it get a DIRECT/<table> provenance row."""
+        self._ctx = (method, path, client, content_format)
+
+    def _next_write_id(self) -> int:
+        """Monotonic batch id, seeded from the durable log (single-writer
+        facade, like the reference's one-server-per-store Irmin repo)."""
+        if self._write_seq is None:
+            if self._exists("write_log"):
+                row = self.load("write_log").agg(F.max("write_id")).first()
+                self._write_seq = int(row[0] or 0)
+            else:
+                self._write_seq = 0
+        self._write_seq += 1
+        return self._write_seq
+
+    def _log_write(self, table: str, n_rows: Optional[int]) -> int:
+        """Append one write_log row for a mutation on ``table`` under the
+        current request context; returns the batch's write_id."""
+        wid = self._next_write_id()
+        method, path, client, fmt = self._ctx or ("DIRECT", f"/{table}", "local", None)
+        rec = (wid, now_ms(), self._server, client, method, path, fmt, table, n_rows)
+        self.spark.createDataFrame([rec], S.WRITE_LOG).write.mode("append").parquet(
+            self._path("write_log")
+        )
+        return wid
 
     # -------------------------------------------- partition-dir plumbing
     # Parquet emulation of table-format partition-scoped commits: writes
@@ -153,10 +216,16 @@ class ZestStore:
 
     # ------------------------------------------------------------- writes
 
-    def _append_ts(self, table: str, rows: DataFrame) -> None:
+    def _append_ts(self, table: str, rows: DataFrame, n_rows: Optional[int]) -> None:
+        """Append a batch, stamped with the write_id of its provenance
+        row — every data row joins back to (who, method, path, when),
+        like every Irmin commit carries Prov.info
+        (src/timeseries/shard.re:9-11, src/prov.re:38-46)."""
+        wid = self._log_write(table, n_rows)
         (
             rows.withColumn("time_bucket", F.col("timestamp") / _DAY_MS)
             .withColumn("time_bucket", F.col("time_bucket").cast("long"))
+            .withColumn("write_id", F.lit(wid))
             .write.mode("append")
             .partitionBy("series_id", "time_bucket")
             .parquet(self._path(table))
@@ -171,14 +240,15 @@ class ZestStore:
         rows = self.spark.createDataFrame(
             [(series_id, ts, value, tag_name, tag_value)], S.TS_NUMERIC
         )
-        self._append_ts("ts_numeric", rows)
+        self._append_ts("ts_numeric", rows, 1)
         return ts
 
     def write_numeric_bulk(self, rows: DataFrame) -> None:
         """Bulk ingest (ts_numeric-shaped frame, already validated
         upstream) — the 100 TB path: one distributed append, daily
-        partitions."""
-        self._append_ts("ts_numeric", rows)
+        partitions, ONE provenance row for the whole batch (n_rows is
+        left NULL rather than forcing a second pass over the input)."""
+        self._append_ts("ts_numeric", rows, None)
 
     def write_blob(
         self, series_id: str, payload: Any, timestamp: Optional[int] = None
@@ -190,7 +260,7 @@ class ZestStore:
             raise BadRequest("blob TS payload must be JSON-serializable") from e
         ts = now_ms() if timestamp is None else int(timestamp)
         rows = self.spark.createDataFrame([(series_id, ts, data)], S.TS_BLOB)
-        self._append_ts("ts_blob", rows)
+        self._append_ts("ts_blob", rows, 1)
         return ts
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
@@ -226,6 +296,7 @@ class ZestStore:
 
         updates = self.spark.createDataFrame([(id_, key, value)], _TABLES[table])
         ns = self.load(table).filter(F.col("id") == id_)
+        self._log_write(table, 1)
         self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
 
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
@@ -236,12 +307,14 @@ class ZestStore:
         if not self._exists(table):
             return
         ns = self.load(table).filter(F.col("id") == id_)
+        self._log_write(table, None)
         self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
 
     def catalog_upsert(self, item: dict) -> None:
         """S5/M2: validate + upsert by href (src/hc.re:43-51)."""
         from zestdb_spark.operators import catalog as cat_ops
 
+        self._log_write("catalog_items", 1)
         self._overwrite("catalog_items", cat_ops.upsert_item(self.load("catalog_items"), item))
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
@@ -281,6 +354,7 @@ class ZestStore:
         full = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
         survivors = del_ops.delete_plan(full.filter(part_cond), plan, compat_collateral)
 
+        self._log_write(table, None)
         tmp = self._path(table) + ".tmp"
         survivors.write.mode("overwrite").partitionBy("series_id", "time_bucket").parquet(tmp)
 
