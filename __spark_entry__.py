@@ -400,6 +400,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sim_topk_bruteforce": lambda s, d: similarity.cosine_topk(embs(s, d), 0, 10),
         "sim_topk_lsh": lambda s, d: similarity.lsh_topk(embs(s, d), 0, 10),
+        # the 100 TB alternative to embedding_dup_pairs' cross join —
+        # approximate by hyperplane bucketing, so rows-only (no oracle)
+        "sim_lsh_bucketed_pairs": lambda s, d: similarity.lsh_bucketed_pairs(
+            embs(s, d), 0.45
+        ),
         "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_score(docs(s, d)),
         "text_langid": lambda s, d: textstats.lang_id(docs(s, d)),
@@ -411,6 +416,15 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": lambda s, d: multimodal.frame_sample(
             multimodal.assets_from_documents(s, d)
         ),
+        # REAL encode→decode round trips (media_codecs): synthesize actual
+        # WAV/BMP containers from doc_id, parse them back, check every
+        # decoded stat against its closed form
+        "mm_decode_wav": lambda s, d: multimodal.decode_features(
+            multimodal.synth_wav_assets(s, d)
+        ).select("asset_id", "sample_rate", "n_samples", "duration_ms", "peak", "rms"),
+        "mm_decode_image": lambda s, d: multimodal.decode_features(
+            multimodal.synth_image_assets(s, d)
+        ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
     }
 
 
@@ -684,6 +698,27 @@ _EXT_SQL: dict[str, str] = {
       SELECT doc_id AS asset_id,
              unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_idx,
              unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) * 64 AS byte_offset
+      FROM documents
+    """,
+    # synth_wav_assets: amplitude = d%1000+1 square wave (rms == peak ==
+    # amplitude exactly), n = (d%50+1)*80 samples at 8 kHz
+    "mm_decode_wav": """
+      SELECT doc_id AS asset_id,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             ((doc_id % 50) + 1) * 80 AS n_samples,
+             ((doc_id % 50) + 1) * 10 AS duration_ms,
+             CAST((doc_id % 1000) + 1 AS DOUBLE) AS peak,
+             CAST((doc_id % 1000) + 1 AS DOUBLE) AS rms
+      FROM documents
+    """,
+    # synth_image_assets: solid (d, 7d, 13d) mod 256 of (d%16+1)×(d%8+1)
+    "mm_decode_image": """
+      SELECT doc_id AS asset_id,
+             CAST((doc_id % 16) + 1 AS INTEGER) AS width,
+             CAST((doc_id % 8) + 1 AS INTEGER) AS height,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
       FROM documents
     """,
 }

@@ -103,8 +103,16 @@ def test_extract_features_via_mapinpandas(spark):
     assert out[0]["head_hex"] == b"PNGDATA_".hex().upper()
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_media_real_and_typed_unsupported():
+    """decode_media is REAL for the dependency-free subset (r2,
+    media_codecs.py) and raises a typed error for codec-lib formats."""
+    from zestdb_spark.functions.media_codecs import UnsupportedMedia, encode_wav
+
+    import numpy as np
+
+    out = multimodal.decode_media(encode_wav(np.ones(80, dtype=np.int16), 8000), None)
+    assert out["kind"] == "audio" and out["sample_rate"] == 8000
+    with pytest.raises(UnsupportedMedia):
         multimodal.decode_media(b"x", "image/png")
 
 

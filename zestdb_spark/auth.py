@@ -76,3 +76,38 @@ class AclValidator:
         tok = self._tokens.get(token_id or "")
         if tok is None or not tok.allows(method, path):
             raise Unauthorized(f"{method} {path} not permitted for this token")
+
+
+class MacaroonValidator:
+    """Cryptographic token verification — the reference's actual auth
+    (src/server.re:811-820): the request context is rendered as
+    ``["path = <p>", "method = <m>", ("observe = <o>",) "target =
+    <identity>"]`` and the presented token must be a macaroon signed by
+    ``secret_key`` whose every caveat matches that context
+    (zestdb_spark.macaroons implements the public libmacaroons chain).
+
+    An empty secret key accepts everything, exactly like the reference's
+    unset ``token_secret_key`` (server.re:812-813)."""
+
+    def __init__(self, secret_key: str, identity: str):
+        self.secret_key = secret_key
+        self.identity = identity
+
+    def context(self, method: str, path: str, observe: str | None = None) -> list[str]:
+        ctx = [f"path = {path}", f"method = {method.upper()}"]
+        if observe is not None:
+            ctx.append(f"observe = {observe}")
+        ctx.append(f"target = {self.identity}")
+        return ctx
+
+    def check(
+        self, method: str, path: str, token: str | None, observe: str | None = None
+    ) -> None:
+        from zestdb_spark import macaroons
+
+        if self.secret_key == "":
+            return
+        if not macaroons.is_valid(
+            token or "", self.secret_key, self.context(method, path, observe)
+        ):
+            raise Unauthorized(f"{method} {path}: invalid or insufficient token")
