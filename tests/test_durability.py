@@ -93,6 +93,38 @@ def test_ts_delete_rewrites_only_touched_partitions(spark, tmp_path):
     assert json.loads(eng.get("/ts/b/length")) == {"length": 3}
 
 
+def test_compact_merges_leaf_files_and_preserves_rows(spark, tmp_path):
+    """S7 shard-merge parity: per-write appends leave one file per
+    request; compact() coalesces each (series, day) leaf to one file,
+    touching only oversized leaves and preserving every row + its
+    provenance stamp."""
+    import os
+
+    root = str(tmp_path / "cstore")
+    eng = ZestEngine(spark, root)
+    day = 86_400_000
+    for i in range(4):  # 4 files in series a / bucket 0
+        eng.post(f"/ts/a/at/{i * 1000}", {"value": float(i)})
+    eng.post(f"/ts/b/at/{day + 5}", {"value": 9.0})  # 1 file — not touched
+
+    before = eng.store.load_with_provenance("ts_numeric").collect()
+    b_files = _file_states(os.path.join(root, "ts_numeric", "series_id=b"))
+
+    assert eng.store.compact("ts_numeric") == 1  # only a/bucket-0
+
+    leaf = os.path.join(root, "ts_numeric", "series_id=a", "time_bucket=0")
+    data_files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+    assert len(data_files) == 1
+    # series b untouched byte-for-byte
+    assert _file_states(os.path.join(root, "ts_numeric", "series_id=b")) == b_files
+    # identical rows INCLUDING write_id provenance
+    after = eng.store.load_with_provenance("ts_numeric").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # idempotent
+    assert eng.store.compact("ts_numeric") == 0
+    assert json.loads(eng.get("/ts/a/last/10"))[0]["data"] == {"value": 3.0}
+
+
 def test_kv_upsert_rewrites_only_touched_namespace(spark, tmp_path):
     import os
 

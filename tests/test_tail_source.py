@@ -84,6 +84,56 @@ def test_planning_prunes_to_requested_series(store):
     assert sorted(p.series_id for p in parts) == ["a", "c"]
 
 
+def test_tail_first_mode_matches_canonical(spark, store):
+    from zestdb_spark.operators import ts_read
+
+    got = (
+        spark.read.format("zest_tail")
+        .option("root", store.store._path("ts_numeric"))
+        .option("series", "a,b")
+        .option("n", 30)
+        .option("mode", "first")
+        .load()
+    )
+    want = ts_read.read_first(store.store.load("ts_numeric"), ["a", "b"], 30)
+    assert _key_set(got) == _key_set(want)
+
+
+def test_duplicate_series_not_doubled(spark, store):
+    got = _tail(spark, store, "a,a", 5)
+    assert got.count() == 5
+
+
+def test_engine_routes_reads_through_tail_source(spark, tmp_path):
+    """ZestEngine (default use_tail_source=True) must serve identical
+    reference-shaped JSON through the pushdown source as the canonical
+    window plan, across the whole last/first family incl. composed
+    filter/agg pipelines."""
+    roots = {k: str(tmp_path / k) for k in ("on", "off")}
+    engines = {
+        "on": ZestEngine(spark, roots["on"], use_tail_source=True),
+        "off": ZestEngine(spark, roots["off"], use_tail_source=False),
+    }
+    day = 86_400_000
+    for eng in engines.values():
+        for d in range(3):
+            for i in range(5):
+                eng.post(
+                    f"/ts/s1/at/{d * day + i * 1000}",
+                    {"value": float(i), "room": "a" if i % 2 else "b"},
+                )
+    for path in (
+        "/ts/s1/latest",
+        "/ts/s1/last/7",
+        "/ts/s1/first/4",
+        "/ts/s1/earliest",
+        "/ts/s1/last/10/filter/room/equals/a/max",
+        "/ts/s1/last/1000/sum",
+        "/ts/ghost/last/3",
+    ):
+        assert engines["on"].get(path) == engines["off"].get(path), path
+
+
 def test_reader_skips_old_row_groups(spark, store):
     """The footer-ordered early-exit must touch only the newest groups:
     n=5 over 5 day-buckets stops after the newest bucket's row group."""

@@ -32,12 +32,26 @@ from zestdb_spark.streaming.observe import ObserverRegistry
 
 
 class ZestEngine:
-    def __init__(self, spark: SparkSession, root: str, acl=None, compat_collateral_delete: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        acl=None,
+        compat_collateral_delete: bool = False,
+        use_tail_source: bool = True,
+    ):
         self.spark = spark
         self.store = ZestStore(spark, root)
         self.observers = ObserverRegistry()
         self.started_ms = now_ms()
         self.server = socket.gethostname()
+        #: route numeric last/first/latest/earliest reads through the
+        #: zest_tail pushdown source (footer-stat row-group pruning —
+        #: the reference's newest-shard walk; sources/tail_source.py).
+        #: The canonical window plan remains the fallback for every
+        #: other shape and for blob reads.
+        self.use_tail_source = use_tail_source
+        self._tail_registered = False
         #: optional zestdb_spark.auth.AclValidator (None = permissive,
         #: mirroring the reference's opt-in --enable-macaroons)
         self.acl = acl
@@ -59,6 +73,32 @@ class ZestEngine:
         configured and denies; permissive when no ACL is set."""
         if self.acl is not None:
             self.acl.check(method, path, token)
+
+    def _tail_window(self, plan, table: str):
+        """The zest_tail pushdown frame for a numeric last/first-family
+        window, or None when the canonical plan should run (flag off,
+        blob store, other window shapes, or nothing written yet)."""
+        if (
+            not self.use_tail_source
+            or table != "ts_numeric"
+            or plan.window.op not in ("last", "first", "latest", "earliest")
+            or not self.store._exists(table)
+        ):
+            return None
+        if not self._tail_registered:
+            from zestdb_spark.sources import register
+
+            register(self.spark)
+            self._tail_registered = True
+        op = plan.window.op
+        return (
+            self.spark.read.format("zest_tail")
+            .option("root", self.store._path(table))
+            .option("series", ",".join(plan.ids))
+            .option("n", plan.window.n if op in ("last", "first") else 1)
+            .option("mode", "last" if op in ("last", "latest") else "first")
+            .load()
+        )
 
     # ---------------------------------------------------------------- GET
 
@@ -101,7 +141,12 @@ class ZestEngine:
         if len(parts) >= 3 and parts[1] == "ts":
             plan = compile_path(path)
             table = "ts_numeric" if plan.store == "numeric" else "ts_blob"
-            df = plan_to_dataframe(plan, self.store.load(table), sort=plan.agg is None)
+            df = plan_to_dataframe(
+                plan,
+                self.store.load(table),
+                sort=plan.agg is None,
+                window_df=self._tail_window(plan, table),
+            )
             if plan.window.op == "length":
                 return serializers.length_to_json(df)
             if plan.agg is not None:
@@ -234,7 +279,12 @@ class ZestEngine:
         stmt = zql.parse(statement, now if now is not None else now_ms())
         if isinstance(stmt, zql.Get):
             table = "ts_numeric" if stmt.plan.store == "numeric" else "ts_blob"
-            df = plan_to_dataframe(stmt.plan, self.store.load(table), sort=stmt.plan.agg is None)
+            df = plan_to_dataframe(
+                stmt.plan,
+                self.store.load(table),
+                sort=stmt.plan.agg is None,
+                window_df=self._tail_window(stmt.plan, table),
+            )
             if stmt.plan.agg is not None:
                 return serializers.aggregate_to_json(df)
             return serializers.rows_to_json(df)

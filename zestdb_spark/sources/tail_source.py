@@ -60,10 +60,11 @@ _SCHEMA = (
 
 
 class _SeriesTail(InputPartition):
-    def __init__(self, series_id: str, files: list[str], n: int):
+    def __init__(self, series_id: str, files: list[str], n: int, mode: str):
         self.series_id = series_id
         self.files = files
         self.n = n
+        self.mode = mode  # 'last' (newest n) or 'first' (oldest n)
 
 
 def _series_dirs(root: str) -> dict[str, str]:
@@ -88,8 +89,13 @@ class ZestTailReader(DataSourceReader):
     def __init__(self, options):
         self.root = options["root"]
         self.n = int(options.get("n", 100))
+        self.mode = options.get("mode", "last")
+        if self.mode not in ("last", "first"):
+            raise ValueError(f"mode must be last|first, got {self.mode!r}")
         series_opt = options.get("series")
-        self.series = series_opt.split(",") if series_opt else None
+        # dedupe, preserving order — /ts/a,a/latest must not double rows
+        # (canonical select_series is an IN predicate, same semantics)
+        self.series = list(dict.fromkeys(series_opt.split(","))) if series_opt else None
 
     def partitions(self):
         dirs = _series_dirs(self.root)
@@ -97,7 +103,7 @@ class ZestTailReader(DataSourceReader):
         # missing series plan to zero partitions — empty result, like the
         # reference's empty-shard read (not an error)
         return [
-            _SeriesTail(s, _parquet_files(dirs[s]), self.n)
+            _SeriesTail(s, _parquet_files(dirs[s]), self.n, self.mode)
             for s in wanted
             if s in dirs
         ]
@@ -106,56 +112,65 @@ class ZestTailReader(DataSourceReader):
         if partition is None:  # empty partitions() → one None-partition call
             return iter(())
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        # footer pass: (max_ts stat, file, row-group index), newest first.
-        # Footers are KB-sized reads; no data pages are touched yet.
-        groups: list[tuple[int, str, int]] = []
+        newest = partition.mode == "last"
+        order = "descending" if newest else "ascending"
+        nulls = "at_end" if newest else "at_start"
+
+        # footer pass: (boundary stat, file, row-group index) in read
+        # order — newest-max first for 'last', oldest-min first for
+        # 'first'. Footers are KB-sized reads; no data pages yet.
+        groups: list[tuple[int | None, str, int]] = []
         for path in partition.files:
             md = pq.ParquetFile(path).metadata
             ts_idx = md.schema.names.index("timestamp")
             for g in range(md.num_row_groups):
                 stats = md.row_group(g).column(ts_idx).statistics
-                # stats can be absent on exotic writers — treat as +inf
-                # (always read) rather than silently skipping data
-                max_ts = stats.max if stats is not None and stats.has_min_max else None
-                groups.append((max_ts, path, g))
-        groups.sort(key=lambda t: (t[0] is not None, t[0]), reverse=True)
+                # stats can be absent on exotic writers — treat as
+                # always-read rather than silently skipping data
+                if stats is not None and stats.has_min_max:
+                    bound = stats.max if newest else stats.min
+                else:
+                    bound = None
+                groups.append((bound, path, g))
+        if newest:
+            groups.sort(key=lambda t: (t[0] is not None, t[0]), reverse=True)
+        else:
+            groups.sort(key=lambda t: (t[0] is not None, t[0] if t[0] is not None else 0))
+
+        def past_cutoff(bound: int | None, cutoff: int) -> bool:
+            """True when a group provably holds no top-n row (strict —
+            equality means possible timestamp ties, which the total-order
+            tie-break still needs to see)."""
+            if bound is None:
+                return False
+            return bound < cutoff if newest else bound > cutoff
 
         batches: list[pa.Table] = []
         count = 0
-        cutoff = None  # running n-th largest timestamp
+        cutoff = None  # running n-th best timestamp
         open_files: dict[str, pq.ParquetFile] = {}
-        for max_ts, path, g in groups:
-            if (
-                count >= partition.n
-                and cutoff is not None
-                and max_ts is not None
-                and max_ts < cutoff
-            ):
-                break  # every remaining group is provably older than row n
+        for bound, path, g in groups:
+            if count >= partition.n and cutoff is not None and past_cutoff(bound, cutoff):
+                break
             f = open_files.setdefault(path, pq.ParquetFile(path))
             t = f.read_row_group(g, columns=["timestamp", "value", "tag_name", "tag_value"])
             batches.append(t)
             count += t.num_rows
             if count >= partition.n:
                 all_ts = pa.concat_tables(batches)["timestamp"]
-                import pyarrow.compute as pc
-
-                topn = pc.sort_indices(all_ts, sort_keys=[("", "descending")])[
-                    : partition.n
-                ]
+                topn = pc.sort_indices(all_ts, sort_keys=[("", order)])[: partition.n]
                 cutoff = pc.take(all_ts.combine_chunks(), topn)[-1].as_py()
 
         if not batches:
             return iter(())
         table = pa.concat_tables(batches)
-        import pyarrow.compute as pc
-
         idx = pc.sort_indices(
             table,
-            sort_keys=[(c, "descending") for c in _ORDER_COLS],
-            null_placement="at_end",
+            sort_keys=[(c, order) for c in _ORDER_COLS],
+            null_placement=nulls,
         )[: partition.n]
         table = table.take(idx)
         table = table.add_column(

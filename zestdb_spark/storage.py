@@ -367,6 +367,58 @@ class ZestStore:
                 shutil.rmtree(series_dir)
         self._promote_partitions(tmp, real)
 
+    def compact(self, table: str, target_files: int = 1) -> int:
+        """S7 maintenance: merge each (series_id, time_bucket) leaf
+        partition's small files down to ``target_files`` — the
+        reference's shard overlap-merge (timeseries.re:64-111), which
+        its write path runs whenever a flushed buffer overlaps existing
+        shards; here it's an explicit OPTIMIZE-style pass (per-write
+        appends accumulate one file per request, like one git commit
+        per shard write).
+
+        Partition-scoped like ts_delete: only leaves with more than
+        ``target_files`` data files are re-read and atomically swapped;
+        everything else stays byte-identical. Row content (including
+        provenance stamps) is preserved verbatim. Returns the number of
+        leaves compacted."""
+        if table not in ("ts_numeric", "ts_blob"):
+            raise KeyError(f"compact targets TS tables, not {table!r}")
+        if not self._exists(table):
+            return 0
+        from pyspark.sql import types as T
+
+        # leaf files hold data columns only (partition cols live in the
+        # dir names); write_id may be absent in pre-provenance files
+        leaf_schema = T.StructType(
+            [
+                f
+                for f in self._read_schema(table).fields
+                if f.name not in ("series_id", "time_bucket")
+            ]
+        )
+        done = 0
+        for _series, series_dir in self._part_dirs(self._path(table), "series_id"):
+            for _bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
+                files = [
+                    f
+                    for f in os.listdir(leaf)
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                ]
+                if len(files) <= target_files:
+                    continue
+                tmp = leaf + ".tmp"
+                (
+                    self.spark.read.schema(leaf_schema)
+                    .parquet(leaf)
+                    .coalesce(target_files)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                shutil.rmtree(leaf)
+                os.rename(tmp, leaf)
+                done += 1
+        return done
+
     def audit_append(self, record: tuple) -> None:
         """Append one audit row (timestamp, server, client, method,
         path, code) — src/server.re:74-107."""
