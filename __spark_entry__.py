@@ -405,7 +405,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_bucketed_pairs": lambda s, d: similarity.lsh_bucketed_pairs(
             embs(s, d), 0.45
         ),
+        # IVF coarse quantization ANN (approximate candidate set, exact
+        # in-list ranking) — rows-only
+        "sim_topk_ivf": lambda s, d: similarity.ivf_topk(embs(s, d), 0, 10),
         "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
+        "text_token_count_bpe": lambda s, d: textstats.token_count_bpe(docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_score(docs(s, d)),
         "text_langid": lambda s, d: textstats.lang_id(docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.fingerprint(docs(s, d)),
@@ -636,6 +640,11 @@ _EXT_SQL: dict[str, str] = {
     "text_token_count": """
       SELECT doc_id,
              len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    """,
+    "text_token_count_bpe": r"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_units
       FROM documents
     """,
     "text_quality": f"""

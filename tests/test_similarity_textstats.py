@@ -43,6 +43,23 @@ def test_lsh_topk_subset_of_exact_scores(embs):
         assert math.isclose(exact[r["vec_id"]], r["cosine"], abs_tol=1e-9)
 
 
+def test_ivf_topk_exact_scores_and_probe_scaling(embs):
+    """IVF: in-list scores are the exact cosines; probing every list
+    recovers the exact top-k; assignment covers every vector once."""
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(embs, 0, 49).collect()}
+    approx = similarity.ivf_topk(embs, 0, 5, n_centroids=8, n_probe=2).collect()
+    assert 0 < len(approx) <= 5
+    for r in approx:
+        assert math.isclose(exact[r["vec_id"]], r["cosine"], abs_tol=1e-9)
+    # full probe width == brute force
+    full = [r["vec_id"] for r in similarity.ivf_topk(embs, 0, 5, 8, 8).collect()]
+    want = [r["vec_id"] for r in similarity.cosine_topk(embs, 0, 5).collect()]
+    assert full == want
+    assigned = similarity.ivf_assign(embs, 8)
+    assert assigned.count() == 50
+    assert assigned.select("cent").distinct().count() <= 8
+
+
 def test_lsh_bucketed_pairs_are_exact_cosines(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [-1.0, 0.0])]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -134,6 +134,18 @@ def test_engine_routes_reads_through_tail_source(spark, tmp_path):
         assert engines["on"].get(path) == engines["off"].get(path), path
 
 
+def test_engine_blob_reads_through_tail_source(spark, tmp_path):
+    engines = {
+        flag: ZestEngine(spark, str(tmp_path / str(flag)), use_tail_source=flag)
+        for flag in (True, False)
+    }
+    for eng in engines.values():
+        for i in range(6):
+            eng.post(f"/ts/blob/bx/at/{i * 40_000_000}", {"seq": i, "tags": [i, i + 1]})
+    for path in ("/ts/blob/bx/latest", "/ts/blob/bx/last/4", "/ts/blob/bx/first/2"):
+        assert engines[True].get(path) == engines[False].get(path), path
+
+
 def test_reader_skips_old_row_groups(spark, store):
     """The footer-ordered early-exit must touch only the newest groups:
     n=5 over 5 day-buckets stops after the newest bucket's row group."""

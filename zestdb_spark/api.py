@@ -75,12 +75,11 @@ class ZestEngine:
             self.acl.check(method, path, token)
 
     def _tail_window(self, plan, table: str):
-        """The zest_tail pushdown frame for a numeric last/first-family
-        window, or None when the canonical plan should run (flag off,
-        blob store, other window shapes, or nothing written yet)."""
+        """The zest_tail pushdown frame for a last/first-family window
+        (numeric or blob), or None when the canonical plan should run
+        (flag off, other window shapes, or nothing written yet)."""
         if (
             not self.use_tail_source
-            or table != "ts_numeric"
             or plan.window.op not in ("last", "first", "latest", "earliest")
             or not self.store._exists(table)
         ):
@@ -94,6 +93,7 @@ class ZestEngine:
         return (
             self.spark.read.format("zest_tail")
             .option("root", self.store._path(table))
+            .option("table", table)
             .option("series", ",".join(plan.ids))
             .option("n", plan.window.n if op in ("last", "first") else 1)
             .option("mode", "last" if op in ("last", "latest") else "first")

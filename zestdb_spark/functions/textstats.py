@@ -46,6 +46,22 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", n.alias("n_tokens"))
 
 
+#: GPT-2-style pre-tokenizer approximation: alphanumeric runs OR single
+#: non-space symbols — each unit is what a BPE merge table would then
+#: split further, so the count upper-bounds whitespace tokens and
+#: tracks real subword counts far more closely on punctuated text
+_BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_units): BPE-ish regex pre-tokenization count — one
+    unit per alphanumeric run or punctuation symbol. The regex class
+    is ASCII-anchored so Java (Spark) and RE2 (DuckDB oracle) agree
+    byte-for-byte."""
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), F.lit(0))).cast("long")
+    return docs.select("doc_id", n.alias("n_units"))
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
     stopword density plus a capped length credit; round 6."""

@@ -49,22 +49,29 @@ from urllib.parse import unquote
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-#: total order shared with operators/ts_read.py — ties on timestamp are
-#: broken by the remaining columns so the returned row SET is unique
-_ORDER_COLS = ("timestamp", "value", "tag_name", "tag_value")
-
-_SCHEMA = (
-    "series_id string, timestamp long, value double, "
-    "tag_name string, tag_value string"
-)
+#: per-table layouts: (data columns, DDL schema). Order columns — the
+#: total order shared with operators/ts_read.py (timestamp first, then
+#: every remaining column) — make the returned row SET unique on ties.
+_LAYOUTS = {
+    "ts_numeric": (
+        ("timestamp", "value", "tag_name", "tag_value"),
+        "series_id string, timestamp long, value double, "
+        "tag_name string, tag_value string",
+    ),
+    "ts_blob": (
+        ("timestamp", "data"),
+        "series_id string, timestamp long, data string",
+    ),
+}
 
 
 class _SeriesTail(InputPartition):
-    def __init__(self, series_id: str, files: list[str], n: int, mode: str):
+    def __init__(self, series_id: str, files: list[str], n: int, mode: str, cols: tuple):
         self.series_id = series_id
         self.files = files
         self.n = n
         self.mode = mode  # 'last' (newest n) or 'first' (oldest n)
+        self.cols = cols  # data columns of the table layout
 
 
 def _series_dirs(root: str) -> dict[str, str]:
@@ -92,6 +99,9 @@ class ZestTailReader(DataSourceReader):
         self.mode = options.get("mode", "last")
         if self.mode not in ("last", "first"):
             raise ValueError(f"mode must be last|first, got {self.mode!r}")
+        self.table = options.get("table", "ts_numeric")
+        if self.table not in _LAYOUTS:
+            raise ValueError(f"table must be one of {sorted(_LAYOUTS)}")
         series_opt = options.get("series")
         # dedupe, preserving order — /ts/a,a/latest must not double rows
         # (canonical select_series is an IN predicate, same semantics)
@@ -100,10 +110,11 @@ class ZestTailReader(DataSourceReader):
     def partitions(self):
         dirs = _series_dirs(self.root)
         wanted = self.series if self.series is not None else sorted(dirs)
+        cols = _LAYOUTS[self.table][0]
         # missing series plan to zero partitions — empty result, like the
         # reference's empty-shard read (not an error)
         return [
-            _SeriesTail(s, _parquet_files(dirs[s]), self.n, self.mode)
+            _SeriesTail(s, _parquet_files(dirs[s]), self.n, self.mode, cols)
             for s in wanted
             if s in dirs
         ]
@@ -156,7 +167,7 @@ class ZestTailReader(DataSourceReader):
             if count >= partition.n and cutoff is not None and past_cutoff(bound, cutoff):
                 break
             f = open_files.setdefault(path, pq.ParquetFile(path))
-            t = f.read_row_group(g, columns=["timestamp", "value", "tag_name", "tag_value"])
+            t = f.read_row_group(g, columns=list(partition.cols))
             batches.append(t)
             count += t.num_rows
             if count >= partition.n:
@@ -169,7 +180,7 @@ class ZestTailReader(DataSourceReader):
         table = pa.concat_tables(batches)
         idx = pc.sort_indices(
             table,
-            sort_keys=[(c, order) for c in _ORDER_COLS],
+            sort_keys=[(c, order) for c in partition.cols],
             null_placement=nulls,
         )[: partition.n]
         table = table.take(idx)
@@ -187,7 +198,7 @@ class ZestTailDataSource(DataSource):
         return "zest_tail"
 
     def schema(self) -> str:
-        return _SCHEMA
+        return _LAYOUTS[self.options.get("table", "ts_numeric")][1]
 
     def reader(self, schema) -> ZestTailReader:
         return ZestTailReader(self.options)
