@@ -410,6 +410,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": lambda s, d: similarity.ivf_topk(embs(s, d), 0, 10),
         "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
         "text_token_count_bpe": lambda s, d: textstats.token_count_bpe(docs(s, d)),
+        "text_punct_ratio": lambda s, d: textstats.punct_ratio(docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_score(docs(s, d)),
         "text_langid": lambda s, d: textstats.lang_id(docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.fingerprint(docs(s, d)),
@@ -645,6 +646,12 @@ _EXT_SQL: dict[str, str] = {
     "text_token_count_bpe": r"""
       SELECT doc_id,
              len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_units
+      FROM documents
+    """,
+    "text_punct_ratio": r"""
+      SELECT doc_id,
+             floor(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                   / greatest(len(text), 1) * 1000000.0) / 1000000.0 AS punct_ratio
       FROM documents
     """,
     "text_quality": f"""

@@ -60,6 +60,32 @@ def test_ivf_topk_exact_scores_and_probe_scaling(embs):
     assert assigned.select("cent").distinct().count() <= 8
 
 
+def test_ivf_train_improves_quantization(embs):
+    """Spherical k-means: trained codebook is deterministic and its
+    mean in-cluster cosine is at least the sampled codebook's."""
+    import numpy as np
+
+    def mean_cos(codebook):
+        assigned = similarity.ivf_assign(embs, 8, codebook=codebook).collect()
+        cents = {int(c["vec_id"]): np.asarray(c["v"]) / c["norm"] for c in codebook}
+        vals = [
+            float(np.dot(np.asarray(r["v"]) / r["norm"], cents[r["cent"]]))
+            for r in assigned
+        ]
+        return sum(vals) / len(vals)
+
+    sampled = similarity._ivf_centroids(embs, 8)
+    trained = similarity.ivf_train(embs, 8, iters=2)
+    trained2 = similarity.ivf_train(embs, 8, iters=2)
+    assert [c["v"] for c in trained] == [c["v"] for c in trained2]  # deterministic
+    assert mean_cos(trained) >= mean_cos(sampled) - 1e-9
+
+    out = similarity.ivf_topk(embs, 0, 5, 8, 3, codebook=trained).collect()
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(embs, 0, 49).collect()}
+    for r in out:  # scores stay exact regardless of codebook
+        assert math.isclose(exact[r["vec_id"]], r["cosine"], abs_tol=1e-9)
+
+
 def test_lsh_bucketed_pairs_are_exact_cosines(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [-1.0, 0.0])]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

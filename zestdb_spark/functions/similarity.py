@@ -137,13 +137,62 @@ def _nearest_centroid(cents: list) -> Column:
     return -F.array_max(F.array(*opts)).getField("neg")
 
 
-def ivf_assign(embs: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_train(
+    embs: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> list[dict]:
+    """Train the IVF codebook with ``iters`` Lloyd (k-means) rounds —
+    spherical k-means (cosine assignment, mean + renormalize update).
+
+    Fully deterministic: init = the ``n_centroids`` smallest vec_ids,
+    then each round is one distributed pass (scan-local assignment
+    against the literal codebook → per-(centroid, dim) mean via
+    posexplode + groupBy) with only the m·dim codebook itself coming
+    back to the driver — the canonical Spark iterative-ML shape (the
+    data never moves; the model does). Returns codebook rows shaped
+    like ``_ivf_centroids`` output (vec_id = centroid id, v, norm).
+    """
+    cents = [
+        {"vec_id": r["vec_id"], "v": list(r["v"]), "norm": r["norm"]}
+        for r in _ivf_centroids(embs, n_centroids)
+    ]
+    e = with_norm(embs)
+    for _ in range(iters):
+        assigned = e.withColumn("cent", _nearest_centroid(cents))
+        means = (
+            assigned.select("cent", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for row in means:
+            by_cent.setdefault(int(row["cent"]), {})[int(row["pos"])] = float(row["m"])
+        new_cents = []
+        for c in cents:
+            dims = by_cent.get(int(c["vec_id"]))
+            if not dims:  # list went empty — keep the old centroid
+                new_cents.append(c)
+                continue
+            v = [dims[i] for i in range(len(dims))]
+            norm = sum(x * x for x in v) ** 0.5
+            if norm == 0.0:
+                new_cents.append(c)
+                continue
+            new_cents.append({"vec_id": c["vec_id"], "v": v, "norm": norm})
+        cents = new_cents
+    return cents
+
+
+def ivf_assign(
+    embs: DataFrame, n_centroids: int = 16, codebook: list | None = None
+) -> DataFrame:
     """(vec_id, v, norm, cent): IVF coarse quantization — every vector
     assigned to its nearest (by cosine) centroid, as a 0-shuffle
     scan-local projection against the literal codebook. This is the
     build step you'd persist/bucket-by at 100 TB so probes become
-    partition-pruned reads."""
-    cents = _ivf_centroids(embs, n_centroids)
+    partition-pruned reads. Pass a trained ``codebook`` (ivf_train)
+    for tighter lists; default is the deterministic sample."""
+    cents = codebook if codebook is not None else _ivf_centroids(embs, n_centroids)
     return with_norm(embs).withColumn("cent", _nearest_centroid(cents))
 
 
@@ -153,6 +202,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    codebook: list | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``n_probe`` centroid lists nearest the
     query and exact-rank only those lists' members — search cost ∝
@@ -165,7 +215,7 @@ def ivf_topk(
     codebook × 1 query vector — control plane), so the whole search is
     one scan with an ``isin`` list-membership filter + codegen dot
     products + TakeOrderedAndProject. Zero shuffles, zero joins."""
-    cents = _ivf_centroids(embs, n_centroids)
+    cents = codebook if codebook is not None else _ivf_centroids(embs, n_centroids)
     (qrow,) = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
     import numpy as np  # driver-side probe ranking over m codebook rows
 

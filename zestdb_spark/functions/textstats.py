@@ -62,6 +62,18 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", n.alias("n_units"))
 
 
+def punct_ratio(docs: DataFrame) -> DataFrame:
+    """(doc_id, punct_ratio): share of characters that are punctuation
+    (non-alphanumeric, non-whitespace) — a standard pretraining quality
+    signal (boilerplate/markup detector). Pure column expressions;
+    q6-floored so the oracle matches exactly."""
+    from zestdb_spark.functions.dedup import q6
+
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    ratio = n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return docs.select("doc_id", q6(ratio).alias("punct_ratio"))
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
     stopword density plus a capped length credit; round 6."""
