@@ -125,6 +125,18 @@ def test_compact_merges_leaf_files_and_preserves_rows(spark, tmp_path):
     assert json.loads(eng.get("/ts/a/last/10"))[0]["data"] == {"value": 3.0}
 
 
+def test_ts_delete_negative_timestamps(spark, tmp_path):
+    """Bucket math must truncate toward zero like the write path: a
+    pre-1970 row lands in bucket 0 (cast semantics), and a delete whose
+    floor-division bucket would be -1 must still prune it."""
+    eng = ZestEngine(spark, str(tmp_path / "neg"))
+    eng.post("/ts/n/at/-50", {"value": 1.0})
+    eng.post("/ts/n/at/500", {"value": 2.0})
+    eng.delete("/ts/n/range/-100/-10")
+    rows = eng.store.load("ts_numeric").collect()
+    assert [(r.timestamp, r.value) for r in rows] == [(500, 2.0)]
+
+
 def test_kv_upsert_rewrites_only_touched_namespace(spark, tmp_path):
     import os
 

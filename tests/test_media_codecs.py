@@ -123,6 +123,27 @@ def test_png_filtered_rows():
     assert out["mean_b"] == pytest.approx(rgb[..., 2].mean())
 
 
+def test_sniffable_but_malformed_payloads_raise_typed_error():
+    """Truncated/corrupt containers must surface as UnsupportedMedia,
+    never struct.error / zlib.error / ValueError (a corrupt asset must
+    not kill a Spark job)."""
+    import struct as st
+    import zlib
+
+    wav_short_fmt = b"RIFF" + st.pack("<I", 20) + b"WAVE" + b"fmt " + st.pack("<I", 4) + b"\x01\x00\x01\x00"
+    bmp_truncated = mc.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:40]
+    png_bad_idat = (
+        mc._PNG_MAGIC
+        + st.pack(">I", 13) + b"IHDR" + st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0) + b"\x00" * 4
+        + st.pack(">I", 5) + b"IDAT" + b"junk!" + b"\x00" * 4
+        + st.pack(">I", 0) + b"IEND" + st.pack(">I", zlib.crc32(b"IEND"))
+    )
+    netpbm_bad_header = b"P5\nabc def\n255\n" + b"\x00" * 9
+    for payload in (wav_short_fmt, bmp_truncated, png_bad_idat, netpbm_bad_header):
+        with pytest.raises(mc.UnsupportedMedia):
+            mc.decode_media(payload)
+
+
 def test_dispatch_by_magic_bytes():
     wav = mc.encode_wav(np.ones(8, dtype=np.int16), 8000)
     assert mc.decode_media(wav, "image/bmp")["kind"] == "audio"  # bytes win

@@ -85,6 +85,50 @@ def test_wire_observe_registers_and_receives(srv):
     assert len(msgs) == 1 and msgs[0]["data"] == {"value": 1.0}
 
 
+def test_wire_binary_value_roundtrip_unmangled(srv):
+    """Bytes >= 0x80 must survive the wire: body encoding is latin-1
+    for binary/text formats (UTF-8 would mangle them)."""
+    raw = bytes([0xFF, 0x01, 0x80, 0x00, 0x41])
+    srv.handle(P.request_post("/kv/bin/k", raw, fmt=42))
+    resp = P.decode(srv.handle(P.request_get("/kv/bin/k", fmt=42)))
+    assert resp.payload == raw
+
+
+def test_wire_malformed_option_values_get_128(srv):
+    # 1-byte content-format value (option framing allows any length)
+    bad_fmt = P.encode(P.Frame(1, options=[(P.OPT_URI_PATH, b"/ts/a"), (P.OPT_CONTENT_FORMAT, b"\x00")]))
+    assert P.decode(srv.handle(bad_fmt)).code == 128
+    # observe with a 2-byte max-age
+    bad_age = P.encode(
+        P.Frame(1, options=[
+            (P.OPT_URI_PATH, b"/ts/a"), (P.OPT_OBSERVE, b"data"),
+            (P.OPT_CONTENT_FORMAT, struct.pack(">H", 50)), (P.OPT_MAX_AGE, b"\x00\x01"),
+        ])
+    )
+    assert P.decode(srv.handle(bad_age)).code == 128
+    # non-UTF-8 uri path bytes
+    bad_path = P.encode(P.Frame(1, options=[(P.OPT_URI_PATH, b"/ts/\xff\xfe"), (P.OPT_CONTENT_FORMAT, struct.pack(">H", 50))]))
+    assert P.decode(srv.handle(bad_path)).code == 128
+
+
+def test_wire_observe_requires_token_and_audits(spark, tmp_path):
+    """Observe registration must go through the ACL (reference adds the
+    observe caveat context, server.re:817-818) and leave an audit row."""
+    acl = MacaroonValidator("obs-secret", "zest-o")
+    eng = ZestEngine(spark, str(tmp_path / "obs"), acl=acl)
+    srv = P.ZestFrameServer(eng)
+    denied = P.decode(srv.handle(P.request_observe("/ts/x", mode="data")))
+    assert denied.code == 129
+    tok = mint_token(
+        id="o", location="zest", path="path = /ts/x", meth="method = GET",
+        target="target = zest-o", key="obs-secret",
+    ).encode()
+    ok = P.decode(srv.handle(P.request_observe("/ts/x", mode="data", token=tok)))
+    assert ok.code == P.ACK_CONTENT and ok.payload
+    audit = eng.store.load("audit").filter("method = 'GET(OBSERVE)'").collect()
+    assert {r.code for r in audit} == {129, 69}
+
+
 def test_wire_macaroon_auth_end_to_end(spark, tmp_path):
     """The full reference auth stack over the wire: a macaroon minted
     for GET /ts/w/* is accepted for that subtree and rejected

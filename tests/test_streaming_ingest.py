@@ -57,6 +57,25 @@ def test_ingest_two_batches_with_provenance(spark, tmp_path):
     ]
 
 
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """At-least-once foreachBatch redelivery must not duplicate rows:
+    a batch whose write_log row exists (log lands after data) is
+    skipped. Simulated by re-running the stream with a FRESH checkpoint
+    so batch_id 0 is redelivered for the same landing file."""
+    src = str(tmp_path / "landing3")
+    store = ZestStore(spark, str(tmp_path / "store3"))
+    _write_batch(spark, src, "b0", [("a", 1000, 1.0)])
+    stream = (
+        spark.readStream.schema("series_id string, timestamp long, value double")
+        .parquet(src)
+    )
+    for ck in ("ck_a", "ck_b"):  # second run = full redelivery
+        q = ingest.start_ingest(stream, store, str(tmp_path / ck), trigger_once=True)
+        q.awaitTermination(120)
+    assert store.load("ts_numeric").count() == 1
+    assert store.load("write_log").count() == 1
+
+
 def test_validated_diverts_bad_rows(spark, tmp_path):
     src = str(tmp_path / "landing2")
     spark.createDataFrame(

@@ -146,6 +146,38 @@ def test_engine_blob_reads_through_tail_source(spark, tmp_path):
         assert engines[True].get(path) == engines[False].get(path), path
 
 
+def test_statless_row_groups_always_read(spark, tmp_path):
+    """A file written WITHOUT column statistics must never be skipped by
+    the early-exit — even in 'last' mode where stat-bearing groups are
+    read first and could establish a cutoff before it is reached."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zestdb_spark.sources.tail_source import ZestTailReader
+
+    leaf = tmp_path / "nostats" / "series_id=s" / "time_bucket=0"
+    leaf.mkdir(parents=True)
+    cols = ["timestamp", "value", "tag_name", "tag_value"]
+
+    def tbl(ts_vals):
+        return pa.table(
+            {
+                "timestamp": pa.array(ts_vals, pa.int64()),
+                "value": pa.array([float(t) for t in ts_vals], pa.float64()),
+                "tag_name": pa.array([None] * len(ts_vals), pa.string()),
+                "tag_value": pa.array([None] * len(ts_vals), pa.string()),
+            }
+        )
+
+    # old rows WITH stats; the NEWEST rows in a stats-less file
+    pq.write_table(tbl(list(range(100))), leaf / "old.parquet")
+    pq.write_table(tbl([10_000, 10_001]), leaf / "new.parquet", write_statistics=False)
+
+    reader = ZestTailReader({"root": str(tmp_path / "nostats"), "series": "s", "n": "3"})
+    (part,) = reader.partitions()
+    rows = [r for b in reader.read(part) for r in b.to_pylist()]
+    assert sorted(r["timestamp"] for r in rows) == [99, 10_000, 10_001]
+
+
 def test_reader_skips_old_row_groups(spark, store):
     """The footer-ordered early-exit must touch only the newest groups:
     n=5 over 5 day-buckets stops after the newest bucket's row group."""

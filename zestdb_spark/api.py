@@ -45,11 +45,11 @@ class ZestEngine:
         self.observers = ObserverRegistry()
         self.started_ms = now_ms()
         self.server = socket.gethostname()
-        #: route numeric last/first/latest/earliest reads through the
-        #: zest_tail pushdown source (footer-stat row-group pruning —
-        #: the reference's newest-shard walk; sources/tail_source.py).
-        #: The canonical window plan remains the fallback for every
-        #: other shape and for blob reads.
+        #: route numeric AND blob last/first/latest/earliest reads
+        #: through the zest_tail pushdown source (footer-stat row-group
+        #: pruning — the reference's newest-shard walk;
+        #: sources/tail_source.py). The canonical window plan remains
+        #: the fallback for every other window shape.
         self.use_tail_source = use_tail_source
         self._tail_registered = False
         #: optional zestdb_spark.auth.AclValidator (None = permissive,
@@ -68,11 +68,45 @@ class ZestEngine:
         self.store.audit_append(record)
         self.observers.publish_audit(record)
 
-    def authorize(self, method: str, path: str, token: Optional[str]) -> None:
+    def authorize(
+        self,
+        method: str,
+        path: str,
+        token: Optional[str],
+        observe: Optional[str] = None,
+    ) -> None:
         """M4 hook — raises Unauthorized (CoAP 129) when an ACL is
-        configured and denies; permissive when no ACL is set."""
-        if self.acl is not None:
-            self.acl.check(method, path, token)
+        configured and denies; permissive when no ACL is set. ``observe``
+        carries the observe mode for observation requests (the reference
+        adds an ``observe = <mode>`` caveat context, server.re:817-818)."""
+        if self.acl is None:
+            return
+        if observe is not None:
+            try:
+                self.acl.check(method, path, token, observe=observe)
+                return
+            except TypeError:  # validator without observe support
+                pass
+        self.acl.check(method, path, token)
+
+    def observe(
+        self,
+        path: str,
+        mode: str = "data",
+        max_age_s: int = 0,
+        client: str = "client",
+        token: Optional[str] = None,
+    ) -> str:
+        """Authorized + audited observer registration (the GET(OBSERVE)
+        path, src/server.re:859-874) — returns the observer uuid."""
+        try:
+            self.authorize("GET", path, token, observe=mode)
+            oid = self.observers.register(path, mode=mode, max_age_s=max_age_s)
+        except ZestError as e:
+            self._audit("GET(OBSERVE)", path, e.code, client)
+            raise
+        self._audit("GET(OBSERVE)", path, 69, client)
+        return oid
 
     def _tail_window(self, plan, table: str):
         """The zest_tail pushdown frame for a last/first-family window

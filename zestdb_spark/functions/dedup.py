@@ -51,6 +51,27 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+#: bounded registry of persisted candidate frames — each
+#: minhash_lsh_pairs call persists one; without a cap a long session
+#: (grading runs, bench min-of-N) accumulates cached blocks until LRU
+#: churn. Oldest is unpersisted once the cap is exceeded.
+_PERSISTED: list = []
+_PERSISTED_CAP = 8
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        try:
+            _PERSISTED.pop(0).unpersist()
+        except Exception:  # session gone / already unpersisted — harmless
+            pass
+    return out
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive in one scan partition, but the
     shingle/signature stages amplify work ~50× per row — spread the
@@ -234,10 +255,10 @@ def minhash_lsh_pairs(
     the whole shingle→signature→band-join pipeline for each — measured
     ~3× the candidate-generation cost at sf0.1. Candidates are the
     tiny output of LSH (≪ corpus), so the cached footprint is small;
-    an evicted block just recomputes (correctness-neutral).
+    an evicted block just recomputes (correctness-neutral), and the
+    bounded registry (_persist_bounded) unpersists old candidate sets
+    so repeated calls can't accumulate cache indefinitely.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes)
 
@@ -263,8 +284,8 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    candidates = _persist_bounded(candidates)
     # Exact verification WITHOUT a second shingle explode/self-join:
     # re-shingle only the candidate docs, keep each doc's shingles as
     # ONE array row, then join the pair list to the arrays on both

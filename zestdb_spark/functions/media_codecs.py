@@ -277,11 +277,19 @@ _SNIFFERS = (
 
 def decode_media(payload: bytes, mime: str | None = None) -> dict:
     """Dispatch on magic bytes (mime is advisory only — bytes win).
-    Raises UnsupportedMedia for formats that need codec libraries."""
+    Raises UnsupportedMedia for formats that need codec libraries AND
+    for sniffable-but-malformed containers (truncated chunks, corrupt
+    deflate streams, bad headers) — every decode failure surfaces as
+    the one typed error callers are told to expect."""
     payload = bytes(payload)
     for sniff, dec in _SNIFFERS:
         if sniff(payload):
-            return dec(payload)
+            try:
+                return dec(payload)
+            except UnsupportedMedia:
+                raise
+            except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
+                raise UnsupportedMedia(f"malformed {dec.__name__[7:]} payload: {e}") from e
     raise UnsupportedMedia(
         f"undecodable payload (mime={mime!r}); JPEG/MP3/video need codec libs"
     )

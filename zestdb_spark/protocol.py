@@ -216,46 +216,57 @@ class ZestFrameServer:
 
     def handle(self, frame_bytes: bytes) -> bytes:
         try:
-            req = decode(frame_bytes)
-        except ValueError:
-            return ack_code(128)  # bad request
-        fmt_id = req.content_format
+            return self._handle(frame_bytes)
+        except ZestError as e:
+            return ack_code(e.code)
+        except (ValueError, struct.error, UnicodeDecodeError):
+            # malformed frame, option value, or payload encoding — a
+            # poisoned request must not kill the REP loop
+            return ack_code(128)
+
+    def _handle(self, frame_bytes: bytes) -> bytes:
+        req = decode(frame_bytes)
+        fmt_id = req.content_format  # may raise struct.error → 128 above
         fmt = FORMAT_NAME.get(fmt_id)
         if fmt is None:
             return ack_code(128)
         token = req.token.decode("latin-1") or None
         client = req.uri_host or "client"
-        try:
-            if req.code == 1 and req.observe_mode is not None:  # GET + observe
-                if req.observe_mode == "none":
+        # JSON bodies are unicode text (UTF-8 on the wire); text/binary
+        # round-trip through latin-1 so every stored byte is preserved
+        wire_enc = "utf-8" if fmt == "json" else "latin-1"
+        if req.code == 1 and req.observe_mode is not None:  # GET + observe
+            if req.observe_mode == "none":
+                return ack_code(128)
+            oid = self.engine.observe(
+                req.uri_path,
+                mode=req.observe_mode,
+                max_age_s=req.max_age_s,
+                client=client,
+                token=token,
+            )
+            return ack_observe("", oid)
+        if req.code == 1:  # GET
+            body = self.engine.get(
+                req.uri_path, client=client, token=token, content_format=fmt
+            )
+            return ack_payload(fmt_id, (body or "").encode(wire_enc))
+        if req.code == 2:  # POST
+            payload: object = req.payload
+            if fmt == "json":
+                try:
+                    payload = json.loads(req.payload.decode() or "null")
+                except ValueError:
                     return ack_code(128)
-                oid = self.engine.observers.register(
-                    req.uri_path, mode=req.observe_mode, max_age_s=req.max_age_s
-                )
-                return ack_observe("", oid)
-            if req.code == 1:  # GET
-                body = self.engine.get(
-                    req.uri_path, client=client, token=token, content_format=fmt
-                )
-                return ack_payload(fmt_id, (body or "").encode())
-            if req.code == 2:  # POST
-                payload: object = req.payload
-                if fmt == "json":
-                    try:
-                        payload = json.loads(req.payload.decode() or "null")
-                    except ValueError:
-                        return ack_code(128)
-                elif fmt == "text":
-                    payload = req.payload.decode("latin-1")
-                self.engine.post(
-                    req.uri_path, payload, client=client, token=token, content_format=fmt
-                )
-                return ack_code(ACK_CREATED)
-            if req.code == 4:  # DELETE
-                self.engine.delete(
-                    req.uri_path, client=client, token=token, content_format=fmt
-                )
-                return ack_code(ACK_DELETED)
-        except ZestError as e:
-            return ack_code(e.code)
+            elif fmt == "text":
+                payload = req.payload.decode("latin-1")
+            self.engine.post(
+                req.uri_path, payload, client=client, token=token, content_format=fmt
+            )
+            return ack_code(ACK_CREATED)
+        if req.code == 4:  # DELETE
+            self.engine.delete(
+                req.uri_path, client=client, token=token, content_format=fmt
+            )
+            return ack_code(ACK_DELETED)
         return ack_code(128)

@@ -146,8 +146,13 @@ class ZestTailReader(DataSourceReader):
                 else:
                     bound = None
                 groups.append((bound, path, g))
+        # groups WITHOUT stats sort FIRST in both modes: they must be
+        # read unconditionally (their contents are unknown), and the
+        # early-exit break only fires on groups read after the cutoff
+        # is established — sorting them last would let the break skip
+        # them entirely
         if newest:
-            groups.sort(key=lambda t: (t[0] is not None, t[0]), reverse=True)
+            groups.sort(key=lambda t: (t[0] is not None, -t[0] if t[0] is not None else 0))
         else:
             groups.sort(key=lambda t: (t[0] is not None, t[0] if t[0] is not None else 0))
 

@@ -62,6 +62,15 @@ def now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _bucket_of(ms: int) -> int:
+    """time_bucket of a timestamp — MUST mirror the write path's
+    ``cast(timestamp / _DAY_MS as long)``, which truncates toward ZERO
+    (Python ``//`` floors, disagreeing for pre-1970 timestamps: the
+    write puts ts=-50 in bucket 0, floor division says -1)."""
+    q = abs(int(ms)) // _DAY_MS
+    return q if ms >= 0 else -q
+
+
 def validate_numeric(payload: Any) -> tuple[float, Optional[str], Optional[str]]:
     """is_valid semantics (src/numeric_timeseries.re:5-13): a JSON dict
     that is exactly {"value": number} or {"value": number, tag: "str"}
@@ -165,16 +174,29 @@ class ZestStore:
         self._write_seq += 1
         return self._write_seq
 
-    def _log_write(self, table: str, n_rows: Optional[int]) -> int:
+    def _log_write(self, table: str, n_rows: Optional[int], wid: Optional[int] = None) -> int:
         """Append one write_log row for a mutation on ``table`` under the
-        current request context; returns the batch's write_id."""
-        wid = self._next_write_id()
+        current request context; returns the batch's write_id.
+
+        INVARIANT: callers log AFTER the data mutation commits, so a
+        write_log row's presence implies its batch landed — which is
+        what makes streaming-ingest replay idempotence a write_log
+        lookup (streaming/ingest.py)."""
+        if wid is None:
+            wid = self._next_write_id()
         method, path, client, fmt = self._ctx or ("DIRECT", f"/{table}", "local", None)
         rec = (wid, now_ms(), self._server, client, method, path, fmt, table, n_rows)
         self.spark.createDataFrame([rec], S.WRITE_LOG).write.mode("append").parquet(
             self._path("write_log")
         )
         return wid
+
+    def has_write_log_entry(self, path: str) -> bool:
+        """True when a committed mutation was logged under ``path`` —
+        the replay-idempotence probe (control-plane point lookup)."""
+        if not self._exists("write_log"):
+            return False
+        return bool(self.load("write_log").filter(F.col("path") == path).head(1))
 
     # -------------------------------------------- partition-dir plumbing
     # Parquet emulation of table-format partition-scoped commits: writes
@@ -220,8 +242,11 @@ class ZestStore:
         """Append a batch, stamped with the write_id of its provenance
         row — every data row joins back to (who, method, path, when),
         like every Irmin commit carries Prov.info
-        (src/timeseries/shard.re:9-11, src/prov.re:38-46)."""
-        wid = self._log_write(table, n_rows)
+        (src/timeseries/shard.re:9-11, src/prov.re:38-46). Data lands
+        BEFORE the log row (see _log_write's invariant); a crash in
+        between leaves stamped rows whose write_id has no log entry —
+        detectable and re-appendable, never silently lost."""
+        wid = self._next_write_id()
         (
             rows.withColumn("time_bucket", F.col("timestamp") / _DAY_MS)
             .withColumn("time_bucket", F.col("time_bucket").cast("long"))
@@ -230,6 +255,7 @@ class ZestStore:
             .partitionBy("series_id", "time_bucket")
             .parquet(self._path(table))
         )
+        self._log_write(table, n_rows, wid)
 
     def write_numeric(
         self, series_id: str, payload: Any, timestamp: Optional[int] = None
@@ -296,8 +322,8 @@ class ZestStore:
 
         updates = self.spark.createDataFrame([(id_, key, value)], _TABLES[table])
         ns = self.load(table).filter(F.col("id") == id_)
-        self._log_write(table, 1)
         self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
+        self._log_write(table, 1)
 
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
         """D3: delete key or whole id namespace (namespace-scoped)."""
@@ -307,15 +333,15 @@ class ZestStore:
         if not self._exists(table):
             return
         ns = self.load(table).filter(F.col("id") == id_)
-        self._log_write(table, None)
         self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
+        self._log_write(table, None)
 
     def catalog_upsert(self, item: dict) -> None:
         """S5/M2: validate + upsert by href (src/hc.re:43-51)."""
         from zestdb_spark.operators import catalog as cat_ops
 
-        self._log_write("catalog_items", 1)
         self._overwrite("catalog_items", cat_ops.upsert_item(self.load("catalog_items"), item))
+        self._log_write("catalog_items", 1)
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
         """D1: partition-scoped delete. Only the (series_id, time_bucket)
@@ -334,8 +360,8 @@ class ZestStore:
             return
 
         w = plan.window
-        from_bucket = w.from_ms // _DAY_MS
-        to_bucket = w.to_ms // _DAY_MS if w.op == "range" else None
+        from_bucket = _bucket_of(w.from_ms)
+        to_bucket = _bucket_of(w.to_ms) if w.op == "range" else None
         ids = set(plan.ids)
 
         def affected(series: str, bucket: int) -> bool:
@@ -354,7 +380,6 @@ class ZestStore:
         full = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
         survivors = del_ops.delete_plan(full.filter(part_cond), plan, compat_collateral)
 
-        self._log_write(table, None)
         tmp = self._path(table) + ".tmp"
         survivors.write.mode("overwrite").partitionBy("series_id", "time_bucket").parquet(tmp)
 
@@ -366,6 +391,7 @@ class ZestStore:
             if not any(self._part_dirs(series_dir, "time_bucket")):
                 shutil.rmtree(series_dir)
         self._promote_partitions(tmp, real)
+        self._log_write(table, None)
 
     def compact(self, table: str, target_files: int = 1) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
@@ -406,7 +432,14 @@ class ZestStore:
                 ]
                 if len(files) <= target_files:
                     continue
-                tmp = leaf + ".tmp"
+                # staging lives OUTSIDE the table tree: a partition-dir
+                # lookalike like 'time_bucket=0.tmp' inside the series
+                # dir would be picked up by _part_dirs / Spark partition
+                # discovery (and int() on its value) if a crash left it
+                tmp = os.path.join(self.root, f".compact_tmp_{table}")
+                old = os.path.join(self.root, f".compact_old_{table}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(old, ignore_errors=True)
                 (
                     self.spark.read.schema(leaf_schema)
                     .parquet(leaf)
@@ -414,8 +447,12 @@ class ZestStore:
                     .write.mode("overwrite")
                     .parquet(tmp)
                 )
-                shutil.rmtree(leaf)
+                # two atomic renames; a crash in between leaves the rows
+                # intact in .compact_old_* (outside the partition tree,
+                # recoverable) rather than half a live leaf
+                os.rename(leaf, old)
                 os.rename(tmp, leaf)
+                shutil.rmtree(old)
                 done += 1
         return done
 

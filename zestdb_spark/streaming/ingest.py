@@ -66,13 +66,24 @@ def start_ingest(
     micro-batch becomes one distributed bulk append under one
     provenance record (write_log path carries the batch id, so
     lineage survives at per-commit granularity like the reference's
-    shard writes). Returns the StreamingQuery."""
+    shard writes). Returns the StreamingQuery.
+
+    Replay idempotence: foreachBatch is at-least-once, so a batch that
+    committed before a crash can be redelivered — the sink skips any
+    batch whose write_log row already exists (the log lands AFTER the
+    data, so log-present ⇒ data-committed). The residual window is a
+    crash MID-append: stamped rows without a log row get re-appended
+    on replay (duplicates detectable by write_id-without-log-entry);
+    closing that fully needs a transactional table format."""
     good, _bad = validated(stream_df)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        store.set_request_context("POST", f"{path}/batch/{batch_id}", client, None)
+        batch_path = f"{path}/batch/{batch_id}"
+        if store.has_write_log_entry(batch_path):
+            return  # redelivered batch — already committed
+        store.set_request_context("POST", batch_path, client, None)
         store.write_numeric_bulk(batch_df)
 
     writer = good.writeStream.foreachBatch(sink).option(
