@@ -430,6 +430,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_image": lambda s, d: multimodal.decode_features(
             multimodal.synth_image_assets(s, d)
         ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        # composed transform: synth BMP → NN-resize to 8×4 → re-decode.
+        # Solid colors are resize-invariant, so means stay closed-form
+        # while the resize path itself is exercised for real
+        "mm_resize": lambda s, d: multimodal.decode_features(
+            multimodal.resize_images(multimodal.synth_image_assets(s, d), 8, 4)
+        ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
     }
 
 
@@ -732,6 +738,16 @@ _EXT_SQL: dict[str, str] = {
       SELECT doc_id AS asset_id,
              CAST((doc_id % 16) + 1 AS INTEGER) AS width,
              CAST((doc_id % 8) + 1 AS INTEGER) AS height,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+             CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+      FROM documents
+    """,
+    # resize to 8×4: dims become constant; solid colors are NN-invariant
+    "mm_resize": """
+      SELECT doc_id AS asset_id,
+             CAST(8 AS INTEGER) AS width,
+             CAST(4 AS INTEGER) AS height,
              CAST(doc_id % 256 AS DOUBLE) AS mean_r,
              CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
              CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b

@@ -151,6 +151,45 @@ def test_dispatch_by_magic_bytes():
         mc.decode_media(b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg")
 
 
+def test_resize_nearest_matches_numpy_reference():
+    rgb = np.arange(6 * 9 * 3, dtype=np.uint8).reshape(6, 9, 3)
+    out = mc.resize_nearest(rgb, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # nearest grid: y -> y*6//2, x -> x*9//3
+    for y in range(2):
+        for x in range(3):
+            assert (out[y, x] == rgb[y * 3, x * 3]).all()
+
+
+def test_resize_media_roundtrip_across_formats():
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    for enc in (mc.encode_bmp, mc.encode_png):
+        resized = mc.resize_media(enc(rgb), 2, 2)
+        out = mc.decode_bmp(resized)
+        assert (out["width"], out["height"]) == (2, 2)
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.resize_media(mc.encode_wav(np.ones(8, dtype=np.int16), 8000), 2, 2)
+
+
+def test_resize_images_operator(spark):
+    from zestdb_spark.functions import multimodal
+
+    rgb = np.zeros((6, 10, 3), dtype=np.uint8)
+    rgb[...] = (9, 8, 7)
+    rows = [
+        (1, "image", bytearray(mc.encode_bmp(rgb)), "image/bmp"),
+        (2, "audio", bytearray(b"not an image"), "audio/wav"),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, mime string"
+    )
+    resized = multimodal.resize_images(assets, 5, 3)
+    got = {r.asset_id: r for r in multimodal.decode_features(resized).collect()}
+    assert (got[1].width, got[1].height) == (5, 3)
+    assert (got[1].mean_r, got[1].mean_b) == (9.0, 7.0)
+    assert got[2].kind == "unsupported"
+
+
 def test_decode_features_operator(spark):
     """Arrow-batched decode over a mixed WAV/BMP/garbage frame."""
     from zestdb_spark.functions import multimodal

@@ -83,8 +83,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 # ------------------------------------------------------------------ BMP
 
-def decode_bmp(payload: bytes) -> dict:
-    """Uncompressed (BI_RGB) 24/32-bit BMP → dimensions + channel means."""
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (h, w, 3) uint8 RGB."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise UnsupportedMedia("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -101,15 +101,23 @@ def decode_bmp(payload: bytes) -> dict:
     rows = px.reshape(height, stride)[:, : width * bpp].reshape(height, width, bpp)
     if bottom_up:
         rows = rows[::-1]
-    b, g, r = rows[..., 0], rows[..., 1], rows[..., 2]  # BMP stores BGR
+    return rows[..., 2::-1]  # BGR(A) → RGB
+
+
+def _image_stats(rgb: np.ndarray) -> dict:
     return {
         "kind": "image",
-        "width": int(width),
-        "height": int(height),
-        "mean_r": float(r.mean()),
-        "mean_g": float(g.mean()),
-        "mean_b": float(b.mean()),
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "mean_r": float(rgb[..., 0].mean()),
+        "mean_g": float(rgb[..., 1].mean()),
+        "mean_b": float(rgb[..., 2].mean()),
     }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → dimensions + channel means."""
+    return _image_stats(_bmp_pixels(payload))
 
 
 def encode_bmp(rgb: np.ndarray) -> bytes:
@@ -129,8 +137,9 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 # --------------------------------------------------------------- Netpbm
 
-def decode_netpbm(payload: bytes) -> dict:
-    """Binary PGM (P5) / PPM (P6), 8-bit → dimensions + means."""
+def _netpbm_pixels(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6), 8-bit → (h, w, 3) uint8 RGB (gray
+    broadcast across channels)."""
     if payload[:2] not in (b"P5", b"P6"):
         raise UnsupportedMedia("not a binary PGM/PPM payload")
     # header: magic, whitespace/comment-separated width height maxval
@@ -151,18 +160,15 @@ def decode_netpbm(payload: bytes) -> dict:
         raise UnsupportedMedia("16-bit netpbm")
     ch = 3 if payload[:2] == b"P6" else 1
     px = np.frombuffer(payload, np.uint8, count=width * height * ch, offset=pos)
-    px = px.reshape(height, width, ch).astype(np.float64)
-    out = {"kind": "image", "width": width, "height": height}
-    if ch == 3:
-        out.update(
-            mean_r=float(px[..., 0].mean()),
-            mean_g=float(px[..., 1].mean()),
-            mean_b=float(px[..., 2].mean()),
-        )
-    else:
-        m = float(px.mean())
-        out.update(mean_r=m, mean_g=m, mean_b=m)
-    return out
+    px = px.reshape(height, width, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
+def decode_netpbm(payload: bytes) -> dict:
+    """Binary PGM (P5) / PPM (P6), 8-bit → dimensions + means."""
+    return _image_stats(_netpbm_pixels(payload))
 
 
 # ------------------------------------------------------------------ PNG
@@ -172,10 +178,29 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _png_pixels(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, 3) uint8 RGB (alpha dropped,
+    gray broadcast)."""
+    img, width, height, ch = _png_raw(payload)
+    px = img.reshape(height, width, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]
+
+
 def decode_png(payload: bytes) -> dict:
     """8-bit non-interlaced PNG (gray/RGB/±alpha): full inflate +
     per-row unfilter (types 0-4 per the PNG spec) → dimensions +
-    channel means. Palette/16-bit/interlaced raise UnsupportedMedia."""
+    channel means. Palette/16-bit/interlaced raise UnsupportedMedia.
+    Means are over the IMAGE channels (alpha excluded; gray counted
+    once per channel), matching _image_stats on the RGB projection."""
+    return _image_stats(_png_pixels(payload))
+
+
+def _png_raw(payload: bytes):
+    """→ (unfiltered (h, w·ch) uint8 array, width, height, channels)."""
     if payload[:8] != _PNG_MAGIC:
         raise UnsupportedMedia("not a PNG payload")
     pos, ihdr, idat = 8, None, []
@@ -229,18 +254,7 @@ def decode_png(payload: bytes) -> dict:
             raise UnsupportedMedia(f"unknown PNG filter {f}")
         img[y] = line
         prev = img[y]
-    px = img.reshape(height, width, ch).astype(np.float64)
-    out = {"kind": "image", "width": int(width), "height": int(height)}
-    if ch >= 3:
-        out.update(
-            mean_r=float(px[..., 0].mean()),
-            mean_g=float(px[..., 1].mean()),
-            mean_b=float(px[..., 2].mean()),
-        )
-    else:
-        m = float(px[..., 0].mean())
-        out.update(mean_r=m, mean_g=m, mean_b=m)
-    return out
+    return img, width, height, ch
 
 
 def encode_png(rgb: np.ndarray) -> bytes:
@@ -263,6 +277,46 @@ def encode_png(rgb: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------------------------ transforms
+
+_PIXEL_DECODERS = (
+    (lambda p: p[:8] == _PNG_MAGIC, _png_pixels),
+    (lambda p: p[:2] == b"BM", _bmp_pixels),
+    (lambda p: p[:2] in (b"P5", b"P6"), _netpbm_pixels),
+)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Full pixel decode → (h, w, 3) uint8 RGB, any supported image
+    container (audio/unknown formats raise UnsupportedMedia)."""
+    payload = bytes(payload)
+    for sniff, dec in _PIXEL_DECODERS:
+        if sniff(payload):
+            try:
+                return dec(payload)
+            except UnsupportedMedia:
+                raise
+            except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
+                raise UnsupportedMedia(f"malformed image payload: {e}") from e
+    raise UnsupportedMedia("not a decodable image container")
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3) — pure index
+    arithmetic (the PIL-free resize; sample i maps to source cell
+    floor(i·src/dst), the standard NN grid)."""
+    src_h, src_w = rgb.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return rgb[ys][:, xs]
+
+
+def resize_media(payload: bytes, width: int, height: int) -> bytes:
+    """Decode any supported image container, NN-resize, re-encode as
+    24-bit BMP (the canonical uncompressed interchange here)."""
+    return encode_bmp(resize_nearest(decode_pixels(payload), width, height))
 
 
 # ------------------------------------------------------------- dispatch

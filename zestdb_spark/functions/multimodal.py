@@ -98,6 +98,8 @@ def decode_features(assets: DataFrame) -> DataFrame:
                 pdf["asset_id"], pdf["payload"], pdf["mime"]
             ):
                 try:
+                    if payload is None:
+                        raise media_codecs.UnsupportedMedia("null payload")
                     rec = media_codecs.decode_media(bytes(payload), mime)
                 except media_codecs.UnsupportedMedia:
                     rec = {"kind": "unsupported"}
@@ -170,6 +172,34 @@ def synth_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
+
+
+RESIZED_SCHEMA = "asset_id long, kind string, payload binary, mime string"
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over Arrow batches: decode pixels (BMP/PNG/
+    Netpbm via media_codecs), nearest-neighbor resample to
+    (width, height), re-encode as 24-bit BMP. Non-image / corrupt
+    payloads pass through with kind='unsupported' and a null payload —
+    same poison-row policy as decode_features. Output is
+    media_assets-shaped so transforms compose (resize → decode_features
+    → filters)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zestdb_spark.functions import media_codecs
+
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    resized = media_codecs.resize_media(bytes(payload), width, height)
+                    out.append((asset_id, "image", resized, "image/bmp"))
+                except media_codecs.UnsupportedMedia:
+                    out.append((asset_id, "unsupported", None, None))
+            yield pd.DataFrame(out, columns=["asset_id", "kind", "payload", "mime"])
+
+    return assets.mapInPandas(op, RESIZED_SCHEMA)
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
