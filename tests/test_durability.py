@@ -125,6 +125,31 @@ def test_compact_merges_leaf_files_and_preserves_rows(spark, tmp_path):
     assert json.loads(eng.get("/ts/a/last/10"))[0]["data"] == {"value": 3.0}
 
 
+def test_compact_crash_recovery_restores_rows(spark, tmp_path):
+    """A compact() that crashed between moving the leaf out and swapping
+    the compacted copy in leaves the rows under .compact_old_<table>;
+    the next compact() must promote them back — no window loses data."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "crashstore")
+    eng = ZestEngine(spark, root)
+    for i in range(3):
+        eng.post(f"/ts/a/at/{i * 1000}", {"value": float(i)})
+    table_dir = os.path.join(root, "ts_numeric")
+    leaf = os.path.join(table_dir, "series_id=a", "time_bucket=0")
+    # simulate the crash window: leaf moved to the recovery dir, swap
+    # never completed
+    old_leaf = os.path.join(root, ".compact_old_ts_numeric", "series_id=a", "time_bucket=0")
+    os.makedirs(os.path.dirname(old_leaf))
+    os.rename(leaf, old_leaf)
+    assert eng.store.load("ts_numeric").count() == 0  # rows invisible
+
+    eng.store.compact("ts_numeric")  # recovery runs first
+    assert eng.store.load("ts_numeric").count() == 3
+    assert not os.path.isdir(os.path.join(root, ".compact_old_ts_numeric"))
+
+
 def test_ts_delete_negative_timestamps(spark, tmp_path):
     """Bucket math must truncate toward zero like the write path: a
     pre-1970 row lands in bucket 0 (cast semantics), and a delete whose

@@ -111,6 +111,33 @@ def test_wire_malformed_option_values_get_128(srv):
     assert P.decode(srv.handle(bad_path)).code == 128
 
 
+def test_wire_unicode_text_value_still_retrievable(srv):
+    """A non-latin-1 text value written via the Python API must come
+    back over the wire as UTF-8 bytes, not a 128 error."""
+    srv.engine.post("/kv/t/u", "snow ☃", content_format="text")
+    resp = P.decode(srv.handle(P.request_get("/kv/t/u", fmt=0)))
+    assert resp.code == P.ACK_CONTENT
+    assert resp.payload == "snow ☃".encode("utf-8")
+
+
+def test_zestql_observe_requires_token(spark, tmp_path):
+    """ZestQL observe statements go through the same ACL/audit path as
+    the wire front-end (no unauthorized side door)."""
+    from zestdb_spark.errors import Unauthorized
+
+    acl = MacaroonValidator("zq-secret", "zest-zq")
+    eng = ZestEngine(spark, str(tmp_path / "zq"), acl=acl)
+    with pytest.raises(Unauthorized):
+        eng.zestql('observe from "s1";')
+    tok = mint_token(
+        id="z", location="zest", path="path = /ts/s1", meth="method = GET",
+        target="target = zest-zq", key="zq-secret",
+    )
+    eng.zestql('observe from "s1";', token=tok)
+    audit = eng.store.load("audit").filter("method = 'GET(OBSERVE)'").collect()
+    assert {r.code for r in audit} == {129, 69}
+
+
 def test_wire_observe_requires_token_and_audits(spark, tmp_path):
     """Observe registration must go through the ACL (reference adds the
     observe caveat context, server.re:817-818) and leave an audit row."""

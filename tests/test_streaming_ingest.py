@@ -69,11 +69,36 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
         spark.readStream.schema("series_id string, timestamp long, value double")
         .parquet(src)
     )
-    for ck in ("ck_a", "ck_b"):  # second run = full redelivery
-        q = ingest.start_ingest(stream, store, str(tmp_path / ck), trigger_once=True)
-        q.awaitTermination(120)
+    q = ingest.start_ingest(stream, store, str(tmp_path / "ck_a"), trigger_once=True)
+    q.awaitTermination(120)
+    # SAME checkpoint rerun: no new files -> no new batches -> no dupes
+    q = ingest.start_ingest(stream, store, str(tmp_path / "ck_a"), trigger_once=True)
+    q.awaitTermination(120)
     assert store.load("ts_numeric").count() == 1
     assert store.load("write_log").count() == 1
+
+
+def test_fresh_checkpoint_with_new_data_is_not_skipped(spark, tmp_path):
+    """Batch identity is scoped to the checkpoint: a RESET checkpoint
+    re-numbers batches from 0, and those must not collide with the old
+    checkpoint's logged batch 0 (which would silently drop new rows)."""
+    src = str(tmp_path / "landing4")
+    store = ZestStore(spark, str(tmp_path / "store4"))
+    _write_batch(spark, src, "b0", [("a", 1000, 1.0)])
+    stream = (
+        spark.readStream.schema("series_id string, timestamp long, value double")
+        .parquet(src)
+    )
+    q = ingest.start_ingest(stream, store, str(tmp_path / "ck_1"), trigger_once=True)
+    q.awaitTermination(120)
+    _write_batch(spark, src, "b1", [("b", 2000, 2.0)])
+    # fresh checkpoint: batch 0 again, now covering BOTH files
+    q = ingest.start_ingest(stream, store, str(tmp_path / "ck_2"), trigger_once=True)
+    q.awaitTermination(120)
+    # the new row must be present (at-least-once across a checkpoint
+    # reset: the old row may duplicate — that is the documented
+    # semantic of resetting checkpoints, never silent loss)
+    assert store.load("ts_numeric").filter("series_id = 'b'").count() == 1
 
 
 def test_validated_diverts_bad_rows(spark, tmp_path):

@@ -81,13 +81,21 @@ class ZestEngine:
         adds an ``observe = <mode>`` caveat context, server.re:817-818)."""
         if self.acl is None:
             return
-        if observe is not None:
-            try:
-                self.acl.check(method, path, token, observe=observe)
-                return
-            except TypeError:  # validator without observe support
-                pass
+        if observe is not None and self._acl_takes_observe():
+            self.acl.check(method, path, token, observe=observe)
+            return
         self.acl.check(method, path, token)
+
+    def _acl_takes_observe(self) -> bool:
+        """Capability probe by SIGNATURE — never by catching TypeError,
+        which would also swallow TypeErrors raised inside a supporting
+        validator and silently downgrade the check to a plain GET."""
+        import inspect
+
+        try:
+            return "observe" in inspect.signature(self.acl.check).parameters
+        except (TypeError, ValueError):  # builtins/C callables
+            return False
 
     def observe(
         self,
@@ -308,8 +316,16 @@ class ZestEngine:
 
     # ------------------------------------------------------------- ZestQL
 
-    def zestql(self, statement: str, now: Optional[int] = None) -> Optional[str]:
-        """Execute one ZestQL statement (entry point D, SURVEY.md §3.4)."""
+    def zestql(
+        self,
+        statement: str,
+        now: Optional[int] = None,
+        client: str = "client",
+        token: Optional[str] = None,
+    ) -> Optional[str]:
+        """Execute one ZestQL statement (entry point D, SURVEY.md §3.4).
+        Observe statements go through the authorized+audited
+        ``observe()`` path, same as the wire front-end."""
         stmt = zql.parse(statement, now if now is not None else now_ms())
         if isinstance(stmt, zql.Get):
             table = "ts_numeric" if stmt.plan.store == "numeric" else "ts_blob"
@@ -332,8 +348,12 @@ class ZestEngine:
             self.store.ts_delete(stmt.plan)
             return None
         if isinstance(stmt, zql.Observe):
-            self.observers.register(
-                f"/ts/{stmt.series_id}", mode=stmt.mode, max_age_s=stmt.max_age_s
+            self.observe(
+                f"/ts/{stmt.series_id}",
+                mode=stmt.mode,
+                max_age_s=stmt.max_age_s,
+                client=client,
+                token=token,
             )
             return None
         # Connect/Disconnect are transport-level no-ops here

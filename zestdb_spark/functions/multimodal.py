@@ -193,6 +193,8 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
+                    if payload is None:
+                        raise media_codecs.UnsupportedMedia("null payload")
                     resized = media_codecs.resize_media(bytes(payload), width, height)
                     out.append((asset_id, "image", resized, "image/bmp"))
                 except media_codecs.UnsupportedMedia:

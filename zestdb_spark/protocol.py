@@ -250,7 +250,15 @@ class ZestFrameServer:
             body = self.engine.get(
                 req.uri_path, client=client, token=token, content_format=fmt
             )
-            return ack_payload(fmt_id, (body or "").encode(wire_enc))
+            try:
+                payload_bytes = (body or "").encode(wire_enc)
+            except UnicodeEncodeError:
+                # a text/binary value written through the PYTHON API may
+                # hold non-latin-1 unicode; UTF-8 it rather than telling
+                # the client its well-formed request was bad (values
+                # written over the wire always round-trip via latin-1)
+                payload_bytes = (body or "").encode("utf-8")
+            return ack_payload(fmt_id, payload_bytes)
         if req.code == 2:  # POST
             payload: object = req.payload
             if fmt == "json":

@@ -191,12 +191,6 @@ class ZestStore:
         )
         return wid
 
-    def has_write_log_entry(self, path: str) -> bool:
-        """True when a committed mutation was logged under ``path`` —
-        the replay-idempotence probe (control-plane point lookup)."""
-        if not self._exists("write_log"):
-            return False
-        return bool(self.load("write_log").filter(F.col("path") == path).head(1))
 
     # -------------------------------------------- partition-dir plumbing
     # Parquet emulation of table-format partition-scoped commits: writes
@@ -422,9 +416,25 @@ class ZestStore:
                 if f.name not in ("series_id", "time_bucket")
             ]
         )
+        real = self._path(table)
+        # staging lives OUTSIDE the table tree: a partition-dir
+        # lookalike like 'time_bucket=0.tmp' inside the series dir
+        # would be picked up by _part_dirs / Spark partition discovery
+        # (and int() on its value) if a crash left it. The old-rows dir
+        # PRESERVES the series_id=/time_bucket= structure, so crash
+        # recovery is just promoting it back into the table.
+        tmp = os.path.join(self.root, f".compact_tmp_{table}")
+        old_root = os.path.join(self.root, f".compact_old_{table}")
+        if os.path.isdir(old_root):
+            # a previous compact() crashed mid-swap: restore its rows
+            # FIRST (worst case the leaf exists too and gets replaced
+            # by the identical-row uncompacted copy — rows never lost)
+            self._promote_partitions(old_root, real)
+        shutil.rmtree(tmp, ignore_errors=True)
+
         done = 0
-        for _series, series_dir in self._part_dirs(self._path(table), "series_id"):
-            for _bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
+        for series, series_dir in self._part_dirs(real, "series_id"):
+            for bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
                 files = [
                     f
                     for f in os.listdir(leaf)
@@ -432,14 +442,6 @@ class ZestStore:
                 ]
                 if len(files) <= target_files:
                     continue
-                # staging lives OUTSIDE the table tree: a partition-dir
-                # lookalike like 'time_bucket=0.tmp' inside the series
-                # dir would be picked up by _part_dirs / Spark partition
-                # discovery (and int() on its value) if a crash left it
-                tmp = os.path.join(self.root, f".compact_tmp_{table}")
-                old = os.path.join(self.root, f".compact_old_{table}")
-                shutil.rmtree(tmp, ignore_errors=True)
-                shutil.rmtree(old, ignore_errors=True)
                 (
                     self.spark.read.schema(leaf_schema)
                     .parquet(leaf)
@@ -447,13 +449,18 @@ class ZestStore:
                     .write.mode("overwrite")
                     .parquet(tmp)
                 )
+                old_leaf = os.path.join(
+                    old_root, os.path.basename(series_dir), os.path.basename(leaf)
+                )
+                os.makedirs(os.path.dirname(old_leaf), exist_ok=True)
                 # two atomic renames; a crash in between leaves the rows
-                # intact in .compact_old_* (outside the partition tree,
-                # recoverable) rather than half a live leaf
-                os.rename(leaf, old)
+                # intact under .compact_old_* and the NEXT compact()
+                # promotes them back — no window loses data
+                os.rename(leaf, old_leaf)
                 os.rename(tmp, leaf)
-                shutil.rmtree(old)
+                shutil.rmtree(old_leaf)
                 done += 1
+        shutil.rmtree(old_root, ignore_errors=True)
         return done
 
     def audit_append(self, record: tuple) -> None:

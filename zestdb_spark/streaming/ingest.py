@@ -70,21 +70,41 @@ def start_ingest(
 
     Replay idempotence: foreachBatch is at-least-once, so a batch that
     committed before a crash can be redelivered — the sink skips any
-    batch whose write_log row already exists (the log lands AFTER the
-    data, so log-present ⇒ data-committed). The residual window is a
-    crash MID-append: stamped rows without a log row get re-appended
-    on replay (duplicates detectable by write_id-without-log-entry);
-    closing that fully needs a transactional table format."""
+    batch already present in the write_log (the log lands AFTER the
+    data, so log-present ⇒ data-committed). Batch identity is scoped
+    to the CHECKPOINT (a digest of checkpoint_dir is part of the
+    logged path): batch ids only mean anything within one checkpoint's
+    lineage, so a fresh checkpoint or a second stream on the same
+    target path can never silently collide with old batch numbers.
+    The committed set is read ONCE at attach time and maintained
+    in-memory (no per-batch log scan). Residual windows: a crash
+    MID-append re-appends stamped rows whose write_id has no log row
+    (detectable duplicates); closing that fully needs a transactional
+    table format."""
+    import hashlib
+
     good, _bad = validated(stream_df)
+    ck_digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+    prefix = f"{path}/ck/{ck_digest}/batch/"
+    committed: set[str] = set()
+    if store._exists("write_log"):
+        committed = {
+            r.path
+            for r in store.load("write_log")
+            .filter(F.col("path").startswith(prefix))
+            .select("path")
+            .collect()
+        }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        batch_path = f"{path}/batch/{batch_id}"
-        if store.has_write_log_entry(batch_path):
+        batch_path = f"{prefix}{batch_id}"
+        if batch_path in committed:
             return  # redelivered batch — already committed
         store.set_request_context("POST", batch_path, client, None)
         store.write_numeric_bulk(batch_df)
+        committed.add(batch_path)
 
     writer = good.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
