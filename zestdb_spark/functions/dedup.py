@@ -75,11 +75,24 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive in one scan partition, but the
     shingle/signature stages amplify work ~50× per row — spread the
-    scan across the cluster first. No-op (no shuffle) when the source
-    is already at least as parallel as the cluster, i.e. always at real
-    scale; the repartition only fires for small-file local runs."""
+    scan across the cluster first. No-op (no shuffle) when the input is
+    big, i.e. always at real scale; the repartition only fires for
+    small local inputs.
+
+    The small/big decision reads the OPTIMIZER's size estimate, not
+    ``df.rdd.getNumPartitions()``: accessing ``.rdd`` under AQE forces
+    the physical plan — and for a join input that means eagerly
+    executing the whole upstream subtree just to ask a partition count
+    (measured ~2s per operator call in the clean-corpus pipeline).
+    Stats come from plan optimization only; no job runs."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # stats unavailable — assume small, spreading is cheap
+        size = 0
+    if size < 512 * 1024 * 1024:
         return df.repartition(target)
     return df
 
@@ -271,12 +284,18 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
-    # the signature aggregation ends in an exchange that both sides of
-    # this self-join share (identical subplan under the renamed
-    # projections → ReuseExchange); no extra repartition needed
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    # PERSIST the banded signatures before the self-join: with accurate
+    # stats Spark broadcast-joins the two sides, and without a shuffle
+    # exchange there is no ReuseExchange — an unpersisted plan computes
+    # the whole shingle→hash→64-min-agg signature pipeline TWICE (once
+    # per side; measured ~2× signature cost at sf0.1). The cached frame
+    # is (doc_id, band, sig) — 3 fixed-width ints per doc·band, tiny
+    # relative to the corpus at any scale.
+    banded = _persist_bounded(
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        )
+    )
     ca = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
     cb = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
     candidates = (
@@ -298,9 +317,19 @@ def minhash_lsh_pairs(
         .unionAll(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    arr = _spread(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    ).select("doc_id", _shingle_array(k).alias("sh"))
+    # PERSIST the candidate-doc shingle arrays: the pair join below
+    # references them on BOTH sides — unpersisted, the corpus semi-join
+    # + shingle build runs twice. (No _spread here: its .rdd partition
+    # probe forces AQE to execute the join subtree eagerly — one whole
+    # extra materialization just to ask a partition count.) Cached
+    # stats also let AQE pick broadcast for the pair joins whenever the
+    # candidate set is small enough, with a safe shuffle-join fallback
+    # when it isn't.
+    arr = _persist_bounded(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").select(
+            "doc_id", _shingle_array(k).alias("sh")
+        )
+    )
     a = arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
     b = arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))

@@ -110,6 +110,99 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac): Gopher-style repetition
+    signal — the fraction of tokens that are repeats of an earlier
+    token. Pure scan-local array expressions (size/array_distinct),
+    ZERO shuffles, so it runs inside whole-stage codegen over the full
+    corpus. Word-level (not line-level) because the repetition unit a
+    quality filter cares about is whatever the corpus actually repeats;
+    line-level variants are the same two expressions over
+    split(text, '\\n')."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    frac = q6((n - n_distinct) / F.greatest(n, F.lit(1)))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"), frac.alias("dup_token_frac")
+    )
+
+
+def top_ngram_frac(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_ngrams, top_frac): fraction of word n-grams taken by
+    the single most frequent n-gram (Gopher's top-2-gram filter).
+
+    Relational plan: build the n-gram array scan-locally (zip of
+    shifted token slices — same O(len) trick as dedup._shingle_array,
+    but KEEPING duplicates), posexplode, then ONE partial-agg groupBy
+    on (doc_id, ngram) and a per-doc max. Both shuffles are on compact
+    keys with map-side combine; no all-pairs anything, so the plan is
+    the one you'd run at 100 TB. Docs with fewer than n tokens yield
+    no n-grams and are excluded (as in the oracle)."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    m = F.size(toks)
+    grams = toks
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, F.greatest(m - i, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(0)))
+    exploded = docs.select("doc_id", F.explode(grams).alias("g"))
+    counts = exploded.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_ngrams"), F.max("c").alias("top_c"))
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            q6(F.col("top_c") / F.col("n_ngrams")).alias("top_frac"),
+        )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_token_frac: float = 0.6,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, dup_token_frac, stopword_hits,
+    passes): composed Gopher-rule quality filter — length bounds, mean
+    word length bounds, repetition cap, and a stopword-presence floor
+    (the reference rules, re-parameterized for this corpus's
+    distribution). One projection, zero shuffles; `passes` is the
+    boolean a cleaning pipeline would filter on."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = q6(sum_len / F.greatest(n, F.lit(1)))
+    dup_frac = q6((n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1)))
+    hits = _hits("en").cast("long")
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (dup_frac <= max_dup_token_frac)
+        & (hits >= min_stopword_hits)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_token_frac"),
+        hits.alias("stopword_hits"),
+        passes.alias("passes"),
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
     """MOSS-style winnowing fingerprints: rolling char k-gram hashes,
     min-sampled over every ``window`` consecutive hashes → the distinct
