@@ -304,7 +304,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = fixtures.read_events(spark, sf_dir)
         base = ev.select(
-            "user_id", F.expr("ts div 1000000").alias("timestamp"), "value", "event_type"
+            "user_id", fixtures._ts_ms(ev).alias("timestamp"), "value", "event_type"
         )
         left = base.filter(F.col("event_type") == "click").drop("event_type")
         right = base.filter(F.col("event_type") == "view").drop("event_type")

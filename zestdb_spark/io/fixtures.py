@@ -3,9 +3,17 @@
 SQL so the correctness oracle sees the same rows.
 
 Contract notes (verified empirically, Spark 4.1.2 vs DuckDB 1.0):
-- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as int64
-  nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and
-  ``ts div 1000000`` equals DuckDB's ``epoch_ms(ts)`` exactly.
+- ``events.ts`` has changed physical type across driver testdata
+  regenerations: round 1-3 files were parquet TIMESTAMP(NANOS) (Spark
+  reads them as int64 nanos under
+  ``spark.sql.legacy.parquet.nanosAsLong``, and ``ts div 1000000``
+  equals DuckDB's ``epoch_ms(ts)``); round-4+ files are timestamp[us]
+  (Spark reads TIMESTAMP_NTZ, and with session TZ UTC
+  ``unix_millis(cast(ts as timestamp))`` equals ``epoch_ms(ts)``
+  bit-exactly). ``_ts_ms`` branches on the loaded dtype so both
+  generations — and timestamp[ms] — map to the same epoch-ms
+  ``timestamp`` column. The DuckDB oracle side (``epoch_ms(ts)``) is
+  type-agnostic and never changes.
 - ``lineitem.l_shipdate`` / ``orders.o_orderdate`` are TIMESTAMP(MS) →
   Spark TIMESTAMP_NTZ; with session TZ UTC,
   ``unix_millis(cast(x as timestamp))`` equals ``epoch_ms(x)``.
@@ -45,12 +53,24 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harden_session(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
+    """Epoch-milliseconds from ``events.ts`` regardless of the parquet
+    physical type the driver generated (see module docstring).
+    Oracle-exact vs DuckDB ``epoch_ms(ts)`` under the UTC session TZ
+    ``harden_session`` sets; verified row-wise and in aggregate."""
+    dtype = dict(ev.dtypes)[col]
+    if dtype.startswith("timestamp"):
+        return F.unix_millis(F.col(col).cast("timestamp"))
+    # legacy TIMESTAMP(NANOS) read as int64 under nanosAsLong
+    return F.expr(f"{col} div 1000000")
+
+
 def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     tagged = F.col("user_id") % 5 != 0
     return ev.select(
         F.col("event_type").alias("series_id"),
-        F.expr("ts div 1000000").alias("timestamp"),
+        _ts_ms(ev).alias("timestamp"),
         F.col("value"),
         F.when(tagged, F.lit("k")).alias("tag_name"),
         F.when(tagged, F.get_json_object("props", "$.k")).alias("tag_value"),
@@ -72,7 +92,7 @@ def ts_blob_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return ev.select(
         F.col("event_type").alias("series_id"),
-        F.expr("ts div 1000000").alias("timestamp"),
+        _ts_ms(ev).alias("timestamp"),
         F.col("props").alias("data"),
     )
 
