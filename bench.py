@@ -62,31 +62,42 @@ def main() -> None:
     qs = entry.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # warm-up: JVM, parquet footer reads, codegen
-    qs[names[0]](spark, sf_dir).collect()
+    # warm-up: JVM, parquet footer reads, codegen (also fail-soft — a
+    # broken first query must not abort the suite before it starts)
+    try:
+        qs[names[0]](spark, sf_dir).collect()
+    except Exception:
+        pass
 
     # min of 2 runs per query: the first run can absorb stragglers from
-    # JIT/GC; the min is the steadier signal for round-over-round compare
-    timings: dict[str, float] = {}
+    # JIT/GC; the min is the steadier signal for round-over-round compare.
+    # FAIL-SOFT per query: one broken fixture must not zero the whole
+    # suite's signal (round 4 lesson) — record the error and keep going.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — any query failure
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:300]
+            timings[name] = {"err": msg[:300]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_sec",
+        "value": round(sum(t for t in timings.values() if isinstance(t, float)), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = len(errors)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -90,11 +90,46 @@ def _spread(df: DataFrame) -> DataFrame:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-    except Exception:  # stats unavailable — assume small, spreading is cheap
-        size = 0
+    except Exception:
+        # Stats probe unavailable (Spark Connect, internal-API drift):
+        # assume BIG and pass through. The failure mode of a wrong
+        # "small" guess is a full-corpus repartition — a 100 TB shuffle
+        # — while a wrong "big" guess only costs small-input parallelism.
+        return df
     if size < 512 * 1024 * 1024:
         return df.repartition(target)
     return df
+
+
+#: Size ceiling for the O(n²) baseline operators. ~1 GiB of input is
+#: already millions of docs/vectors — beyond it the all-pairs plans are
+#: scale-killers and the LSH-bucketed equivalents exist precisely so
+#: nobody runs these by accident on a real corpus.
+QUADRATIC_MAX_BYTES = 1 << 30
+
+
+def _guard_quadratic(df: DataFrame, op: str, alternative: str, allow: bool) -> None:
+    """Refuse an all-pairs baseline on large input. Uses the OPTIMIZER
+    size estimate (no job, same probe as _spread); if the probe is
+    unavailable the guard stays quiet — the explicit ``allow_quadratic``
+    flag remains the only way to force a knowingly-large run."""
+    if allow:
+        return
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return
+    if size >= (1 << 63) - 1:  # Long.MaxValue — Catalyst's "unknown" sentinel
+        return
+    if size > QUADRATIC_MAX_BYTES:
+        raise ValueError(
+            f"{op} is an exact all-pairs baseline (O(n²)) and its input is "
+            f"~{size // (1 << 20)} MiB (> {QUADRATIC_MAX_BYTES // (1 << 20)} "
+            f"MiB). Use {alternative} for large corpora, or pass "
+            "allow_quadratic=True to force it."
+        )
 
 
 def q6(col: F.Column) -> F.Column:
@@ -207,8 +242,20 @@ def _jaccard_from_shingles(
     )
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
-    """EXACT n-gram-Jaccard near-dup pairs (id_a, id_b, jaccard ≥ τ)."""
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    *,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs (id_a, id_b, jaccard ≥ τ).
+
+    Test-scale oracle baseline: the shingle self-join is quadratic-ish
+    in co-shingled docs. Guarded above QUADRATIC_MAX_BYTES — use
+    ``minhash_lsh_pairs`` (identical output at τ ≥ ~0.7, candidates
+    exactly verified) for real corpora."""
+    _guard_quadratic(docs, "jaccard_pairs", "minhash_lsh_pairs", allow_quadratic)
     sh = shingle_rows(docs, k)
     return _jaccard_from_shingles(sh, None).filter(F.col("jaccard") >= threshold)
 
@@ -449,16 +496,22 @@ def hybrid_dup_pairs(
 
 # ------------------------------------------------- embedding cosine dedup
 
-def embedding_dup_pairs(embs: DataFrame, tau: float = 0.45) -> DataFrame:
+def embedding_dup_pairs(
+    embs: DataFrame, tau: float = 0.45, *, allow_quadratic: bool = False
+) -> DataFrame:
     """Exact cosine near-duplicate pairs over an array<float> embedding
     column: (id_a, id_b, cos ≥ τ). Norms are precomputed per vector
     (one pass) so the pair join multiplies, not re-normalizes.
 
-    Exact all-pairs is O(n²·d) — the test-scale baseline; at 100 TB use
-    similarity.lsh_bucketed_pairs (hyperplane-bucketed) to bound the
-    candidate set.
+    Exact all-pairs is O(n²·d) — the test-scale baseline, guarded above
+    QUADRATIC_MAX_BYTES; at 100 TB use similarity.lsh_bucketed_pairs
+    (hyperplane-bucketed) to bound the candidate set.
     """
     from zestdb_spark.functions.similarity import with_norm, dot
+
+    _guard_quadratic(
+        embs, "embedding_dup_pairs", "similarity.lsh_bucketed_pairs", allow_quadratic
+    )
 
     e = with_norm(embs)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("norm_a"))

@@ -53,16 +53,37 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harden_session(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
+def ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
     """Epoch-milliseconds from ``events.ts`` regardless of the parquet
     physical type the driver generated (see module docstring).
     Oracle-exact vs DuckDB ``epoch_ms(ts)`` under the UTC session TZ
-    ``harden_session`` sets; verified row-wise and in aggregate."""
+    ``harden_session`` sets; verified row-wise and in aggregate.
+
+    Recognized dtypes, exhaustively:
+    - ``timestamp`` / ``timestamp_ntz`` — parquet TIMESTAMP(MICROS/
+      MILLIS); ``unix_millis`` after a tz-cast.
+    - ``bigint`` — parquet TIMESTAMP(NANOS) surfaced as int64 nanos
+      under ``nanosAsLong`` (harden_session sets it).
+    Anything else is schema drift in the generated testdata — fail
+    FAST with the observed dtype instead of silently mis-scaling
+    (the driver has changed the physical type twice already).
+    """
     dtype = dict(ev.dtypes)[col]
     if dtype.startswith("timestamp"):
         return F.unix_millis(F.col(col).cast("timestamp"))
-    # legacy TIMESTAMP(NANOS) read as int64 under nanosAsLong
-    return F.expr(f"{col} div 1000000")
+    if dtype == "bigint":
+        # legacy TIMESTAMP(NANOS) read as int64 under nanosAsLong
+        return F.expr(f"{col} div 1000000")
+    raise ValueError(
+        f"events.{col} has unexpected dtype {dtype!r}: expected a "
+        "timestamp type or int64 nanoseconds (nanosAsLong). The "
+        "testdata's parquet physical type drifted — extend ts_ms "
+        "deliberately rather than guessing a scale."
+    )
+
+
+#: Backwards-compatible alias — callers predating the public export.
+_ts_ms = ts_ms
 
 
 def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
