@@ -217,12 +217,21 @@ def ivf_topk(
     products + TakeOrderedAndProject. Zero shuffles, zero joins."""
     cents = codebook if codebook is not None else _ivf_centroids(embs, n_centroids)
     (qrow,) = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
-    import numpy as np  # driver-side probe ranking over m codebook rows
 
-    qv = np.asarray(qrow["v"])
+    # driver-side probe ranking over m codebook rows — sequential
+    # left-to-right fold (NOT np.dot: BLAS may reorder the summation)
+    # so the ranking is bit-identical to the engine's F.aggregate fold
+    # and to an oracle's list_dot_product
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qv = list(qrow["v"])
     ranked = sorted(
         cents,
-        key=lambda r: (-float(np.dot(r["v"], qv)) / (r["norm"] * qrow["norm"]), r["vec_id"]),
+        key=lambda r: (-_seq_dot(r["v"], qv) / (r["norm"] * qrow["norm"]), r["vec_id"]),
     )
     probe_ids = [int(r["vec_id"]) for r in ranked[:n_probe]]
 

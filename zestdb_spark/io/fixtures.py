@@ -10,7 +10,7 @@ Contract notes (verified empirically, Spark 4.1.2 vs DuckDB 1.0):
   equals DuckDB's ``epoch_ms(ts)``); round-4+ files are timestamp[us]
   (Spark reads TIMESTAMP_NTZ, and with session TZ UTC
   ``unix_millis(cast(ts as timestamp))`` equals ``epoch_ms(ts)``
-  bit-exactly). ``_ts_ms`` branches on the loaded dtype so both
+  bit-exactly). ``ts_ms`` branches on the loaded dtype so both
   generations — and timestamp[ms] — map to the same epoch-ms
   ``timestamp`` column. The DuckDB oracle side (``epoch_ms(ts)``) is
   type-agnostic and never changes.
@@ -91,7 +91,7 @@ def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = F.col("user_id") % 5 != 0
     return ev.select(
         F.col("event_type").alias("series_id"),
-        _ts_ms(ev).alias("timestamp"),
+        ts_ms(ev).alias("timestamp"),
         F.col("value"),
         F.when(tagged, F.lit("k")).alias("tag_name"),
         F.when(tagged, F.get_json_object("props", "$.k")).alias("tag_value"),
@@ -113,7 +113,7 @@ def ts_blob_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return ev.select(
         F.col("event_type").alias("series_id"),
-        _ts_ms(ev).alias("timestamp"),
+        ts_ms(ev).alias("timestamp"),
         F.col("props").alias("data"),
     )
 
