@@ -279,9 +279,10 @@ _KV_SQL = {
 
 # ----------------------------------------------------- extension operators
 # Dedup / similarity / text-analysis / multimodal over the documents and
-# embeddings tables. Oracles are hand-written exact-SQL mirrors; entries
-# whose algorithm is inherently approximate or non-SQL (simhash, LSH ANN)
-# have no oracle → driver records the weaker rows-only check.
+# embeddings tables. Every entry has a hand-written exact-SQL oracle —
+# including the "approximate" ones: approximation here means bounded
+# RECALL by construction (LSH buckets, probe width), never
+# nondeterminism, so fixed seeds/codebooks replay exactly in DuckDB.
 
 def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
@@ -507,6 +508,33 @@ _TOKS_CTE = (
     "t AS (SELECT doc_id, "
     "list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents)"
 )
+
+
+def _simhash_sql() -> str:
+    """Exact SimHash near-dup oracle: replays the engine's 60-bit
+    md5-prefix token hash and bitwise majority vote in DuckDB, then
+    checks ALL pairs at hamming ≤ 3 — which the engine's 4×15-bit
+    pigeonhole blocking provably equals (3 flipped bits leave at least
+    one chunk intact), so blocking is a pure execution detail."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x
+        FROM toks),
+      votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS s FROM votes)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
 
 _EXT_SQL: dict[str, str] = {
     "rs_locf_hourly": f"""
@@ -757,6 +785,25 @@ _EXT_SQL: dict[str, str] = {
               AND mean_len >= 2.0 AND mean_len <= 10.0
               AND dup_frac <= 0.6 AND hits >= 1) AS passes
       FROM s
+    """,
+    "dedup_simhash": _simhash_sql(),
+    "sim_topk_lsh": f"""
+      WITH {_EMB_NORM_CTE},
+      bk AS (
+        SELECT n.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(n.v, pv) > 0
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bucket
+        FROM n CROSS JOIN {_planes_values_sql(12, 64)}
+        GROUP BY n.vec_id),
+      b AS (SELECT n.vec_id, n.v, n.norm, bk.bucket
+            FROM n JOIN bk ON bk.vec_id = n.vec_id),
+      q AS (SELECT v AS qv, norm AS qnorm, bucket AS qb FROM b WHERE vec_id = 0)
+      SELECT b.vec_id,
+             floor(list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) * 1000000.0)
+               / 1000000.0 AS cosine
+      FROM b, q
+      WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+      ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
     """,
     "sim_lsh_bucketed_pairs": f"""
       WITH {_EMB_NORM_CTE},
