@@ -418,6 +418,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda s, d: textstats.repetition_stats(docs(s, d)),
         "text_top_ngram": lambda s, d: textstats.top_ngram_frac(docs(s, d)),
         "text_gopher": lambda s, d: textstats.gopher_quality(docs(s, d)),
+        "text_chunks": lambda s, d: __import__(
+            "zestdb_spark.functions.packing", fromlist=["chunk_tokens"]
+        ).chunk_tokens(docs(s, d), 64),
+        "text_pack_spans": lambda s, d: __import__(
+            "zestdb_spark.functions.packing", fromlist=["pack_spans"]
+        ).pack_spans(docs(s, d), 256),
         "text_fingerprint": lambda s, d: textstats.fingerprint(docs(s, d)),
         "text_winnow": lambda s, d: textstats.winnow_fingerprints(docs(s, d), 8, 4),
         "mm_features": lambda s, d: multimodal.extract_features(
@@ -784,6 +790,34 @@ _EXT_SQL: dict[str, str] = {
              (n >= 20 AND n <= 100000
               AND mean_len >= 2.0 AND mean_len <= 10.0
               AND dup_frac <= 0.6 AND hits >= 1) AS passes
+      FROM s
+    """,
+    "text_chunks": f"""
+      WITH {_TOKS_CTE},
+      c AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, CAST(ceil(len(toks) / 64.0) AS INTEGER) - 1)) AS chunk_idx
+            FROM t WHERE len(toks) > 0)
+      SELECT doc_id,
+             CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(len(toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS BIGINT) AS n_tokens,
+             array_to_string(toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text
+      FROM c
+    """,
+    "text_pack_spans": f"""
+      WITH {_TOKS_CTE},
+      c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+      o AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS off
+            FROM c),
+      s AS (SELECT doc_id, n, off,
+                   unnest(generate_series(off // 256, (off + n - 1) // 256)) AS block_id
+            FROM o)
+      SELECT block_id, doc_id,
+             greatest(block_id * 256 - off, 0) AS doc_tok_start,
+             greatest(off - block_id * 256, 0) AS block_tok_start,
+             least(off + n, block_id * 256 + 256) - greatest(off, block_id * 256) AS span_len
       FROM s
     """,
     "dedup_simhash": _simhash_sql(),

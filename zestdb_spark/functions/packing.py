@@ -1,0 +1,120 @@
+"""Sequence chunking & packing for LLM pretraining pipelines.
+
+Extension beyond the reference surface. Two operators:
+
+- ``chunk_tokens`` — split each document's token stream into
+  fixed-size windows (the "chunk one doc at a time" shape used for
+  context-window-bounded fine-tuning data). Entirely scan-local array
+  expressions: ZERO shuffles at any scale.
+
+- ``pack_spans`` — GPT-style pack-and-split: conceptually concatenate
+  ALL documents' tokens in doc_id order and cut the stream into
+  fixed-length training blocks, emitting for every (document × block)
+  overlap the span to copy. This needs a GLOBAL prefix sum of token
+  counts, which naively is a single-partition window — a scale-killer.
+  Instead it is computed as the classic two-level scan:
+
+    1. per-doc token counts (scan-local),
+    2. bucket subtotal per ``doc_id div bucket`` group (one partial
+       agg on a compact int key),
+    3. exclusive prefix over the ~n_docs/bucket subtotals with a
+       single-partition window — safe because the input is already
+       reduced by the bucket factor (control-plane-sized rows, never
+       raw docs),
+    4. broadcast-join the bucket bases back and add a within-bucket
+       running sum (window partitioned BY BUCKET — parallel again).
+
+  All arithmetic is integer, so results are bit-exact against the
+  DuckDB oracle's plain window cumsum.
+
+Both emit deterministic output for any partitioning/cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks() -> F.Column:
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def chunk_tokens(docs: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): consecutive
+    ``chunk_size``-token windows per document; the final chunk may be
+    short. Docs with zero tokens produce no chunks."""
+    c = int(chunk_size)
+    toks = _toks()
+    n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("__toks"), F.explode(idxs).alias("chunk_idx")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * c + 1, c)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_spans(
+    docs: DataFrame, seq_len: int = 256, bucket: int = 4096
+) -> DataFrame:
+    """(block_id, doc_id, doc_tok_start, block_tok_start, span_len):
+    for each training block of ``seq_len`` tokens in the packed
+    stream (all docs concatenated in doc_id order), the piece of each
+    document that lands in it. A doc spanning a block boundary emits
+    one row per touched block; empty docs emit nothing.
+
+    Token offsets are 0-based: ``doc_tok_start`` indexes into the
+    doc's own token array, ``block_tok_start`` into the block.
+    """
+    s = int(seq_len)
+    counts = docs.select(
+        "doc_id", F.size(_toks()).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    counts = counts.withColumn("b", (F.col("doc_id") / bucket).cast("long"))
+
+    # two-level exclusive prefix sum of n in doc_id order
+    subtotals = counts.groupBy("b").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = subtotals.select(
+        "b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("base")
+    )
+    wd = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        counts.join(F.broadcast(bases), "b")
+        .withColumn("off", F.col("base") + F.coalesce(F.sum("n").over(wd), F.lit(0)))
+        .select("doc_id", "n", "off")
+    )
+
+    # integer division (div), not double-divide-and-cast: exact at any
+    # stream length (double mantissa runs out past 2^53 tokens)
+    first_b = F.expr(f"off div {s}")
+    last_b = F.expr(f"(off + n - 1) div {s}")
+    spans = offs.select(
+        "doc_id", "n", "off", F.explode(F.sequence(first_b, last_b)).alias("block_id")
+    )
+    blk_start = F.col("block_id") * s  # block's global token offset
+    doc_tok_start = F.greatest(blk_start - F.col("off"), F.lit(0))
+    block_tok_start = F.greatest(F.col("off") - blk_start, F.lit(0))
+    span_len = (
+        F.least(F.col("off") + F.col("n"), blk_start + s)
+        - F.greatest(F.col("off"), blk_start)
+    )
+    return spans.select(
+        "block_id",
+        "doc_id",
+        doc_tok_start.alias("doc_tok_start"),
+        block_tok_start.alias("block_tok_start"),
+        span_len.alias("span_len"),
+    )
