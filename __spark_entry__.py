@@ -325,6 +325,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), bucket_ms=3_600_000
         )
 
+    def rollup_quantiles(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.rollup_quantiles(
+            fixtures.ts_numeric_from_events(spark, sf_dir), bucket_ms=21_600_000
+        )
+
     def locf(spark, sf_dir):
         from zestdb_spark.operators import resample
 
@@ -391,6 +398,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_asof_join": asof_clicks_to_views,
         "tmp_sessionize": sessions,
         "tmp_rollup_hour": rollup_hour,
+        "tmp_rollup_quantiles": rollup_quantiles,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(docs(s, d), 3, 0.8),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 16, 0.8),
@@ -657,6 +665,15 @@ _EXT_SQL: dict[str, str] = {
              min(value) AS min_value,
              max(value) AS max_value,
              {_EXACT_SUM_SQL} / count(value) AS mean_value
+      FROM ts GROUP BY 1, 2
+    """,
+    "tmp_rollup_quantiles": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id,
+             "timestamp" - ("timestamp" % 21600000) AS bucket_ms,
+             count(*) AS n,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95
       FROM ts GROUP BY 1, 2
     """,
     "dedup_exact": """

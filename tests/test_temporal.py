@@ -102,3 +102,18 @@ def test_rollup_time_bucket(spark):
     }
     assert out[0] == (2, 4.0, 1.0, 3.0, 2.0)
     assert out[3_600_000] == (1, 5.0, 5.0, 5.0, 5.0)
+
+
+def test_rollup_quantiles(ts):
+    from zestdb_spark.operators import temporal
+
+    rows = temporal.rollup_quantiles(ts, bucket_ms=10_000, probs=(0.5, 0.95)).collect()
+    by_key = {(r["series_id"], r["bucket_ms"]): r for r in rows}
+    # sensor1 rows all in bucket 0: values 1.0, 2.5, 43.0, 7.0, -1.5
+    r = by_key[("sensor1", 0)]
+    assert r["n"] == 5 and r["p50"] == 2.5
+    # p95 of 5 sorted values [-1.5, 1, 2.5, 7, 43]: idx 0.95*4=3.8 → 7 + 0.8*36 = 35.8
+    assert abs(r["p95"] - 35.8) < 1e-9
+    # single-row series: both quantiles equal the value
+    s = by_key[("single", 0)]
+    assert s["p50"] == 99.0 and s["p95"] == 99.0

@@ -159,3 +159,26 @@ def rollup_time_bucket(
             "mean_value"
         ),
     )
+
+
+def rollup_quantiles(
+    df: DataFrame,
+    bucket_ms: int,
+    probs: Sequence[float] = (0.5, 0.95),
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Per-bucket EXACT percentiles (p50/p95/... with linear
+    interpolation) — the observability rollup shape. Exact, not
+    percentile_approx: reference parity keeps aggregates exact (A6
+    median is exact), and bucket groups are bounded by the bucket
+    width, so the per-group sort is small no matter the corpus size.
+    One map-side-combinable groupBy, same single-shuffle shape as
+    rollup_time_bucket. For full-table unbucketed quantiles at 100 TB
+    switch to percentile_approx (documented tradeoff, SCALE.md)."""
+    bucket = (F.col(on) - (F.col(on) % bucket_ms)).alias("bucket_ms")
+    aggs = [
+        F.percentile(F.col("value"), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*by, bucket).agg(F.count(F.lit(1)).alias("n"), *aggs)
