@@ -426,6 +426,8 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda s, d: textstats.repetition_stats(docs(s, d)),
         "text_top_ngram": lambda s, d: textstats.top_ngram_frac(docs(s, d)),
         "text_gopher": lambda s, d: textstats.gopher_quality(docs(s, d)),
+        "text_redact": lambda s, d: textstats.redact_pii(docs(s, d)),
+        "text_url_stats": lambda s, d: textstats.url_stats(docs(s, d)),
         "text_chunks": lambda s, d: __import__(
             "zestdb_spark.functions.packing", fromlist=["chunk_tokens"]
         ).chunk_tokens(docs(s, d), 64),
@@ -808,6 +810,27 @@ _EXT_SQL: dict[str, str] = {
               AND mean_len >= 2.0 AND mean_len <= 10.0
               AND dup_frac <= 0.6 AND hits >= 1) AS passes
       FROM s
+    """,
+    "text_redact": r"""
+      WITH e AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_email,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(t1, '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g') AS text,
+             CAST(n_email + len(regexp_extract_all(t1, '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_redactions
+      FROM e
+    """,
+    "text_url_stats": r"""
+      WITH u AS (
+        SELECT doc_id, regexp_extract_all(text, 'https?://[^ ]+') AS urls
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(urls) AS BIGINT) AS n_urls,
+             list_sort(list_distinct(list_transform(urls,
+               x -> string_split(string_split(x, '://')[2], '/')[1]))) AS domains
+      FROM u
     """,
     "text_chunks": f"""
       WITH {_TOKS_CTE},

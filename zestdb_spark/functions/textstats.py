@@ -256,3 +256,45 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     formatting variants."""
     normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(F.trim(normalized)).alias("fp"))
+
+
+#: ASCII-anchored hygiene patterns — deliberately RE2-compatible (no
+#: backrefs, no lookaround) so Spark (Java regex) and any RE2-based
+#: oracle agree byte-for-byte on the same text.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+LONG_DIGITS_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9]+"  # 6+ digit runs
+URL_RE = r"https?://[^ ]+"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_redactions): emails → ``<EMAIL>``, 6+-digit
+    runs (phone/account/SSN-shaped) → ``<NUMBER>``. Pure
+    regexp_replace column expressions — scan-local, zero shuffles,
+    whole-stage codegen; the redaction count is what a pipeline audits
+    (how much PII-shaped text a source carries)."""
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    cleaned = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    n_num = F.size(F.regexp_extract_all(cleaned, F.lit(LONG_DIGITS_RE), F.lit(0)))
+    out = F.regexp_replace(cleaned, LONG_DIGITS_RE, "<NUMBER>")
+    return docs.select(
+        "doc_id",
+        out.alias("text"),
+        (n_email + n_num).cast("long").alias("n_redactions"),
+    )
+
+
+def url_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_urls, domains): URLs found and their sorted distinct
+    registrable hosts — the C4-style provenance signal used for
+    per-domain filtering/sampling. Scan-local array expressions; the
+    per-domain corpus histogram is then one explode + groupBy away."""
+    urls = F.regexp_extract_all(F.col("text"), F.lit(URL_RE), F.lit(0))
+    hosts = F.transform(
+        urls,
+        lambda u: F.split(F.split(u, "://").getItem(1), "/").getItem(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(urls).cast("long").alias("n_urls"),
+        F.array_sort(F.array_distinct(hosts)).alias("domains"),
+    )
