@@ -152,6 +152,58 @@ class ZestStore:
         df = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
         return df.select(*[f.name for f in _TABLES[table].fields], "write_id")
 
+    # --------------------------------------------------------- bucketing
+
+    def bucketize(self, table: str, n_buckets: int = 32) -> str:
+        """Publish a BUCKETED mirror of a TS table (hash-bucketed AND
+        sorted by series_id, timestamp) as a managed Spark table, and
+        return its name. Downstream groupBy/window on ``series_id``
+        over ``load_bucketed`` then runs with ZERO exchange — Spark
+        trusts the bucket layout instead of reshuffling (asserted in
+        tests/test_bucketed.py). This is the batch-analytics read path
+        at 100 TB: pay the shuffle once at publish time, every
+        subsequent per-series scan/agg/window is exchange-free. The
+        write path stays on the partitioned layout (cheap appends);
+        bucketize() is the OPTIMIZE-style republish step, run at the
+        same cadence as compact().
+
+        ``n_buckets`` should be sized so a bucket's hot-series rows fit
+        an executor (buckets ≈ executors at the target scale)."""
+        if table not in ("ts_numeric", "ts_blob"):
+            raise KeyError(f"{table!r} is not a TS table")
+        name = self._bucketed_name(table)
+        path = self._path(f"bucketed_{table}")
+        # republish atomically-enough for a maintenance op: drop the
+        # catalog entry and its EXTERNAL location (under the store
+        # root, so two stores can never collide in the warehouse)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            self.load(table)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(int(n_buckets), "series_id")
+            .sortBy("series_id", "timestamp")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return name
+
+    def _bucketed_name(self, table: str) -> str:
+        import hashlib
+
+        suffix = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"zest_bucketed_{table}_{suffix}"
+
+    def load_bucketed(self, table: str) -> DataFrame:
+        """Read the bucketed mirror published by ``bucketize`` (must
+        exist). Reads carry the bucket spec, so series_id aggregations
+        and windows skip their exchange."""
+        name = self._bucketed_name(table)
+        if not self.spark.catalog.tableExists(name):
+            raise KeyError(f"no bucketed mirror for {table!r} — run bucketize()")
+        return self.spark.table(name)
+
     # --------------------------------------------------------- provenance
 
     def set_request_context(
