@@ -402,6 +402,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(docs(s, d), 3, 0.8),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 16, 0.8),
+        # transitive closure of the near-dup relation: label-propagation
+        # connected components (iterative joins; only the converged? bit
+        # reaches the driver). Oracle = DuckDB recursive CTE.
+        "dedup_clusters": lambda s, d: dedup.dup_clusters(
+            dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 32, 0.5)
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(docs(s, d), 3),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), 0.45),
         "dedup_hybrid": lambda s, d: dedup.hybrid_dup_pairs(
@@ -689,6 +695,24 @@ _EXT_SQL: dict[str, str] = {
       FROM recrawl GROUP BY md5(text) HAVING count(*) > 1
     """,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    # same pair set as dedup_minhash's oracle (exact Jaccard ≥ 0.5, the
+    # 32-band capture curve makes LSH misses ≤ 1e-4 there and none occur
+    # in this corpus — verified), closed transitively via recursive CTE
+    "dedup_clusters": f"""
+      WITH RECURSIVE {_SHINGLE_CTE},
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
     # LSH candidates are exactly verified and FN prob ≤ 4e-8 at the data's
     # j≥0.9 pairs, so the exact-Jaccard result is the valid oracle.
     "dedup_minhash": _JACCARD_SQL,

@@ -63,3 +63,30 @@ def test_embedding_dup_pairs(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(e, 0.9).collect()}
     assert out == {(1, 2)}
+
+
+def test_dup_clusters_transitive_closure(spark):
+    from zestdb_spark.functions import dedup
+    from pyspark.sql import functions as F
+
+    # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    # separate pair 10-11, and a triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    rows = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_clusters_empty_and_canonical_filter(spark):
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.functions import dedup
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dup_clusters(empty).count() == 0
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    clusters = dedup.dup_clusters(pairs)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    assert [r["doc_id"] for r in keep.collect()] == [5]

@@ -541,3 +541,51 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= tau)
     )
+
+
+# ------------------------------------------------------- dup clustering
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs
+    (id_a, id_b) — the transitive closure a dedup pipeline actually
+    keys on (pairs alone under-merge: a~b, b~c must collapse to ONE
+    canonical doc). cluster_id = the smallest doc_id in the component,
+    so results are deterministic and a "keep the canonical" filter is
+    ``doc_id == cluster_id``.
+
+    Spark-iterative min-label propagation: each round joins labels
+    across edges and takes the per-node min — the data stays
+    distributed; only the converged? bit reaches the driver. Rounds
+    needed = graph diameter, which for near-dup graphs is tiny (dup
+    clusters are cliques-ish); ``max_iters`` is a guard, not a budget.
+    At extreme scale swap the inner step for the large-star/small-star
+    variant (halves diameter per round) — same loop shape.
+
+    Only docs that appear in some pair are labeled (singletons are
+    their own trivial cluster and never enter the edge list).
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+    e = _persist_bounded(
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    )
+    labels = e.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    # convergence probe: labels only ever DECREASE under min-propagation,
+    # so the label sum strictly decreases until the fixpoint — one cheap
+    # agg per round instead of a join-and-diff
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = e.join(labels, e.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("lbl")
+        )
+        labels = _persist_bounded(
+            labels.unionAll(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        (row,) = labels.agg(F.sum("lbl").alias("s")).collect()
+        if row["s"] == prev_sum:
+            break
+        prev_sum = row["s"]
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
