@@ -199,6 +199,28 @@ def _prov_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 predicate delete under the correctness gate: bulk-ingest the
+    events mapping into a fresh store, DELETE a filtered range through
+    the engine's path API (reference semantics src/server.re:976-1021
+    minus the collateral quirk — compat flag off), and return the
+    SURVIVORS. The oracle is the complement SQL over events, with
+    NULL-safe tag handling (untagged rows never match a filter —
+    dropped-row semantics, src/filter.re:9-14 — so they survive)."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_del_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    eng.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}/filter/k/equals/7")
+    return eng.store.load("ts_numeric")
+
+
 def _src_tail_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zest_tail data source (per-series limit pushdown, SURVEY
     §7.3) under the correctness gate: bulk-ingest the events mapping
@@ -274,6 +296,16 @@ _KV_SQL = {
              'POST' AS method,
              CASE WHEN n_regionkey < 2 THEN '/ts/bulk/nation_a' ELSE '/ts/bulk/nation_b' END AS path
       FROM nation
+    """,
+    # complement of the deleted predicate; coalesce(...,false) keeps
+    # untagged (NULL-tag) rows — they never match a filter, so survive
+    "del_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
+      WHERE NOT coalesce(
+        series_id IN ('click', 'view')
+        AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15}
+        AND tag_name = 'k' AND tag_value = '7', false)
     """,
 }
 
@@ -1049,6 +1081,10 @@ GRADED_WINDOW: list[str] = [
     # write-side provenance + the zest_tail pushdown source (write surface
     # and custom-scan surface, both driver-graded)
     "prov_write_join", "src_tail_last_n",
+    # delete surface (D1 predicate delete round-trip through the engine;
+    # mm_frame_sample demoted to the tail to make room — the multimodal
+    # family keeps three graded rows: features + both decodes)
+    "del_roundtrip",
     # extension operators — every family graded
     "rs_locf_hourly",
     "blob_json_extract",
@@ -1059,7 +1095,7 @@ GRADED_WINDOW: list[str] = [
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
     "text_token_count", "text_quality", "text_langid", "text_gopher",
     "text_winnow",
-    "mm_features", "mm_frame_sample", "mm_decode_wav", "mm_decode_image",
+    "mm_features", "mm_decode_wav", "mm_decode_image",
 ]
 
 
@@ -1077,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["catalog_get"] = _catalog_get
     out["prov_write_join"] = _prov_write_join
     out["src_tail_last_n"] = _src_tail_last_n
+    out["del_roundtrip"] = _del_roundtrip
     out.update(_ext_queries())
     ordered = {name: out.pop(name) for name in GRADED_WINDOW}
     ordered.update(out)  # long tail of path variants — outside the window
