@@ -200,10 +200,12 @@ def _prov_write_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 predicate delete under the correctness gate: bulk-ingest the
-    events mapping into a fresh store, DELETE a filtered range through
-    the engine's path API (reference semantics src/server.re:976-1021
-    minus the collateral quirk — compat flag off), and return the
+    """D1 predicate delete + S7 compaction under the correctness gate:
+    bulk-ingest the events mapping into a fresh store, DELETE a
+    filtered range through the engine's path API (reference semantics
+    src/server.re:976-1021 minus the collateral quirk — compat flag
+    off), COMPACT the store (the reference's shard overlap-merge as an
+    OPTIMIZE pass — must be content-preserving), and return the
     SURVIVORS. The oracle is the complement SQL over events, with
     NULL-safe tag handling (untagged rows never match a filter —
     dropped-row semantics, src/filter.re:9-14 — so they survive)."""
@@ -218,6 +220,7 @@ def _del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         client="loader",
     )
     eng.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}/filter/k/equals/7")
+    eng.store.compact("ts_numeric")
     return eng.store.load("ts_numeric")
 
 
