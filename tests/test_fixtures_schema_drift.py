@@ -87,3 +87,16 @@ def test_ts_ms_public_alias():
     """__spark_entry__ uses the private name; both must be the same
     callable so the alias can't drift."""
     assert fixtures._ts_ms is fixtures.ts_ms
+
+
+def test_ts_ms_date_dtype(spark, tmp_path):
+    """DATE columns (a plausible future lineitem regeneration) map to
+    midnight-UTC epoch-ms, matching DuckDB epoch_ms(DATE)."""
+    import datetime
+
+    path = str(tmp_path / "dates.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([datetime.date(2024, 1, 10), datetime.date(1996, 1, 1)])}),
+        path,
+    )
+    assert _read_ms(spark, path) == [820454400000, 1704844800000]

@@ -62,6 +62,7 @@ def ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
     Recognized dtypes, exhaustively:
     - ``timestamp`` / ``timestamp_ntz`` — parquet TIMESTAMP(MICROS/
       MILLIS); ``unix_millis`` after a tz-cast.
+    - ``date`` — midnight UTC, matching DuckDB ``epoch_ms(DATE)``.
     - ``bigint`` — parquet TIMESTAMP(NANOS) surfaced as int64 nanos
       under ``nanosAsLong`` (harden_session sets it).
     Anything else is schema drift in the generated testdata — fail
@@ -69,7 +70,7 @@ def ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
     (the driver has changed the physical type twice already).
     """
     dtype = dict(ev.dtypes)[col]
-    if dtype.startswith("timestamp"):
+    if dtype.startswith("timestamp") or dtype == "date":
         return F.unix_millis(F.col(col).cast("timestamp"))
     if dtype == "bigint":
         # legacy TIMESTAMP(NANOS) read as int64 under nanosAsLong
@@ -132,7 +133,7 @@ def ts_numeric_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = harden_session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.select(
         F.concat(F.lit("li_"), F.col("l_returnflag")).alias("series_id"),
-        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+        ts_ms(li, "l_shipdate").alias("timestamp"),
         F.col("l_extendedprice").alias("value"),
         F.lit("status").alias("tag_name"),
         F.col("l_linestatus").alias("tag_value"),
