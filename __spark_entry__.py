@@ -638,7 +638,7 @@ _EXT_SQL: dict[str, str] = {
                {_HITS['en']} AS hits
         FROM documents),
       q AS (SELECT doc_id, text, n,
-                   floor((floor(hits / n * 1000000.0) / 1000000.0 * 0.5
+                   floor((floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 * 0.5
                           + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
             FROM base),
       gated AS (SELECT doc_id, text, n, score FROM q WHERE score >= 0.1),
@@ -806,8 +806,8 @@ _EXT_SQL: dict[str, str] = {
         FROM documents)
       SELECT doc_id,
              n AS n_tokens,
-             floor(hits / n * 1000000.0) / 1000000.0 AS stopword_ratio,
-             floor((floor(hits / n * 1000000.0) / 1000000.0 * 0.5
+             floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 AS stopword_ratio,
+             floor((floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 * 0.5
                     + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
       FROM t
     """,

@@ -40,7 +40,7 @@ def clean_corpus(
     # stage 1: quality gate as a scan-local predicate (same arithmetic
     # as textstats.quality_score, kept alongside text so no join-back)
     n = F.size(F.filter(_tokens(), lambda t: t != "")).cast("long")
-    ratio = q6(_hits("en") / n)
+    ratio = q6(_hits("en") / F.greatest(n, F.lit(1)))  # ANSI: no 0-div
     score = q6(ratio * 0.5 + F.least(n, F.lit(400)) / 400 * 0.5)
     gated = (
         docs.withColumn("__n", n)

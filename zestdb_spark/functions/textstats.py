@@ -76,11 +76,14 @@ def punct_ratio(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
-    stopword density plus a capped length credit; round 6."""
+    stopword density plus a capped length credit; round 6. Zero-token
+    docs score 0.0 (greatest(n,1) guards the division — under ANSI
+    mode a bare hits/n THROWS on empty text; found by the
+    oracle-equivalence property tests)."""
     toks = _tokens()
     n = F.size(F.filter(toks, lambda t: t != "")).cast("long")
     hits = _hits("en")
-    ratio = q6(hits / n)
+    ratio = q6(hits / F.greatest(n, F.lit(1)))
     length_credit = F.least(n, F.lit(400)) / 400
     score = q6(ratio * 0.5 + length_credit * 0.5)
     return docs.select(
