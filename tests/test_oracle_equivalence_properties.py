@@ -92,3 +92,28 @@ def test_text_oracle_equivalence(spark, name, rows):
         "text_chunks": lambda d: packing.chunk_tokens(d, 64),
     }[name]
     assert _norm(fn(df).collect()) == _norm(_duck_rows(name, rows))
+
+
+# word-built docs from a tiny vocab so shingles/hashes collide across
+# docs and the pair operators produce non-trivial output
+_word_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "x"]), min_size=0, max_size=10
+).map(" ".join)
+_word_corpus = st.lists(_word_doc, min_size=1, max_size=5).map(
+    lambda ts: [(i, t) for i, t in enumerate(ts)]
+)
+
+
+@given(rows=_word_corpus)
+@_SETTINGS
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "text_winnow", "dedup_simhash"])
+def test_hash_oracle_equivalence(spark, name, rows):
+    from zestdb_spark.functions import dedup, textstats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fn = {
+        "dedup_ngram_jaccard": lambda d: dedup.jaccard_pairs(d, 3, 0.8),
+        "text_winnow": lambda d: textstats.winnow_fingerprints(d, 8, 4),
+        "dedup_simhash": lambda d: dedup.simhash_pairs(d, 3),
+    }[name]
+    assert _norm(fn(df).collect()) == _norm(_duck_rows(name, rows))
