@@ -117,3 +117,51 @@ def test_hash_oracle_equivalence(spark, name, rows):
         "dedup_simhash": lambda d: dedup.simhash_pairs(d, 3),
     }[name]
     assert _norm(fn(df).collect()) == _norm(_duck_rows(name, rows))
+
+
+# 64-dim float32 vectors (the LSH/IVF oracles embed 64-dim literal
+# planes); components bounded away from zero so norms never vanish
+# (zero-norm cosine is out of contract on both engines)
+_component = st.tuples(
+    st.floats(min_value=0.0009765625, max_value=2.0, allow_nan=False, width=32),
+    st.booleans(),
+).map(lambda t: t[0] if t[1] else -t[0])
+_vec = st.lists(_component, min_size=64, max_size=64)
+_embs = st.lists(_vec, min_size=2, max_size=5).map(
+    lambda vs: [(i, v) for i, v in enumerate(vs)]
+)
+
+_VEC_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _duck_vec_rows(name: str, rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    out = con.execute(_ORACLES[name]).fetchall()
+    con.close()
+    return out
+
+
+@given(rows=_embs)
+@_VEC_SETTINGS
+@pytest.mark.parametrize(
+    "name", ["sim_topk_bruteforce", "dedup_embedding_cosine", "sim_lsh_bucketed_pairs"]
+)
+def test_vector_oracle_equivalence(spark, name, rows):
+    """The docstring claim under test: F.aggregate's left fold over
+    zip_with is bit-identical to DuckDB list_dot_product, so cosine
+    scores (q6-floored) hash-match on arbitrary float32 vectors."""
+    from zestdb_spark.functions import dedup, similarity
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fn = {
+        "sim_topk_bruteforce": lambda d: similarity.cosine_topk(d, 0, 10),
+        "dedup_embedding_cosine": lambda d: dedup.embedding_dup_pairs(d, 0.45),
+        "sim_lsh_bucketed_pairs": lambda d: similarity.lsh_bucketed_pairs(d, 0.45),
+    }[name]
+    assert _norm(fn(df).collect()) == _norm(_duck_vec_rows(name, rows))
