@@ -322,7 +322,13 @@ _KV_SQL = {
 def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark.sql import functions as F
 
-    from zestdb_spark.functions import dedup, multimodal, similarity, textstats
+    from zestdb_spark.functions import (
+        corpus_ops,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
     def docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -498,7 +504,31 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": lambda s, d: multimodal.decode_features(
             multimodal.resize_images(multimodal.synth_image_assets(s, d), 8, 4)
         ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        # corpus-level training-data ops (functions/corpus_ops.py):
+        # hash-deterministic split/sampling (never rand()), mixture
+        # stats, benchmark decontamination, vocab/tf-idf, int8
+        # embedding quantization
+        "corpus_split": lambda s, d: corpus_ops.hash_split(docs(s, d)),
+        "corpus_sample": lambda s, d: corpus_ops.stratified_sample(
+            docs(s, d), _SAMPLE_FRACTIONS
+        ),
+        "corpus_source_stats": lambda s, d: corpus_ops.source_stats(docs(s, d)),
+        "corpus_topk_per_lang": lambda s, d: corpus_ops.topk_per_group(docs(s, d), 3),
+        "text_vocab": lambda s, d: corpus_ops.vocab_topk(docs(s, d), 50),
+        "text_tfidf": lambda s, d: corpus_ops.tf_idf(docs(s, d)),
+        # benchmark set = every 97th doc; the check flags TRAINING docs
+        # sharing any 3-shingle with it
+        "text_decontam": lambda s, d: corpus_ops.decontaminate(
+            docs(s, d).filter(F.col("doc_id") % 97 != 0),
+            docs(s, d).filter(F.col("doc_id") % 97 == 0),
+        ),
+        "emb_quantize": lambda s, d: corpus_ops.quantize_embeddings(embs(s, d)),
     }
+
+
+#: Deterministic per-language sampling fractions for corpus_sample —
+#: mirrored literally in the oracle's CASE expression.
+_SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.3, "zh": 0.1}
 
 
 _SHINGLE_CTE = """
@@ -543,6 +573,12 @@ _HITS = {
 }
 
 _EXACT_SUM_SQL = "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+
+#: corpus_ops.hash_bucket replayed in DuckDB: md5-hex prefix (60 bits,
+#: fits a signed long) mod N — identical to Spark's conv(substr(md5)).
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {mod}"
+)
 
 
 def _planes_values_sql(nbits: int = 8, dim: int = 64) -> str:
@@ -1044,6 +1080,112 @@ _EXT_SQL: dict[str, str] = {
              CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
       FROM documents
     """,
+    # ------------------------------------------------ corpus_ops family
+    # hash_bucket replay: same md5-prefix-60-bit construction as the
+    # SimHash oracle, so bucket numbers agree bit-for-bit
+    "corpus_split": f"""
+      WITH b AS (
+        SELECT doc_id, {_BUCKET_SQL.format(expr='doc_id', mod=100)} AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 10 THEN 'val'
+                  WHEN bucket < 20 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM b
+    """,
+    "corpus_sample": f"""
+      WITH b AS (
+        SELECT doc_id, lang,
+               {_BUCKET_SQL.format(expr='doc_id', mod=1000000)} AS bucket
+        FROM documents)
+      SELECT doc_id, lang FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000
+                               WHEN 'de' THEN 300000 WHEN 'fr' THEN 300000
+                               WHEN 'zh' THEN 100000 ELSE 0 END
+    """,
+    "corpus_source_stats": f"""
+      WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+               {_HITS['en']} AS hits
+        FROM documents),
+      q AS (SELECT doc_id, source, n,
+                   floor((floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 * 0.5
+                          + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
+            FROM t)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(score) AS mean_score
+      FROM q GROUP BY source
+    """,
+    "corpus_topk_per_lang": f"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+               {_HITS['en']} AS hits
+        FROM documents),
+      q AS (SELECT doc_id, lang,
+                   floor((floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 * 0.5
+                          + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS score
+            FROM t),
+      r AS (SELECT lang, doc_id, score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM q)
+      SELECT lang, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+      FROM r WHERE rnk <= 3
+    """,
+    "text_vocab": """
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+      r AS (SELECT tok, freq,
+                   row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+            FROM c)
+      SELECT tok, freq, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 50
+    """,
+    "text_tfidf": """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      nd AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             floor(CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df.df)
+                   * 1000000.0) / 1000000.0 AS tfidf
+      FROM tf JOIN df USING (tok), nd
+    """,
+    "text_decontam": """
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      words AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w,1) AS i
+                FROM toks),
+      sh AS (SELECT DISTINCT doc_id,
+                    tok || ' ' || lead(tok,1) OVER (PARTITION BY doc_id ORDER BY i)
+                        || ' ' || lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+             FROM words
+             QUALIFY lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    """,
+    "emb_quantize": """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      m AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS maxabs
+            FROM e)
+      SELECT vec_id,
+             maxabs / 127.0 AS scale,
+             CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x / (maxabs / 127.0)) AS INTEGER))
+             END AS qvec
+      FROM m
+    """,
 }
 
 # --------------------------------------------------------------------------
@@ -1069,6 +1211,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   rs_distinct_tags — resample family graded via the harder rs_locf_hourly
 #   dedup_simhash / sim_topk_lsh — inherently no_oracle (approximate),
 #                      structurally red inside the window
+#   dedup_ngram_jaccard — the quadratic baseline shares dedup_minhash's
+#                      exact-Jaccard oracle; family stays graded 3×
+#   dedup_hybrid     — composition of minhash (graded) + cosine (graded)
+#   text_token_count — n_tokens is a graded column of text_quality
+#   mm_features      — stub path; the REAL decode paths (mm_decode_wav/
+#                      image) stay graded
+# Their four slots grade the corpus_ops family (round-6 addition):
+# stratified sampling, mixture stats, tf-idf, decontamination.
 GRADED_WINDOW: list[str] = [
     # §2 read families over the events mapping (T4 T5 T3 P3 P4 P1 P2 A2-A7 S3)
     "ts_latest_multi", "ts_earliest_multi", "ts_first_n_multi",
@@ -1093,12 +1243,12 @@ GRADED_WINDOW: list[str] = [
     "blob_json_extract",
     "an_revenue_join", "pipe_clean_corpus",
     "tmp_asof_join", "tmp_sessionize", "tmp_rollup_hour",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_embedding_cosine", "dedup_hybrid",
+    "dedup_exact", "dedup_minhash", "dedup_embedding_cosine",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
-    "text_token_count", "text_quality", "text_langid", "text_gopher",
-    "text_winnow",
-    "mm_features", "mm_decode_wav", "mm_decode_image",
+    "text_quality", "text_langid", "text_gopher", "text_winnow",
+    "text_tfidf", "text_decontam",
+    "corpus_sample", "corpus_source_stats",
+    "mm_decode_wav", "mm_decode_image",
 ]
 
 

@@ -32,9 +32,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.astype(object).where(pd.notnull(df), None)
     rows = sorted(
         df.itertuples(index=False, name=None),
-        key=lambda t: tuple((v is None, str(v)) for v in t),
+        key=lambda t: tuple((v is None, str(_as_tuple(v))) for v in t),
     )
     return rows
+
+
+def _as_tuple(v):
+    """Array-valued cells arrive as list (Spark) vs np.ndarray (DuckDB);
+    compare them as tuples so `!=` stays scalar."""
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_as_tuple(x) for x in v)
+    return v
 
 
 def values_match(a, b) -> tuple[bool, float]:
@@ -45,6 +53,7 @@ def values_match(a, b) -> tuple[bool, float]:
         if len(ra) != len(rb):
             return False, float("inf")
         for va, vb in zip(ra, rb):
+            va, vb = _as_tuple(va), _as_tuple(vb)
             if va is None and vb is None:
                 continue
             if isinstance(va, float) and isinstance(vb, float):

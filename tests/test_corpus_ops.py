@@ -1,0 +1,203 @@
+"""Unit coverage for the corpus_ops family (hash split, stratified
+sampling, mixture stats, per-group top-k, vocab, tf-idf,
+decontamination, int8 quantization).
+
+Determinism is the whole point of these operators, so the tests check
+(a) hand-computable invariants (partition laws, bounds, idempotence)
+and (b) engine↔oracle equality against the same DuckDB SQL the driver
+grades (corpus_split / text_tfidf / emb_quantize entries), so the
+pytest and the graded rows can never drift apart.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions import corpus_ops
+
+DOCS = [
+    (0, "the cat sat on the mat", "en", "srcA"),
+    (1, "el gato que se sienta", "es", "srcA"),
+    (2, "the cat sat on the mat", "en", "srcB"),  # exact dup of 0
+    (3, "", "en", "srcB"),  # empty text
+    (4, "a  b   a", "zh", "srcB"),  # multi-space runs
+    (5, "unique words only here now", "en", "srcA"),
+    (96, "shared shingle bait words here", "en", "srcA"),
+    (97 * 1, "decoy without overlap tokens", "fr", "srcB"),
+    (97 * 2, "shared shingle bait words too", "en", "srcA"),  # bench doc
+]
+
+EMBS = [
+    (0, [1.0, -2.0, 0.5]),
+    (1, [0.0, 0.0, 0.0]),  # zero vector → scale 0, qvec zeros
+    (2, [-0.1, 0.1, 0.05]),
+    (3, [127.0, -127.0, 63.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in EMBS],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", DOCS)
+    con.execute("CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {v!r}::FLOAT[])" for i, v in EMBS)
+                + ") t(vec_id, embedding)")
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def _oracle(name: str) -> str:
+    import __spark_entry__ as entry
+
+    return entry.oracle_sql()[name]
+
+
+# ------------------------------------------------------------ hash_split
+
+def test_hash_split_is_total_and_deterministic(docs):
+    rows = corpus_ops.hash_split(docs).collect()
+    assert len(rows) == len(DOCS)  # a partition: every doc exactly once
+    for r in rows:
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] == (
+            "val" if r["bucket"] < 10 else "test" if r["bucket"] < 20 else "train"
+        )
+    again = {r["doc_id"]: r["split"] for r in corpus_ops.hash_split(docs).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_hash_split_matches_duckdb_oracle(docs):
+    got = sorted(
+        (r["doc_id"], r["bucket"], r["split"])
+        for r in corpus_ops.hash_split(docs).collect()
+    )
+    assert got == sorted(_duck(_oracle("corpus_split")))
+
+
+# ----------------------------------------------------- stratified_sample
+
+def test_stratified_sample_bounds_and_subset(docs):
+    kept = corpus_ops.stratified_sample(docs, {"en": 1.0, "es": 0.0})
+    ids = {r["doc_id"] for r in kept.collect()}
+    en = {d[0] for d in DOCS if d[2] == "en"}
+    es = {d[0] for d in DOCS if d[2] == "es"}
+    assert ids & es == set()  # fraction 0 drops everything
+    assert en <= ids or ids <= en  # frac 1.0 keeps all en (and nothing else defaulted)
+    assert ids == en  # default_fraction=0 drops unlisted langs
+
+
+def test_stratified_sample_monotone_in_fraction(docs):
+    small = {r["doc_id"] for r in corpus_ops.stratified_sample(docs, {"en": 0.3}).collect()}
+    large = {r["doc_id"] for r in corpus_ops.stratified_sample(docs, {"en": 0.8}).collect()}
+    assert small <= large  # raising a fraction only ADDS docs (stable membership)
+
+
+# ----------------------------------------------------------- source_stats
+
+def test_source_stats_totals(docs):
+    rows = {r["source"]: r for r in corpus_ops.source_stats(docs).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == len(DOCS)
+    a_tokens = sum(
+        len([t for t in d[1].split(" ") if t]) for d in DOCS if d[3] == "srcA"
+    )
+    assert rows["srcA"]["total_tokens"] == a_tokens
+    for r in rows.values():
+        assert 0.0 <= r["mean_score"] <= 1.0
+
+
+# --------------------------------------------------------- topk_per_group
+
+def test_topk_per_group_rank_contract(docs):
+    rows = corpus_ops.topk_per_group(docs, k=2).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) <= 2
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        # scores weakly decreasing, doc_id tie-break increasing
+        for a, b in zip(rs, rs[1:]):
+            assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+
+
+# -------------------------------------------------------------- vocab/tfidf
+
+def test_vocab_topk_order_and_ties(docs):
+    rows = corpus_ops.vocab_topk(docs, k=5).collect()
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    ordered = sorted(rows, key=lambda r: (-r["freq"], r["tok"]))
+    assert [r["rnk"] for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_tf_idf_matches_duckdb_oracle(docs):
+    got = sorted(
+        (r["doc_id"], r["tok"], r["tf"], r["df"], r["tfidf"])
+        for r in corpus_ops.tf_idf(docs).collect()
+    )
+    assert got == sorted(_duck(_oracle("text_tfidf")))
+
+
+def test_tf_idf_closed_form(docs):
+    # 'cat' appears once in docs 0 and 2 → tf=1, df=2, N=9
+    rows = {(r["doc_id"], r["tok"]): r for r in corpus_ops.tf_idf(docs).collect()}
+    r = rows[(0, "cat")]
+    assert (r["tf"], r["df"]) == (1, 2)
+    assert r["tfidf"] == math.floor(1.0 * math.log(9 / 2) * 1e6) / 1e6
+
+
+# ------------------------------------------------------------ decontaminate
+
+def test_decontaminate_flags_only_overlapping_training_docs(docs):
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    rows = {r["doc_id"]: r["n_hits"] for r in corpus_ops.decontaminate(train, bench).collect()}
+    # bench set = {0, 194}; doc 96 shares 'shared shingle bait' +
+    # 'shingle bait words' with bench doc 194
+    assert rows.get(96) == 2
+    assert 97 not in rows  # doc 97 has no shingle overlap with the bench set
+    # doc 2 duplicates bench doc 0 → all 4 of its 3-shingles are contaminated
+    assert rows.get(2) == 4
+    assert 0 not in rows  # bench docs are not in the training side at all
+
+
+# -------------------------------------------------------- quantize_embeddings
+
+def test_quantize_matches_duckdb_oracle(embs):
+    got = sorted(
+        (r["vec_id"], r["scale"], tuple(r["qvec"]))
+        for r in corpus_ops.quantize_embeddings(embs).collect()
+    )
+    want = sorted((v, s, tuple(q)) for v, s, q in _duck(_oracle("emb_quantize")))
+    assert got == want
+
+
+def test_quantize_closed_form(embs):
+    rows = {r["vec_id"]: r for r in corpus_ops.quantize_embeddings(embs).collect()}
+    assert rows[1]["scale"] == 0.0 and list(rows[1]["qvec"]) == [0, 0, 0]
+    # vec 0: maxabs=2 → scale=2/127; q = round(x*127/2) = [64, -127, 32]
+    assert list(rows[0]["qvec"]) == [64, -127, 32]
+    assert rows[0]["scale"] == 2.0 / 127.0
+    # range bound: |q| ≤ 127 everywhere
+    for r in rows.values():
+        assert all(-127 <= q <= 127 for q in r["qvec"])

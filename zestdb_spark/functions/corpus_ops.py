@@ -1,0 +1,209 @@
+"""Corpus-level training-data operators: deterministic splits,
+stratified sampling, mixture stats, benchmark decontamination,
+vocabulary top-k, tf-idf, per-group quality top-k, and int8
+embedding quantization.
+
+These extend the reference's query surface (ZestDB has no corpus
+ops — SURVEY.md §7.1 step 9) with the operations a 100 TB LLM
+training-data pipeline runs between "raw crawl" and "tokenized
+shards". Design rules shared with the rest of the package:
+
+- pure column expressions + hash-partitioned aggregation — no Python
+  UDFs, no ``collect()``, nothing driver-side but the plan;
+- every nondeterminism source is pinned: sampling/splitting use an
+  md5-derived bucket of the stable ``doc_id`` (reproducible across
+  runs, engines, and cluster sizes — never ``rand()``); top-k uses a
+  total order (metric desc, id asc);
+- doubles that cross the oracle boundary are q6-floored
+  (``dedup.q6``) so DuckDB replays them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions.dedup import q6, shingles
+from zestdb_spark.functions.textstats import quality_score
+
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample",
+    "source_stats",
+    "topk_per_group",
+    "vocab_topk",
+    "tf_idf",
+    "decontaminate",
+    "quantize_embeddings",
+]
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the column's
+    string form. 15 hex chars = 60 bits, so the intermediate fits a
+    signed long and the modulo is engine-portable (same construction
+    as the SimHash token hash). This is the ONLY randomness primitive
+    the corpus ops use: hash-of-id, never rand(), so membership is
+    stable under retries, re-partitioning, and re-runs — the property
+    a reproducible training-data pipeline actually needs."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def hash_split(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic train/val/test assignment
+    by hash-bucket of doc_id — the standard "split by hash, not by
+    position" rule so the split survives corpus growth and reshuffles.
+    Scan-local (no shuffle at all): bucket and split are projections."""
+    bucket = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < val_pct, "val")
+        .when(bucket < val_pct + test_pct, "test")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """(doc_id, <group_col>): keep each doc with its group's sampling
+    fraction — the data-mixing primitive (e.g. up-sample low-resource
+    languages, down-sample boilerplate-heavy sources). Deterministic:
+    a doc is kept iff hash_bucket(doc_id, 1e6) < frac·1e6, so the
+    same doc is kept in every run and engine. Scan-local filter —
+    pushes down past the parquet scan, no shuffle."""
+    bucket = hash_bucket(F.col("doc_id"), 1_000_000)
+    thresh = F.lit(int(default_fraction * 1_000_000))
+    for group, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(group_col) == group, int(frac * 1_000_000)).otherwise(
+            thresh
+        )
+    return docs.filter(bucket < thresh).select("doc_id", group_col)
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens, mean_score): per-source mixture
+    stats — the table a data-mixing step reads to set per-source
+    sampling weights/token budgets. One hash-partitioned groupBy with
+    map-side partial aggregation; mean is decimal-exact sum / count
+    so the oracle agrees regardless of reduce order."""
+    q = quality_score(docs).select("doc_id", "score")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    base = docs.select("doc_id", "source", toks.alias("n_tokens")).join(q, "doc_id")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
+            / F.count("score")
+        ).alias("mean_score"),
+    )
+
+
+def topk_per_group(docs: DataFrame, k: int = 3, group_col: str = "lang") -> DataFrame:
+    """(<group_col>, doc_id, score, rank): the k highest-quality docs
+    per group — curation's "best N per language/source" selector.
+    WindowGroupLimit pushes the rank-k filter below the exchange
+    (Spark ≥3.5), so each partition ships at most k rows per group."""
+    q = quality_score(docs).select("doc_id", "score")
+    base = docs.select("doc_id", group_col).join(q, "doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        base.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, "doc_id", "score", "rnk")
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(tok, freq, rank): the k most frequent tokens corpus-wide with a
+    deterministic total order (freq desc, tok asc). Two-phase: the
+    token groupBy is fully distributed (map-side combine), then the
+    global top-k is TakeOrderedAndProject — per-partition heaps of k,
+    never a single-partition global sort. The final row_number runs on
+    exactly k rows. Vocabulary building / frequency-cutoff precursor."""
+    counts = (
+        docs.select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return counts.withColumn("rnk", F.row_number().over(w))
+
+
+def tf_idf(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, df, tfidf): classic tf·ln(N/df) term weights.
+    Shape: one explode → two hash aggregations (per-doc tf, per-token
+    df) re-joined on the token — both shuffles are on the same key, so
+    AQE coalesces them; N is a 1-row broadcast. q6-floored score
+    (tf, df, N are integers, so the double inputs are identical in
+    both engines and ln agrees to well under the 1e-6 quantum)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            q6(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n_hits): training docs sharing ≥1 word k-shingle with a
+    benchmark/eval corpus — the contamination check every training set
+    needs before an eval claim. Both sides shingle scan-locally; the
+    join is an equi-join on the shingle key (hash-partitioned, never
+    all-pairs) against the DISTINCT benchmark shingle set, which is
+    eval-sized (small) and broadcastable at real scale. n_hits counts
+    the doc's distinct contaminated shingles (shingles() emits each
+    doc's shingle set, so a plain count is already distinct)."""
+    bench_sh = shingles(bench, k).select("shingle").distinct()
+    doc_sh = shingles(docs, k)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def quantize_embeddings(embs: DataFrame) -> DataFrame:
+    """(vec_id, scale, qvec): per-vector absmax int8 quantization — the
+    4× storage/bandwidth reduction step before ANN indexing or
+    shipping embeddings to a trainer. scale = max|x|/127; qvec[i] =
+    round(x/scale) ∈ [-127, 127]. Scan-local array expressions (no
+    shuffle, no UDF); an all-zero vector quantizes to zeros with
+    scale 0. round() here is portable: both engines round the SAME
+    double away-from-zero on halves."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    return embs.select(
+        "vec_id", scale.alias("scale"), q.alias("qvec")
+    )
