@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "rs_locf_hourly",
     "an_revenue_join",
     "pipe_clean_corpus",
+    "text_tfidf",
+    "text_decontam",
 ]
 
 

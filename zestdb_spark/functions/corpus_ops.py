@@ -144,17 +144,20 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
 
 def tf_idf(docs: DataFrame) -> DataFrame:
     """(doc_id, tok, tf, df, tfidf): classic tf·ln(N/df) term weights.
-    Shape: one explode → two hash aggregations (per-doc tf, per-token
-    df) re-joined on the token — both shuffles are on the same key, so
-    AQE coalesces them; N is a 1-row broadcast. q6-floored score
-    (tf, df, N are integers, so the double inputs are identical in
-    both engines and ln agrees to well under the 1e-6 quantum)."""
+    Shape: ONE explode → per-doc tf aggregation, then df derived FROM
+    tf ((doc_id, tok) rows are unique there, so df = count per token)
+    — the corpus is exploded once, not twice, and the df shuffle moves
+    the already-collapsed tf rows, not raw tokens. The tf exchange is
+    shared by both sides of the re-join (ReusedExchange); N is a 1-row
+    broadcast. q6-floored score (tf, df, N are integers, so the double
+    inputs are identical in both engines and ln agrees to well under
+    the 1e-6 quantum)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(df, "tok")
