@@ -80,6 +80,13 @@ def main() -> None:
     for name in names:
         best = float("inf")
         try:
+            # Persisted intermediates (LSH signatures/candidates, pipeline
+            # stages) from EARLIER queries otherwise accumulate across the
+            # session, fill the storage pool, and push later shuffle-heavy
+            # queries into spill — cross-query pollution, not query cost.
+            # Cache reuse WITHIN a query's two runs still happens (the
+            # second run re-persists the identical plan post-clear).
+            spark.catalog.clearCache()
             for _ in range(2):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
