@@ -523,6 +523,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 97 == 0),
         ),
         "emb_quantize": lambda s, d: corpus_ops.quantize_embeddings(embs(s, d)),
+        # span-level exact dedup (Lee et al. 2022 shape): strip 8-token
+        # spans occurring in ≥2 docs; near-dup doc clusters in the
+        # corpus share long runs, so the scrub actually fires
+        "dedup_spans": lambda s, d: corpus_ops.scrub_dup_spans(docs(s, d), 8, 2),
+        # CCNet-style statistical quality: mean −ln p(tok) under the
+        # corpus's own unigram LM (decimal-exact mean, q6 per token)
+        "text_unigram": lambda s, d: corpus_ops.unigram_logprob(docs(s, d)),
     }
 
 
@@ -1174,6 +1181,56 @@ _EXT_SQL: dict[str, str] = {
       WHERE s.doc_id % 97 <> 0
       GROUP BY s.doc_id
     """,
+    "dedup_spans": """
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text,' '), x -> x <> '') AS w
+                 FROM documents),
+      g0 AS (SELECT doc_id, w,
+                    unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+             FROM d),
+      g AS (SELECT doc_id, pos,
+                   array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+            FROM g0),
+      dup AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+      starts AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      s2 AS (SELECT doc_id, pos, unnest(range(0, 8)) AS k FROM starts),
+      cov AS (SELECT DISTINCT doc_id, pos + k AS i FROM s2),
+      toks AS (SELECT doc_id, unnest(w) AS tok,
+                      generate_subscripts(w, 1) - 1 AS i
+               FROM d),
+      kept AS (SELECT t.doc_id, t.tok, t.i
+               FROM toks t ANTI JOIN cov c
+                 ON t.doc_id = c.doc_id AND t.i = c.i),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY i) AS text_scrubbed
+              FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             CAST(len(w) - coalesce(n_kept, 0) AS INTEGER) AS n_dup_tokens,
+             floor((len(w) - coalesce(n_kept, 0)) / greatest(len(w), 1)
+                   * 1000000.0) / 1000000.0 AS dup_frac,
+             coalesce(text_scrubbed, '') AS text_scrubbed
+      FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    "text_unigram": """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM c),
+      per AS (
+        SELECT doc_id,
+               CAST(floor(ln(total / c) * 1000000.0) / 1000000.0
+                    AS DECIMAL(38,6)) AS nlp
+        FROM toks JOIN c USING (tok), t)
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_tokens,
+             floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0)
+               / 1000000.0 AS mean_neglogp
+      FROM per GROUP BY doc_id
+    """,
     "emb_quantize": """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       m AS (SELECT vec_id, v,
@@ -1238,9 +1295,11 @@ GRADED_WINDOW: list[str] = [
     # mm_frame_sample demoted to the tail to make room — the multimodal
     # family keeps three graded rows: features + both decodes)
     "del_roundtrip",
-    # extension operators — every family graded
+    # extension operators — every family graded (blob_json_extract
+    # demoted to the tail for dedup_spans — blob S3 stays graded via
+    # blob_last_n; span-level scrub is the dedup family's 4th member)
     "rs_locf_hourly",
-    "blob_json_extract",
+    "dedup_spans",
     "an_revenue_join", "pipe_clean_corpus",
     "tmp_asof_join", "tmp_sessionize", "tmp_rollup_hour",
     "dedup_exact", "dedup_minhash", "dedup_embedding_cosine",

@@ -201,3 +201,101 @@ def test_quantize_closed_form(embs):
     # range bound: |q| ≤ 127 everywhere
     for r in rows.values():
         assert all(-127 <= q <= 127 for q in r["qvec"])
+
+
+# ---------------------------------------------------------- scrub_dup_spans
+
+def test_scrub_spans_matches_duckdb_oracle(docs):
+    # the module DOCS are all shorter than n=8 tokens, so this pins the
+    # pass-through contract against the graded SQL: no gram ever forms,
+    # dup_frac is 0 everywhere, and the rebuilt text is the token-
+    # normalized form (empty-token filtering collapses space runs)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_dup_tokens"], r["dup_frac"], r["text_scrubbed"])
+        for r in corpus_ops.scrub_dup_spans(docs, 8, 2).collect()
+    )
+    assert got == sorted(_duck(_oracle("dedup_spans")))
+    assert all(nd == 0 and frac == 0.0 for _, _, nd, frac, _ in got)
+    by_id = {t[0]: t for t in got}
+    assert by_id[4][4] == "a b a"  # multi-space runs collapse
+    assert by_id[3][1:] == (0, 0, 0.0, "")  # empty text passes through
+
+
+def test_scrub_spans_closed_form(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in corpus_ops.scrub_dup_spans(
+            spark.createDataFrame(
+                [
+                    (0, "x y z p q r"),  # shares 'x y z' with doc 1
+                    (1, "x y z k l m"),
+                    (2, "x y"),  # shorter than n → no grams, untouched
+                    (3, "u v w u v w"),  # span repeats WITHIN one doc only
+                ],
+                "doc_id long, text string",
+            ),
+            n=3,
+            min_docs=2,
+        ).collect()
+    }
+    # 'x y z' occurs in 2 distinct docs → its 3 positions are scrubbed
+    assert rows[0]["n_dup_tokens"] == 3 and rows[0]["text_scrubbed"] == "p q r"
+    assert rows[1]["n_dup_tokens"] == 3 and rows[1]["text_scrubbed"] == "k l m"
+    assert rows[0]["dup_frac"] == 0.5
+    # short doc passes through
+    assert rows[2]["n_dup_tokens"] == 0 and rows[2]["text_scrubbed"] == "x y"
+    # min_docs counts DISTINCT docs: a span repeated inside one doc stays
+    assert rows[3]["n_dup_tokens"] == 0 and rows[3]["text_scrubbed"] == "u v w u v w"
+
+
+def test_scrub_spans_overlapping_coverage(spark):
+    # doc 0 and doc 1 share two OVERLAPPING 3-grams ('a b c' at 0, 'b c d'
+    # at 1): covered positions are the union 0..3, not 6 — interval
+    # coverage, not per-gram token multiplicity
+    rows = {
+        r["doc_id"]: r
+        for r in corpus_ops.scrub_dup_spans(
+            spark.createDataFrame(
+                [(0, "a b c d x1 y1"), (1, "a b c d x2 y2")],
+                "doc_id long, text string",
+            ),
+            n=3,
+            min_docs=2,
+        ).collect()
+    }
+    assert rows[0]["n_dup_tokens"] == 4
+    assert rows[0]["text_scrubbed"] == "x1 y1"
+    assert rows[1]["text_scrubbed"] == "x2 y2"
+
+
+# ---------------------------------------------------------- unigram_logprob
+
+def test_unigram_matches_duckdb_oracle(docs):
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["mean_neglogp"])
+        for r in corpus_ops.unigram_logprob(docs).collect()
+    )
+    want = sorted(_duck(_oracle("text_unigram")))
+    assert got == want
+    # empty doc 3 has no tokens → no row (same on both engines)
+    assert 3 not in {t[0] for t in got}
+
+
+def test_unigram_closed_form(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in corpus_ops.unigram_logprob(
+            spark.createDataFrame(
+                [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    # counts: a=2 b=2 c=1, total=5
+    q6 = lambda x: math.floor(x * 1e6) / 1e6
+    nlp_a = q6(math.log(5 / 2))
+    nlp_c = q6(math.log(5 / 1))
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["mean_neglogp"] == q6(3 * nlp_a / 3)
+    assert rows[1]["mean_neglogp"] == q6((nlp_a + nlp_c) / 2)
+    # rare-token doc is more "surprising" than the common-token doc
+    assert rows[1]["mean_neglogp"] > rows[0]["mean_neglogp"]

@@ -36,6 +36,8 @@ __all__ = [
     "tf_idf",
     "decontaminate",
     "quantize_embeddings",
+    "scrub_dup_spans",
+    "unigram_logprob",
 ]
 
 
@@ -209,4 +211,112 @@ def quantize_embeddings(embs: DataFrame) -> DataFrame:
     )
     return embs.select(
         "vec_id", scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_tokens, dup_frac, text_scrubbed):
+    remove every n-token span that occurs in ≥ ``min_docs`` distinct
+    documents — span-level exact deduplication (the "duplicated
+    substring" scrub of Lee et al. 2022, with fixed-width token grams
+    standing in for the suffix-array substrings). Doc-level dedup
+    misses boilerplate repeated INSIDE otherwise-unique pages; this is
+    the operator that strips it before training.
+
+    Shape: grams are built scan-locally from the token array (slices
+    of a captured array — no token explode, no window); ONE shuffle
+    partitions gram rows by gram; the duplicated-gram set and the
+    occurrence semi-join both reuse that exchange (same
+    ``_jaccard_from_shingles`` trick); covered start positions roll up
+    per doc (second shuffle, rows ∝ duplicated occurrences only) and
+    the final scrub is again scan-local array filtering. Never
+    all-pairs: cost ∝ corpus tokens + duplicated-span occurrences.
+
+    The gram KEY is the token string itself, so the oracle replays it
+    exactly; at 100 TB hash it first (xxhash64, like
+    ``minhash_signatures``) to shuffle 8-byte keys — same plan,
+    negligible collision odds, documented in SCALE.md.
+
+    Docs shorter than n tokens produce no grams and pass through
+    unscrubbed. dup_frac is q6-floored int/int division.
+    """
+    w = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select("doc_id", w.alias("w"))
+    # one slot per valid start position; the gram text is sliced from
+    # the captured full array (positions are 0-based)
+    starts_arr = F.slice(
+        F.col("w"), 1, F.greatest(F.size("w") - (n - 1), F.lit(0))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts_arr,
+                lambda _x, i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    part = grams.repartition("gram")
+    dup = (
+        part.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    occ = part.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    per_doc = occ.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+    joined = d.join(per_doc, "doc_id", "left")
+    sts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(F.col("w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(sts, lambda st: (st <= s["i"]) & (s["i"] < st + n)),
+    )
+    n_tokens = F.size("w")
+    n_dup = F.size("w") - F.size(kept)
+    return joined.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_dup.alias("n_dup_tokens"),
+        q6(n_dup / F.greatest(n_tokens, F.lit(1))).alias("dup_frac"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "text_scrubbed"
+        ),
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_neglogp): per-document mean negative
+    log-likelihood under the corpus's own unigram language model —
+    the CCNet-style statistical-quality signal (docs of rare-token
+    soup score HIGH = surprising; formulaic boilerplate scores LOW).
+    A real CCNet uses a 5-gram KenLM; the unigram variant is the
+    honest engine-native baseline and shares its filtering use.
+
+    p(tok) = corpus_count(tok) / corpus_total, so every token is
+    in-vocab by construction (no OOV smoothing needed). Shape: one
+    explode → token-count shuffle; the count table is vocabulary-sized
+    (Zipf: ≪ corpus) and broadcast; corpus_total is a 1-row broadcast;
+    the per-doc rollup is the only other shuffle. Determinism: each
+    token's −ln p is q6-floored (integer-derived doubles, identical in
+    both engines), summed as DECIMAL(38,6) — exact, reduce-order-free
+    — and the final mean is double-divided then q6-floored, the same
+    contract as ``source_stats``.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("total"))
+    neglogp = q6(F.log(F.col("total").cast("double") / F.col("c")))
+    per = (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", neglogp.cast("decimal(38,6)").alias("nlp"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        q6(F.sum("nlp").cast("double") / F.count(F.lit(1))).alias("mean_neglogp"),
     )
