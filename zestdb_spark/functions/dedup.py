@@ -564,28 +564,49 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     Only docs that appear in some pair are labeled (singletons are
     their own trivial cluster and never enter the edge list).
     """
+    from pyspark import StorageLevel
+
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
     )
-    e = _persist_bounded(
-        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    )
+    # The loop manages its caches BY HAND, outside _persist_bounded's
+    # bounded registry: per-round label persists would otherwise evict
+    # the edge cache from the registry mid-loop, and every later round
+    # would silently recompute the whole upstream candidate pipeline
+    # from raw docs (measured 25s → 6s at sf0.01 for the LSH-pairs
+    # input). Superseded label generations are unpersisted explicitly
+    # the moment their successor is materialized.
+    e = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     labels = e.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     # convergence probe: labels only ever DECREASE under min-propagation,
     # so the label sum strictly decreases until the fixpoint — one cheap
     # agg per round instead of a join-and-diff
     prev_sum = None
+    prev_cached: DataFrame | None = None
     for _ in range(max_iters):
         nbr = e.join(labels, e.dst == labels.id).select(
             F.col("src").alias("id"), F.col("lbl")
         )
-        labels = _persist_bounded(
-            labels.unionAll(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        labels = (
+            labels.unionAll(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # the full-table agg materializes every partition of the new
+        # generation, so the predecessor is safe to drop afterwards
         (row,) = labels.agg(F.sum("lbl").alias("s")).collect()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = labels
         if row["s"] == prev_sum:
             break
         prev_sum = row["s"]
+    # hand the survivors to the bounded registry so later operator
+    # calls eventually reclaim them
+    _PERSISTED.extend([e, labels])
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
