@@ -224,6 +224,77 @@ def _del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric")
 
 
+def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-ingest (streaming/ingest.py) under the correctness gate:
+    replay the events mapping through Structured Streaming — file
+    source → validate → foreachBatch exactly-once bulk appends, one
+    provenance record per micro-batch (the reference's
+    buffer-flush-as-one-commit, src/server.re:1200) — into a fresh
+    store, then read every row back. Streaming ingest must be
+    content-preserving, so the oracle is the plain full-scan SQL over
+    events; micro-batch boundaries must not matter."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.streaming.ingest import start_ingest
+
+    base = tempfile.mkdtemp(prefix="zest_stream_")
+    data = fixtures.ts_numeric_from_events(spark, sf_dir)
+    data.write.mode("overwrite").parquet(f"{base}/in")
+    eng = ZestEngine(spark, f"{base}/store")
+    stream = spark.readStream.schema(data.schema).parquet(f"{base}/in")
+    q = start_ingest(
+        stream, eng.store, f"{base}/ck", client="replayer", trigger_once=True
+    )
+    q.awaitTermination(300)
+    return eng.store.load("ts_numeric")
+
+
+def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup DRIVEN AS A STREAM (beyond-
+    reference: the reference has no event-time windows at all, SURVEY
+    §2.10). The events mapping replays through a file-source stream
+    into ``windowed_rollup`` (1 h tumbling windows; the watermark API
+    is on the plan — append-mode late-data drop semantics are pytest-
+    verified in tests/test_streaming.py) and lands in a complete-mode
+    memory sink. A finite replay must agree exactly with the batch
+    GROUP BY: values aggregate in DECIMAL(38,6) so micro-batch order
+    cannot show through the sum."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.streaming.observe import windowed_rollup
+
+    base = tempfile.mkdtemp(prefix="zest_wroll_")
+    data = fixtures.ts_numeric_from_events(spark, sf_dir).select(
+        F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        "series_id",
+        F.col("value").cast("decimal(38,6)").alias("value"),
+    )
+    data.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(data.schema).parquet(f"{base}/in")
+    name = f"wroll_{uuid.uuid4().hex[:10]}"
+    q = (
+        windowed_rollup(stream, "1 hour", "1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "series_id",
+        F.col("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
 def _src_tail_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zest_tail data source (per-series limit pushdown, SURVEY
     §7.3) under the correctness gate: bulk-ingest the events mapping
@@ -309,6 +380,28 @@ _KV_SQL = {
         series_id IN ('click', 'view')
         AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15}
         AND tag_name = 'k' AND tag_value = '7', false)
+    """,
+    # streaming ingest is content-preserving: whatever micro-batch
+    # boundaries the file source picks, the store ends up with exactly
+    # the input rows
+    "stream_ingest_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
+    """,
+    # streaming tumbling-window rollup over a finite replay must equal
+    # the batch GROUP BY (1h windows align to the epoch; decimal sums
+    # are micro-batch-order-proof)
+    "stream_window_rollup": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      c AS (SELECT (("timestamp" // 3600000) * 3600000) AS bucket_ms,
+                   series_id,
+                   CAST(value AS DECIMAL(38,6)) AS v
+            FROM ts)
+      SELECT bucket_ms, series_id, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS sum_value,
+             CAST(min(v) AS DOUBLE) AS min_value,
+             CAST(max(v) AS DOUBLE) AS max_value
+      FROM c GROUP BY 1, 2
     """,
 }
 
@@ -1306,7 +1399,10 @@ GRADED_WINDOW: list[str] = [
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
     "text_quality", "text_langid", "text_gopher", "text_winnow",
     "text_tfidf", "text_decontam",
-    "corpus_sample", "corpus_source_stats",
+    # corpus_sample demoted to the tail for the ST-ingest round trip —
+    # the sampling law stays selfcheck/pytest-verified; streaming
+    # ingest (exactly-once foreachBatch appends) gains driver evidence
+    "stream_ingest_roundtrip", "corpus_source_stats",
     "mm_decode_wav", "mm_decode_image",
 ]
 
@@ -1326,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["prov_write_join"] = _prov_write_join
     out["src_tail_last_n"] = _src_tail_last_n
     out["del_roundtrip"] = _del_roundtrip
+    out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
+    out["stream_window_rollup"] = _stream_window_rollup
     out.update(_ext_queries())
     ordered = {name: out.pop(name) for name in GRADED_WINDOW}
     ordered.update(out)  # long tail of path variants — outside the window
