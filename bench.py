@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "pipe_clean_corpus",
     "text_tfidf",
     "text_decontam",
+    "dedup_spans",
+    "text_unigram",
 ]
 
 

@@ -119,6 +119,40 @@ def test_hash_oracle_equivalence(spark, name, rows):
     assert _norm(fn(df).collect()) == _norm(_duck_rows(name, rows))
 
 
+@given(rows=_word_corpus)
+@_SETTINGS
+def test_unigram_oracle_equivalence(spark, rows):
+    """ln() portability under the q6 floor on arbitrary count ratios —
+    the property the graded text_unigram row bets on."""
+    from zestdb_spark.functions import corpus_ops
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _norm(corpus_ops.unigram_logprob(df).collect()) == _norm(
+        _duck_rows("text_unigram", rows)
+    )
+
+
+# 2-word vocab, 8-12 token docs: identical 8-token runs across docs are
+# likely enough that the scrub path actually fires under hypothesis
+_span_doc = st.lists(
+    st.sampled_from(["a", "b"]), min_size=0, max_size=12
+).map(" ".join)
+_span_corpus = st.lists(_span_doc, min_size=1, max_size=5).map(
+    lambda ts: [(i, t) for i, t in enumerate(ts)]
+)
+
+
+@given(rows=_span_corpus)
+@_SETTINGS
+def test_scrub_spans_oracle_equivalence(spark, rows):
+    from zestdb_spark.functions import corpus_ops
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _norm(corpus_ops.scrub_dup_spans(df, 8, 2).collect()) == _norm(
+        _duck_rows("dedup_spans", rows)
+    )
+
+
 # 64-dim float32 vectors (the LSH/IVF oracles embed 64-dim literal
 # planes); components bounded away from zero so norms never vanish
 # (zero-norm cosine is out of contract on both engines)
