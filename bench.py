@@ -57,6 +57,37 @@ BENCH_QUERIES = [
 ]
 
 
+def run_suite(
+    spark, qs, names, sf_dir, runs: int = 2
+) -> tuple[dict[str, object], dict[str, str]]:
+    """Time each query (min of ``runs`` full build+execute+collect
+    cycles). FAIL-SOFT per query: one broken fixture must not zero the
+    whole suite's signal (round 4 lesson) — record ``{"err": ...}`` and
+    keep going."""
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        best = float("inf")
+        try:
+            # Persisted intermediates (LSH signatures/candidates, pipeline
+            # stages) from EARLIER queries otherwise accumulate across the
+            # session, fill the storage pool, and push later shuffle-heavy
+            # queries into spill — cross-query pollution, not query cost.
+            # Cache reuse WITHIN a query's two runs still happens (the
+            # second run re-persists the identical plan post-clear).
+            spark.catalog.clearCache()
+            for _ in range(runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — any query failure
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:300]
+            timings[name] = {"err": msg[:300]}
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -75,29 +106,7 @@ def main() -> None:
 
     # min of 2 runs per query: the first run can absorb stragglers from
     # JIT/GC; the min is the steadier signal for round-over-round compare.
-    # FAIL-SOFT per query: one broken fixture must not zero the whole
-    # suite's signal (round 4 lesson) — record the error and keep going.
-    timings: dict[str, object] = {}
-    errors: dict[str, str] = {}
-    for name in names:
-        best = float("inf")
-        try:
-            # Persisted intermediates (LSH signatures/candidates, pipeline
-            # stages) from EARLIER queries otherwise accumulate across the
-            # session, fill the storage pool, and push later shuffle-heavy
-            # queries into spill — cross-query pollution, not query cost.
-            # Cache reuse WITHIN a query's two runs still happens (the
-            # second run re-persists the identical plan post-clear).
-            spark.catalog.clearCache()
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, sf_dir).collect()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — any query failure
-            msg = f"{type(exc).__name__}: {exc}"
-            errors[name] = msg[:300]
-            timings[name] = {"err": msg[:300]}
+    timings, errors = run_suite(spark, qs, names, sf_dir)
 
     result = {
         "metric": "suite_sec",

@@ -1,0 +1,36 @@
+"""The bench harness must degrade per-query, not per-suite: one broken
+query records an ``{"err": ...}`` slot and every other query still
+gets a number (round 4 lost its whole perf signal to a single broken
+fixture aborting the loop)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_run_suite_records_error_and_continues(spark, tmp_path):
+    calls = []
+
+    def ok(s, d):
+        calls.append("ok")
+        return s.range(3)
+
+    def boom(s, d):
+        raise RuntimeError("fixture exploded")
+
+    def late(s, d):
+        calls.append("late")
+        return s.range(1)
+
+    qs = {"ok": ok, "boom": boom, "late": late}
+    timings, errors = bench.run_suite(
+        spark, qs, ["ok", "boom", "late"], str(tmp_path), runs=1
+    )
+    assert isinstance(timings["ok"], float)
+    assert isinstance(timings["late"], float)  # ran despite the failure
+    assert "late" in calls
+    assert timings["boom"] == {"err": errors["boom"]}
+    assert "RuntimeError" in errors["boom"]
+    # the suite total in main() sums only the float slots — mirror that
+    total = sum(t for t in timings.values() if isinstance(t, float))
+    assert total >= 0.0
