@@ -224,10 +224,14 @@ def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame
     the operator that strips it before training.
 
     Shape: grams are built scan-locally from the token array (slices
-    of a captured array — no token explode, no window); ONE shuffle
-    partitions gram rows by gram; the duplicated-gram set and the
-    occurrence semi-join both reuse that exchange (same
-    ``_jaccard_from_shingles`` trick); covered start positions roll up
+    of a captured array — no token explode). For the default
+    ``min_docs=2`` the duplicated-occurrence set falls out of ONE
+    window over the gram partition — ``min(doc_id) != max(doc_id)``
+    over occurrences is exactly "≥ 2 distinct docs" — so the gram
+    pipeline runs once with a single exchange (the agg+semi-join
+    formulation computed the gram build twice: AQE broadcasts the dup
+    set, which defeats exchange reuse). ``min_docs > 2`` falls back to
+    count_distinct + semi-join. Covered start positions then roll up
     per doc (second shuffle, rows ∝ duplicated occurrences only) and
     the final scrub is again scan-local array filtering. Never
     all-pairs: cost ∝ corpus tokens + duplicated-span occurrences.
@@ -256,14 +260,23 @@ def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame
             )
         ).alias("pos", "gram"),
     )
-    part = grams.repartition("gram")
-    dup = (
-        part.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gram")
-    )
-    occ = part.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    if min_docs == 2:
+        wspec = Window.partitionBy("gram")
+        occ = (
+            grams.withColumn("_mn", F.min("doc_id").over(wspec))
+            .withColumn("_mx", F.max("doc_id").over(wspec))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("doc_id", "pos")
+        )
+    else:
+        part = grams.repartition("gram")
+        dup = (
+            part.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("gram")
+        )
+        occ = part.join(dup, "gram", "left_semi").select("doc_id", "pos")
     per_doc = occ.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("starts")
     )
