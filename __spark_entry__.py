@@ -623,6 +623,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style statistical quality: mean −ln p(tok) under the
         # corpus's own unigram LM (decimal-exact mean, q6 per token)
         "text_unigram": lambda s, d: corpus_ops.unigram_logprob(docs(s, d)),
+        # epoch-weighted mix materializer: src0 2.5 epochs, src1 a
+        # quarter epoch, src2 dropped, everything else 1 epoch
+        "corpus_mix": lambda s, d: corpus_ops.mix_upsample(
+            docs(s, d), {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+        ),
     }
 
 
@@ -1305,6 +1310,23 @@ _EXT_SQL: dict[str, str] = {
                    * 1000000.0) / 1000000.0 AS dup_frac,
              coalesce(text_scrubbed, '') AS text_scrubbed
       FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    "corpus_mix": f"""
+      WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                           WHEN 'src2' THEN 0 ELSE 1 END AS wi,
+               CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+                           WHEN 'src2' THEN 0 ELSE 0 END AS wf
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, wi, wf,
+               unnest(range(0, wi + CASE WHEN wf > 0 THEN 1 ELSE 0 END)) AS copy
+        FROM w)
+      SELECT doc_id, source, CAST(copy AS INTEGER) AS copy
+      FROM f
+      WHERE copy < wi
+         OR {_BUCKET_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)", mod=1000000)} < wf
     """,
     "text_unigram": """
       WITH toks AS (

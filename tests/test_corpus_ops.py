@@ -299,3 +299,55 @@ def test_unigram_closed_form(spark):
     assert rows[1]["mean_neglogp"] == q6((nlp_a + nlp_c) / 2)
     # rare-token doc is more "surprising" than the common-token doc
     assert rows[1]["mean_neglogp"] > rows[0]["mean_neglogp"]
+
+
+# ------------------------------------------------------------ mix_upsample
+
+def test_mix_upsample_matches_duckdb_oracle(docs):
+    got = sorted(
+        (r["doc_id"], r["source"], r["copy"])
+        for r in corpus_ops.mix_upsample(
+            docs, {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+        ).collect()
+    )
+    # module DOCS use srcA/srcB → all fall through to the default
+    # weight 1.0: exactly one copy of every doc
+    assert got == sorted(_duck(_oracle("corpus_mix")))
+    assert got == sorted((d[0], d[3], 0) for d in DOCS)
+
+
+def test_mix_upsample_epoch_math(spark):
+    rows = corpus_ops.mix_upsample(
+        spark.createDataFrame(
+            [(i, f"doc {i}", "A" if i < 40 else "B" if i < 80 else "C")
+             for i in range(120)],
+            "doc_id long, text string, source string",
+        ),
+        {"A": 2.5, "B": 0.5, "C": 0.0},
+        default_weight=1.0,
+    ).collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r["source"], []).append(r)
+    # C is dropped entirely
+    assert "C" not in by_group
+    # every A doc has copies 0 and 1; roughly half have copy 2
+    a_copies: dict[int, set] = {}
+    for r in by_group["A"]:
+        a_copies.setdefault(r["doc_id"], set()).add(r["copy"])
+    assert all({0, 1} <= c for c in a_copies.values())
+    n_third = sum(1 for c in a_copies.values() if 2 in c)
+    assert 0 < n_third < 40  # deterministic-fractional, not all-or-nothing
+    # B docs appear at most once, as copy 0
+    assert all(r["copy"] == 0 for r in by_group["B"])
+    assert 0 < len(by_group["B"]) < 40
+    # determinism: a second run materializes the identical mix
+    again = corpus_ops.mix_upsample(
+        spark.createDataFrame(
+            [(i, f"doc {i}", "A" if i < 40 else "B" if i < 80 else "C")
+             for i in range(120)],
+            "doc_id long, text string, source string",
+        ),
+        {"A": 2.5, "B": 0.5, "C": 0.0},
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -36,6 +36,7 @@ __all__ = [
     "tf_idf",
     "decontaminate",
     "quantize_embeddings",
+    "mix_upsample",
     "scrub_dup_spans",
     "unigram_logprob",
 ]
@@ -212,6 +213,58 @@ def quantize_embeddings(embs: DataFrame) -> DataFrame:
     return embs.select(
         "vec_id", scale.alias("scale"), q.alias("qvec")
     )
+
+
+def mix_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """(doc_id, <group_col>, copy): materialize an epoch-weighted
+    training mix — the "epochs per source" table of a training run
+    made executable. Weight w means every doc of the group appears
+    ``floor(w)`` times, plus one further copy iff
+    ``hash_bucket(doc_id:copy) < frac(w)·1e6`` — so a 2.5-epoch
+    source repeats each doc twice and a deterministic half of them a
+    third time. Hash-of-(doc_id, copy), never ``rand()``: the mix is
+    identical across runs, retries, and cluster sizes.
+
+    Scan-local end to end: the epoch fan-out is a sequence+explode
+    projection and the fractional-copy rule is a pure column
+    predicate — no shuffle at any corpus size; output rows ∝
+    Σ_group w·|group|. Weight 0 drops the group entirely.
+    """
+    import math
+
+    w_int: Column = F.lit(int(math.floor(default_weight)))
+    w_frac: Column = F.lit(round((default_weight % 1.0) * 1_000_000))
+    for group, wt in sorted(weights.items()):
+        w_int = F.when(F.col(group_col) == group, int(math.floor(wt))).otherwise(w_int)
+        w_frac = F.when(
+            F.col(group_col) == group, round((wt % 1.0) * 1_000_000)
+        ).otherwise(w_frac)
+    n_copies = w_int + F.when(w_frac > 0, F.lit(1)).otherwise(F.lit(0))
+    fanned = docs.select(
+        "doc_id",
+        group_col,
+        w_int.alias("_wi"),
+        w_frac.alias("_wf"),
+        F.explode(
+            # sequence(0, -1) would DESCEND; empty array drops the row
+            F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("copy"),
+    )
+    keep = (F.col("copy") < F.col("_wi")) | (
+        hash_bucket(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("copy").cast("string")),
+            1_000_000,
+        )
+        < F.col("_wf")
+    )
+    return fanned.filter(keep).select("doc_id", group_col, "copy")
 
 
 def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
