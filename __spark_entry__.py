@@ -568,6 +568,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": lambda s, d: textstats.gopher_quality(docs(s, d)),
         "text_redact": lambda s, d: textstats.redact_pii(docs(s, d)),
         "text_url_stats": lambda s, d: textstats.url_stats(docs(s, d)),
+        "text_strip_markup": lambda s, d: textstats.strip_markup(docs(s, d)),
         "text_chunks": lambda s, d: __import__(
             "zestdb_spark.functions.packing", fromlist=["chunk_tokens"]
         ).chunk_tokens(docs(s, d), 64),
@@ -1020,6 +1021,23 @@ _EXT_SQL: dict[str, str] = {
       SELECT doc_id,
              regexp_replace(t1, '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUMBER>', 'g') AS text,
              CAST(n_email + len(regexp_extract_all(t1, '[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_redactions
+      FROM e
+    """,
+    "text_strip_markup": r"""
+      WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '<[/!A-Za-z][^<>]*>')) AS n_tags,
+               regexp_replace(text, '<[/!A-Za-z][^<>]*>', ' ', 'g') AS t0
+        FROM documents),
+      e AS (
+        SELECT doc_id, n_tags,
+               replace(replace(replace(replace(replace(t0,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&') AS t1
+        FROM s)
+      SELECT doc_id,
+             trim(regexp_replace(t1, '  +', ' ', 'g')) AS text,
+             CAST(n_tags AS BIGINT) AS n_tags
       FROM e
     """,
     "text_url_stats": r"""

@@ -18,7 +18,7 @@ import __spark_entry__ as entry
 
 # printable ASCII incl. regex metacharacters, quotes, @, digits, spaces
 _chars = st.sampled_from(
-    list("abcde XY.@/:+-_%$#!?*()[]{}\\'\"0123456789  ")
+    list("abcde XY.@/:+-_%$#!?*()[]{}\\'\"0123456789  <>&;lt")
 )
 _doc = st.text(alphabet=_chars, min_size=0, max_size=60)
 _corpus = st.lists(_doc, min_size=1, max_size=5).map(
@@ -43,6 +43,7 @@ _NAMES = [
     "text_top_ngram",
     "text_gopher",
     "text_redact",
+    "text_strip_markup",
     "text_fingerprint",
     "text_chunks",
 ]
@@ -88,6 +89,7 @@ def test_text_oracle_equivalence(spark, name, rows):
         "text_top_ngram": textstats.top_ngram_frac,
         "text_gopher": textstats.gopher_quality,
         "text_redact": textstats.redact_pii,
+        "text_strip_markup": textstats.strip_markup,
         "text_fingerprint": textstats.fingerprint,
         "text_chunks": lambda d: packing.chunk_tokens(d, 64),
     }[name]

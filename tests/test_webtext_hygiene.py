@@ -18,6 +18,8 @@ DOCS = [
     (3, "see https://docs.example.com/a/b and http://example.com plus https://docs.example.com/z"),
     (4, "no pii here at all"),
     (5, "edge@case.c x@y.zz 123456"),  # 1-letter TLD not an email; x@y.zz is
+    (6, "<p>hello &amp; welcome</p> <br/> plain &lt;tag&gt; text"),
+    (7, "a < b and b > c stay; <DIV CLASS='x'>inner</DIV>"),
 ]
 
 
@@ -64,3 +66,20 @@ def test_url_stats(docs):
     )
     duck_rows = sorted((a, b, tuple(c)) for a, b, c in _duck("text_url_stats"))
     assert spark_rows == duck_rows
+
+
+def test_strip_markup(docs):
+    rows = {r["doc_id"]: r for r in textstats.strip_markup(docs).collect()}
+    # tags drop, entities single-decode, whitespace collapses
+    assert rows[6]["text"] == "hello & welcome plain <tag> text"
+    assert rows[6]["n_tags"] == 3
+    # a bare '<' with no '>' is not a tag; '<DIV ...>' is
+    assert rows[7]["text"] == "a < b and b > c stay; inner"
+    assert rows[7]["n_tags"] == 2
+    assert rows[4]["text"] == "no pii here at all" and rows[4]["n_tags"] == 0
+    assert rows[0]["text"] == "" and rows[0]["n_tags"] == 0
+    spark_rows = sorted(
+        (r["doc_id"], r["text"], r["n_tags"])
+        for r in textstats.strip_markup(docs).collect()
+    )
+    assert spark_rows == _duck("text_strip_markup")

@@ -301,3 +301,29 @@ def url_stats(docs: DataFrame) -> DataFrame:
         F.size(urls).cast("long").alias("n_urls"),
         F.array_sort(F.array_distinct(hosts)).alias("domains"),
     )
+
+
+#: a "tag" must open like one (letter, slash, or ! for comments/doctype)
+#: so prose comparisons like "a < b and c > d" survive stripping
+MARKUP_TAG_RE = r"<[/!A-Za-z][^<>]*>"
+#: the handful of HTML entities that survive into crawled plain text;
+#: &amp; is decoded LAST so "&amp;lt;" becomes "&lt;" (one decode pass,
+#: not a loop — the standard single-unescape contract)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_markup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_tags): C4-style markup stripping — drop
+    ``<...>`` tag spans, single-decode the common HTML entities, and
+    collapse the whitespace runs the removals leave behind. The tag
+    pattern is RE2-compatible (no backrefs/lookaround) so any oracle
+    engine replays it byte-for-byte. Scan-local regexp/replace column
+    expressions: zero shuffles, whole-stage codegen."""
+    n_tags = F.size(F.regexp_extract_all(F.col("text"), F.lit(MARKUP_TAG_RE), F.lit(0)))
+    out = F.regexp_replace(F.col("text"), MARKUP_TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.trim(F.regexp_replace(out, r"  +", " "))
+    return docs.select(
+        "doc_id", out.alias("text"), n_tags.cast("long").alias("n_tags")
+    )
