@@ -250,6 +250,24 @@ def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric")
 
 
+def _kv_del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 under the correctness gate: bulk-load the nation KV mapping
+    (one id-partitioned distributed write, one provenance row), then
+    delete one key and one whole namespace through the engine's DELETE
+    path API (src/keyvalue semantics) and return the survivors. The
+    oracle is the complement SQL over the same mapping."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_kvdel_"))
+    eng.store.set_request_context("POST", "/kv/bulk", "loader", "json")
+    eng.store.kv_ingest_bulk("json", fixtures.kv_json_from_nation(spark, sf_dir))
+    eng.delete("/kv/ASIA/INDIA")
+    eng.delete("/kv/AMERICA")
+    return eng.store.load("kv_json")
+
+
 def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup DRIVEN AS A STREAM (beyond-
     reference: the reference has no event-time windows at all, SURVEY
@@ -347,6 +365,12 @@ _KV_SQL = {
         "SELECT value FROM kv WHERE id = 'EUROPE' AND key = 'NATION_13'"
     ),
     "catalog_get": fixtures.CATALOG_ITEMS_SQL,
+    # D3 complement: one key gone from ASIA, the AMERICA namespace gone
+    "kv_del_roundtrip": (
+        f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
+        "SELECT * FROM kv WHERE NOT (id = 'ASIA' AND key = 'INDIA') "
+        "AND id <> 'AMERICA'"
+    ),
     "kv_text_keys": (
         f"WITH kv AS ({fixtures.KV_TEXT_FROM_SUPPLIER_SQL}) "
         "SELECT key FROM kv WHERE id = 'suppliers'"
@@ -1464,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["del_roundtrip"] = _del_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
+    out["kv_del_roundtrip"] = _kv_del_roundtrip
     out.update(_ext_queries())
     ordered = {name: out.pop(name) for name in GRADED_WINDOW}
     ordered.update(out)  # long tail of path variants — outside the window

@@ -138,3 +138,30 @@ def test_delete_guards(ts):
     for path in ["/ts/s/last/5", "/ts/s/first/2", "/ts/s/since/1/max"]:
         with pytest.raises(UnsupportedMethod):
             ts_delete.delete_plan(ts, compile_path(path))
+
+
+def test_kv_ingest_bulk_replaces_only_loaded_namespaces(spark, tmp_path):
+    from zestdb_spark.storage import ZestStore
+
+    store = ZestStore(spark, str(tmp_path / "store"))
+    store.set_request_context("POST", "/kv/bulk", "loader", "json")
+    store.kv_ingest_bulk("json", spark.createDataFrame(KV_ROWS, KV_JSON))
+    assert store.load("kv_json").count() == 3
+
+    # a second bulk load carrying 'lounge' replaces that namespace
+    # WHOLESALE (thermostat gone) and leaves 'kitchen' untouched
+    store.kv_ingest_bulk(
+        "json",
+        spark.createDataFrame([("lounge", "lightbulb", '"v2"')], KV_JSON),
+    )
+    rows = {(r["id"], r["key"]): r["value"] for r in store.load("kv_json").collect()}
+    assert rows == {
+        ("lounge", "lightbulb"): '"v2"',
+        ("kitchen", "kettle"): '{"on":false}',
+    }
+    # both loads logged provenance
+    assert store.load("write_log").filter("target_table = 'kv_json'").count() == 2
+
+    # per-key path APIs keep working on bulk-loaded data
+    store.kv_delete("json", "lounge", "lightbulb")
+    assert store.load("kv_json").count() == 1

@@ -371,6 +371,23 @@ class ZestStore:
         self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
         self._log_write(table, 1)
 
+    def kv_ingest_bulk(self, kind: str, rows: DataFrame) -> None:
+        """Bulk KV load ((id, key, value) frame, duplicates pre-collapsed
+        upstream) — the 100 TB load path: one distributed id-partitioned
+        write and ONE provenance row, vs per-key ``kv_upsert``'s one
+        namespace rewrite per call. Namespaces present in the batch are
+        replaced wholesale (a bulk load is the authoritative snapshot of
+        those namespaces — the reference's whole-tree import); absent
+        namespaces keep their files byte-identical."""
+        table = f"kv_{kind}"
+        if table not in _TABLES:
+            raise KeyError(table)
+        sel = rows.select(*[f.name for f in _TABLES[table].fields])
+        tmp = self._path(table) + ".tmp"
+        sel.write.mode("overwrite").partitionBy("id").parquet(tmp)
+        self._promote_partitions(tmp, self._path(table))
+        self._log_write(table, None)
+
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
         """D3: delete key or whole id namespace (namespace-scoped)."""
         from zestdb_spark.operators import kv as kv_ops
