@@ -250,6 +250,39 @@ def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric")
 
 
+def _observe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 at scale under the correctness gate: the store's parquet
+    append dir IS a streaming source, so a data observer is one
+    Structured Streaming query over it (streaming/observe.py
+    start_data_stream). Ingest the events mapping, attach an observer
+    stream, drain it, and return what the OBSERVER saw — which must be
+    exactly the written rows (the reference's observe-data guarantee:
+    every payload POSTed reaches the subscriber)."""
+    import tempfile
+    import uuid
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.streaming.observe import start_data_stream
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_obs_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    name = f"obs_{uuid.uuid4().hex[:10]}"
+    q = start_data_stream(
+        spark,
+        eng.store._path("ts_numeric"),
+        eng.store._read_schema("ts_numeric"),
+        query_name=name,
+    )
+    q.processAllAvailable()
+    q.stop()
+    cols = [f.name for f in eng.store.load("ts_numeric").schema.fields]
+    return spark.table(name).select(*cols)
+
+
 def _kv_del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 under the correctness gate: bulk-load the nation KV mapping
     (one id-partitioned distributed write, one provenance row), then
@@ -409,6 +442,12 @@ _KV_SQL = {
     # boundaries the file source picks, the store ends up with exactly
     # the input rows
     "stream_ingest_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
+    """,
+    # a data observer over the store's append dir sees exactly the
+    # written rows
+    "observe_roundtrip": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
     """,
@@ -1489,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
     out["kv_del_roundtrip"] = _kv_del_roundtrip
+    out["observe_roundtrip"] = _observe_roundtrip
     out.update(_ext_queries())
     ordered = {name: out.pop(name) for name in GRADED_WINDOW}
     ordered.update(out)  # long tail of path variants — outside the window
