@@ -246,7 +246,12 @@ def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_ingest(
         stream, eng.store, f"{base}/ck", client="replayer", trigger_once=True
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # grading a still-running stream would read a half-written dir
+        # and report an operator-correctness failure for a harness
+        # timeout — fail loudly instead
+        q.stop()
+        raise RuntimeError("stream_ingest_roundtrip: replay did not finish in 300s")
     return eng.store.load("ts_numeric")
 
 
@@ -296,7 +301,9 @@ def _kv_del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_kvdel_"))
     eng.store.set_request_context("POST", "/kv/bulk", "loader", "json")
     eng.store.kv_ingest_bulk("json", fixtures.kv_json_from_nation(spark, sf_dir))
-    eng.delete("/kv/ASIA/INDIA")
+    # NATION_12 really is an ASIA key (the synthetic nation names are
+    # NATION_<i>) — deleting a nonexistent key would grade a no-op
+    eng.delete("/kv/ASIA/NATION_12")
     eng.delete("/kv/AMERICA")
     return eng.store.load("kv_json")
 
@@ -335,7 +342,9 @@ def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_window_rollup: replay did not finish in 300s")
     return spark.table(name).select(
         F.unix_millis(F.col("window.start")).alias("bucket_ms"),
         "series_id",
@@ -401,7 +410,7 @@ _KV_SQL = {
     # D3 complement: one key gone from ASIA, the AMERICA namespace gone
     "kv_del_roundtrip": (
         f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
-        "SELECT * FROM kv WHERE NOT (id = 'ASIA' AND key = 'INDIA') "
+        "SELECT * FROM kv WHERE NOT (id = 'ASIA' AND key = 'NATION_12') "
         "AND id <> 'AMERICA'"
     ),
     "kv_text_keys": (

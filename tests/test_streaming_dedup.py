@@ -53,14 +53,16 @@ def test_stream_dedup_by_content_catches_new_ids(spark, tmp_path):
 
     t = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
     src = str(tmp_path / "in")
-    # doc 20 is a re-crawl of doc 10's content under a new id
+    # doc 20 is a re-crawl of doc 10's content under a new id; docs
+    # 30/31 are metadata-only rows with NULL text — both must pass
+    # (no content to deduplicate on), not collapse into one NULL key
     _write(spark, src, [(10, "same words", t(100)), (11, "unique", t(105))])
-    _write(spark, src, [(20, "same words", t(115))])
+    _write(spark, src, [(20, "same words", t(115)), (30, None, t(116)), (31, None, t(117))])
 
     out = _drain(
         spark, src, str(tmp_path / "ck"),
         lambda s: stream_dedup_by_content(s, "text", "ts", "1 hour"),
     )
-    assert sorted(r["doc_id"] for r in out) == [10, 11]
+    assert sorted(r["doc_id"] for r in out) == [10, 11, 30, 31]
     # the helper key column does not leak into the output
     assert "__content_key" not in out[0].asDict()

@@ -267,7 +267,9 @@ def mix_upsample(
     return fanned.filter(keep).select("doc_id", group_col, "copy")
 
 
-def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame:
+def scrub_dup_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, skew_safe: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, n_dup_tokens, dup_frac, text_scrubbed):
     remove every n-token span that occurs in ≥ ``min_docs`` distinct
     documents — span-level exact deduplication (the "duplicated
@@ -283,8 +285,13 @@ def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame
     over occurrences is exactly "≥ 2 distinct docs" — so the gram
     pipeline runs once with a single exchange (the agg+semi-join
     formulation computed the gram build twice: AQE broadcasts the dup
-    set, which defeats exchange reuse). ``min_docs > 2`` falls back to
-    count_distinct + semi-join. Covered start positions then roll up
+    set, which defeats exchange reuse). CAVEAT: the window buffers one
+    gram's occurrences in one task — a boilerplate span present in
+    millions of docs makes that task a spilling straggler. On
+    boilerplate-heavy corpora pass ``skew_safe=True`` (or
+    ``min_docs > 2``, same path) to use partial-aggregated
+    count_distinct + semi-join instead: two gram builds, but per-gram
+    work stays distributed. Covered start positions then roll up
     per doc (second shuffle, rows ∝ duplicated occurrences only) and
     the final scrub is again scan-local array filtering. Never
     all-pairs: cost ∝ corpus tokens + duplicated-span occurrences.
@@ -313,7 +320,7 @@ def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame
             )
         ).alias("pos", "gram"),
     )
-    if min_docs == 2:
+    if min_docs == 2 and not skew_safe:
         wspec = Window.partitionBy("gram")
         occ = (
             grams.withColumn("_mn", F.min("doc_id").over(wspec))
@@ -352,7 +359,7 @@ def scrub_dup_spans(docs: DataFrame, n: int = 8, min_docs: int = 2) -> DataFrame
     )
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
+def unigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     """(doc_id, n_tokens, mean_neglogp): per-document mean negative
     log-likelihood under the corpus's own unigram language model —
     the CCNet-style statistical-quality signal (docs of rare-token
@@ -363,7 +370,11 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     p(tok) = corpus_count(tok) / corpus_total, so every token is
     in-vocab by construction (no OOV smoothing needed). Shape: one
     explode → token-count shuffle; the count table is vocabulary-sized
-    (Zipf: ≪ corpus) and broadcast; corpus_total is a 1-row broadcast;
+    (Zipf: ≪ corpus) and broadcast by default — pass
+    ``broadcast_vocab=False`` for a pathological vocabulary (web-scale
+    whitespace tokens can reach 1e9 distinct strings, past Spark's 8 GB
+    broadcast ceiling) and the join degrades to a shuffle equi-join on
+    the token key; corpus_total is a 1-row broadcast either way;
     the per-doc rollup is the only other shuffle. Determinism: each
     token's −ln p is q6-floored (integer-derived doubles, identical in
     both engines), summed as DECIMAL(38,6) — exact, reduce-order-free
@@ -378,7 +389,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     total = cnt.agg(F.sum("c").alias("total"))
     neglogp = q6(F.log(F.col("total").cast("double") / F.col("c")))
     per = (
-        toks.join(F.broadcast(cnt), "tok")
+        toks.join(F.broadcast(cnt) if broadcast_vocab else cnt, "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", neglogp.cast("decimal(38,6)").alias("nlp"))
     )

@@ -585,28 +585,33 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # agg per round instead of a join-and-diff
     prev_sum = None
     prev_cached: DataFrame | None = None
-    for _ in range(max_iters):
-        nbr = e.join(labels, e.dst == labels.id).select(
-            F.col("src").alias("id"), F.col("lbl")
-        )
-        labels = (
-            labels.unionAll(nbr)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # the full-table agg materializes every partition of the new
-        # generation, so the predecessor is safe to drop afterwards
-        (row,) = labels.agg(F.sum("lbl").alias("s")).collect()
+    try:
+        for _ in range(max_iters):
+            nbr = e.join(labels, e.dst == labels.id).select(
+                F.col("src").alias("id"), F.col("lbl")
+            )
+            labels = (
+                labels.unionAll(nbr)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # the full-table agg materializes every partition of the new
+            # generation, so the predecessor is safe to drop afterwards
+            (row,) = labels.agg(F.sum("lbl").alias("s")).collect()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = labels
+            if row["s"] == prev_sum:
+                break
+            prev_sum = row["s"]
+    finally:
+        # hand the survivors to the bounded registry so later operator
+        # calls eventually reclaim them — ALSO on a mid-loop exception,
+        # where the live generation would otherwise leak for the session
+        _PERSISTED.append(e)
         if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = labels
-        if row["s"] == prev_sum:
-            break
-        prev_sum = row["s"]
-    # hand the survivors to the bounded registry so later operator
-    # calls eventually reclaim them
-    _PERSISTED.extend([e, labels])
+            _PERSISTED.append(prev_cached)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

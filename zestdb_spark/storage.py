@@ -382,7 +382,13 @@ class ZestStore:
         table = f"kv_{kind}"
         if table not in _TABLES:
             raise KeyError(table)
-        sel = rows.select(*[f.name for f in _TABLES[table].fields])
+        # cast to the canonical schema so a frame with (say) an INT value
+        # column can't write type-mismatched parquet that poisons every
+        # later load(); an uncastable column fails HERE, before any
+        # namespace is replaced (the tmp write precedes promotion)
+        sel = rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in _TABLES[table].fields]
+        )
         tmp = self._path(table) + ".tmp"
         sel.write.mode("overwrite").partitionBy("id").parquet(tmp)
         self._promote_partitions(tmp, self._path(table))

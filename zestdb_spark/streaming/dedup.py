@@ -45,12 +45,22 @@ def stream_dedup_by_content(
     text_col: str = "text",
     event_time: str = "ts",
     watermark: str = "1 hour",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Content-addressed variant: dedup on md5(text) so re-crawls under
     NEW doc_ids are also suppressed. The 16-byte digest is what enters
     the state store, not the document body — state cost is per-key
-    constant no matter how large documents get."""
-    hashed = stream_df.withColumn("__content_key", F.md5(F.col(text_col)))
+    constant no matter how large documents get.
+
+    NULL text carries no content to address, so null-text rows key on
+    the row's own id instead of collapsing into one shared NULL state
+    key (md5(NULL) is NULL, and dropDuplicates groups NULL keys — every
+    metadata-only row after the first would silently vanish)."""
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__:"), F.col(id_col).cast("string")),
+    )
+    hashed = stream_df.withColumn("__content_key", key)
     return stream_dedup(
         hashed, ("__content_key",), event_time, watermark
     ).drop("__content_key")
