@@ -465,7 +465,7 @@ _KV_SQL = {
     # are micro-batch-order-proof)
     "stream_window_rollup": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
-      c AS (SELECT (("timestamp" // 3600000) * 3600000) AS bucket_ms,
+      c AS (SELECT ("timestamp" - ((("timestamp" % 3600000) + 3600000) % 3600000)) AS bucket_ms,
                    series_id,
                    CAST(value AS DECIMAL(38,6)) AS v
             FROM ts)
@@ -916,7 +916,7 @@ _EXT_SQL: dict[str, str] = {
     "tmp_rollup_hour": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT series_id,
-             "timestamp" - ("timestamp" % 3600000) AS bucket_ms,
+             "timestamp" - ((("timestamp" % 3600000) + 3600000) % 3600000) AS bucket_ms,
              count(*) AS n,
              {_EXACT_SUM_SQL} AS sum_value,
              min(value) AS min_value,
@@ -927,7 +927,7 @@ _EXT_SQL: dict[str, str] = {
     "tmp_rollup_quantiles": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT series_id,
-             "timestamp" - ("timestamp" % 21600000) AS bucket_ms,
+             "timestamp" - ((("timestamp" % 21600000) + 21600000) % 21600000) AS bucket_ms,
              count(*) AS n,
              quantile_cont(value, 0.5) AS p50,
              quantile_cont(value, 0.95) AS p95

@@ -25,7 +25,7 @@ from zestdb_spark import serializers
 from zestdb_spark.errors import BadRequest, ZestError
 from zestdb_spark.operators import catalog as cat_ops
 from zestdb_spark.operators import kv as kv_ops
-from zestdb_spark.plans import compile_path, plan_to_dataframe
+from zestdb_spark.plans import compile_path, plan_to_dataframe, plan_to_path
 from zestdb_spark.plans import zestql as zql
 from zestdb_spark.storage import ZestStore, now_ms
 from zestdb_spark.streaming.observe import ObserverRegistry
@@ -327,25 +327,22 @@ class ZestEngine:
         Observe statements go through the authorized+audited
         ``observe()`` path, same as the wire front-end."""
         stmt = zql.parse(statement, now if now is not None else now_ms())
+        # Get/Post/Delete re-enter through the URI-path entry point (the
+        # printer round-trips the plan exactly — tests/test_paths.py) so
+        # EVERY front-end shares one authorize + request-context + audit
+        # + observe-teeing + compat-flag path. Statement-level dispatch
+        # that called the store directly bypassed ACLs and left no audit
+        # trail for GETs and DELETEs, and ignored compat_collateral_delete.
         if isinstance(stmt, zql.Get):
-            table = "ts_numeric" if stmt.plan.store == "numeric" else "ts_blob"
-            df = plan_to_dataframe(
-                stmt.plan,
-                self.store.load(table),
-                sort=stmt.plan.agg is None,
-                window_df=self._tail_window(stmt.plan, table),
-            )
-            if stmt.plan.agg is not None:
-                return serializers.aggregate_to_json(df)
-            return serializers.rows_to_json(df)
+            return self.get(plan_to_path(stmt.plan), client=client, token=token)
         if isinstance(stmt, zql.Post):
             payload: dict[str, Any] = {"value": stmt.value}
             if stmt.tag is not None:
                 payload[stmt.tag[0]] = stmt.tag[1]
-            self.post(f"/ts/{stmt.series_id}", payload)
+            self.post(f"/ts/{stmt.series_id}", payload, client=client, token=token)
             return None
         if isinstance(stmt, zql.Delete):
-            self.store.ts_delete(stmt.plan)
+            self.delete(plan_to_path(stmt.plan), client=client, token=token)
             return None
         if isinstance(stmt, zql.Observe):
             self.observe(

@@ -37,6 +37,10 @@ def validate_item(item: dict[str, Any]) -> None:
     """Structural validation per src/hc.re:20-41: href present,
     item-metadata is a rel/val list containing the description and
     content-type rels. Raises BadRequest (→ CoAP 128) otherwise."""
+    if not isinstance(item, dict):
+        # a JSON array/string/number payload must be a validation error
+        # (CoAP 128), not an AttributeError escaping the request path
+        raise BadRequest("catalog item must be a JSON object")
     if not isinstance(item.get("href"), str) or not item["href"]:
         raise BadRequest("catalog item missing href")
     md = item.get("item-metadata")
@@ -57,8 +61,13 @@ def upsert_item(items: DataFrame, item: dict[str, Any]) -> DataFrame:
     """POST /cat — validate + upsert by href (src/hc.re:43-51)."""
     validate_item(item)
     spark = items.sparkSession
+    # non-string vals keep their JSON form ('true', '1.5'), not a
+    # Python repr ('True') — the client must read back what it wrote
+    def _val(v: Any) -> str:
+        return v if isinstance(v, str) else json.dumps(v)
+
     new = spark.createDataFrame(
-        [(item["href"], [(p["rel"], str(p["val"])) for p in item["item-metadata"]])],
+        [(item["href"], [(p["rel"], _val(p["val"])) for p in item["item-metadata"]])],
         items.schema,
     )
     return items.filter(F.col("href") != item["href"]).unionByName(new)

@@ -144,12 +144,15 @@ def rollup_time_bucket(
     by: Sequence[str] = ("series_id",),
 ) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup: fixed-width bucket
-    stats per series. bucket = floor(on / bucket_ms) · bucket_ms.
+    stats per series. bucket = floor(on / bucket_ms) · bucket_ms —
+    true FLOOR bucketing via pmod, so pre-1970 rows land in the bucket
+    BELOW them (a plain ``%`` truncates toward zero and would merge
+    (−bucket, 0) with [0, bucket) under a label above the rows).
     Single map-side-combinable groupBy; at 100 TB this is THE pattern
     for downsampling (and the storage layer's time_bucket partitioning
     means bucket boundaries align with files — no cross-partition
     groups)."""
-    bucket = (F.col(on) - (F.col(on) % bucket_ms)).alias("bucket_ms")
+    bucket = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ms))).alias("bucket_ms")
     return df.groupBy(*by, bucket).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
@@ -176,9 +179,13 @@ def rollup_quantiles(
     One map-side-combinable groupBy, same single-shuffle shape as
     rollup_time_bucket. For full-table unbucketed quantiles at 100 TB
     switch to percentile_approx (documented tradeoff, SCALE.md)."""
-    bucket = (F.col(on) - (F.col(on) % bucket_ms)).alias("bucket_ms")
+    bucket = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ms))).alias("bucket_ms")
+    # %g then '.'→'_' keeps p50/p95 stable while p=0.995 labels p99_5
+    # instead of colliding with p99 (int() truncated)
     aggs = [
-        F.percentile(F.col("value"), F.lit(p)).alias(f"p{int(p * 100)}")
+        F.percentile(F.col("value"), F.lit(p)).alias(
+            "p" + ("%g" % (p * 100)).replace(".", "_")
+        )
         for p in probs
     ]
     return df.groupBy(*by, bucket).agg(F.count(F.lit(1)).alias("n"), *aggs)

@@ -58,8 +58,11 @@ def delete_plan(df: DataFrame, plan: QueryPlan, compat_collateral: bool = False)
         return df.join(doomed_ts, ["series_id", "timestamp"], "left_anti")
 
     # predicate delete: drop exactly the matched rows — expressible as a
-    # pure filter (no join) since the match condition is row-local
-    in_ids = F.col("series_id").isin(ids) if ids else F.lit(True)
+    # pure filter (no join) since the match condition is row-local.
+    # Empty ids matches NOTHING (a delete names its series; the storage
+    # layer's partition pruning is a no-op for empty ids, and this layer
+    # must agree rather than silently delete every series)
+    in_ids = F.col("series_id").isin(ids) if ids else F.lit(False)
     cond = in_ids & (F.col("timestamp") >= F.lit(w.from_ms))
     if w.op == "range":
         cond = cond & (F.col("timestamp") <= F.lit(w.to_ms))

@@ -293,6 +293,13 @@ class ZestStore:
         between leaves stamped rows whose write_id has no log entry —
         detectable and re-appendable, never silently lost."""
         wid = self._next_write_id()
+        # cast to the canonical schema first: appending a frame with a
+        # mismatched physical type (INT value, reordered columns) would
+        # poison every later read of the whole table (same guard as
+        # kv_ingest_bulk)
+        rows = rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in _TABLES[table].fields]
+        )
         (
             rows.withColumn("time_bucket", F.col("timestamp") / _DAY_MS)
             .withColumn("time_bucket", F.col("time_bucket").cast("long"))
@@ -351,14 +358,28 @@ class ZestStore:
         """Replace ONE ``id=<id_>`` partition of an id-partitioned KV
         table with ``new_rows`` — every other namespace's files are
         untouched (the reference's per-namespace git tree writes;
-        MERGE INTO on a real table format)."""
+        MERGE INTO on a real table format).
+
+        Crash ordering: promote FIRST (the per-dir replace inside
+        _promote_partitions removes the old dir only once its
+        replacement exists next to it), THEN prune the live dir in the
+        emptied-namespace case. A crash mid-sequence leaves either the
+        old or the new namespace readable — never a window where the
+        only copy of committed keys has been rmtree'd before its
+        replacement landed (the old delete-then-promote order lost the
+        whole namespace if the process died between the two)."""
         tmp = self._path(table) + ".tmp"
         new_rows.write.mode("overwrite").partitionBy("id").parquet(tmp)
         real = self._path(table)
-        for val, full in self._part_dirs(real, "id"):
-            if val == id_:
-                shutil.rmtree(full)
+        tmp_ids = {val for val, _ in self._part_dirs(tmp, "id")}
         self._promote_partitions(tmp, real)
+        if id_ not in tmp_ids:
+            # namespace emptied (delete_all / last-key delete): nothing
+            # replaced its dir, so prune it now; a crash before this
+            # point leaves the delete un-applied but loses no data
+            for val, full in self._part_dirs(real, "id"):
+                if val == id_:
+                    shutil.rmtree(full)
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
         """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
