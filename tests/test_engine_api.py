@@ -109,7 +109,9 @@ def test_observe_wildcard_prefix(engine):
 
 
 def test_observe_audit_mode(engine):
-    oid = engine.observers.register("/audit", mode="audit")
+    # audit observers are PATH-SCOPED (like data observers): register
+    # on the wildcard subtree being watched, not a magic global path
+    oid = engine.observers.register("/ts/*", mode="audit")
     engine.get("/ts/sensor1/latest")
     lines = engine.observers.messages(oid)
     assert any("GET /ts/sensor1/latest 69" in ln for ln in lines)

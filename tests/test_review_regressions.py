@@ -150,3 +150,66 @@ def test_write_numeric_bulk_casts_to_canonical_schema(spark, tmp_path):
     store.write_numeric_bulk(bad_shape)
     rows = store.load("ts_numeric").collect()
     assert rows[0]["value"] == 5.0 and isinstance(rows[0]["value"], float)
+
+
+def test_observe_grant_authorizes_observe_only(spark, tmp_path):
+    acl = AclValidator()
+    acl.mint("watcher", [("OBSERVE", "/ts/x")])
+    eng = ZestEngine(spark, str(tmp_path / "store"), acl=acl)
+    # an OBSERVE grant admits the observe registration...
+    assert eng.observe("/ts/x", token="watcher")
+    # ...but not a plain read of the same path
+    with pytest.raises(Unauthorized):
+        eng.get("/ts/x/latest", token="watcher")
+
+
+def test_macaroon_packet_overflow_raises_at_mint():
+    from zestdb_spark.macaroons import mint_token
+
+    with pytest.raises(ValueError, match="65535"):
+        mint_token(
+            id="id", location="loc", path="/" + "x" * 70_000,
+            meth="GET", target="t", key="secret",
+        )
+
+
+def test_extract_features_tolerates_null_payload(spark):
+    from zestdb_spark.functions import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(b"RIFFdata")), (2, "image", "image/bmp", None)],
+        "asset_id long, kind string, mime string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert rows[2]["byte_len"] == 0 and rows[2]["head_hex"] == ""
+    assert rows[1]["byte_len"] == 8
+
+
+def test_bucket_ids_rejects_wrong_dim(spark):
+    from zestdb_spark.functions import similarity
+
+    embs = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim"):
+        similarity.bucket_ids(embs, 8, 64).collect()
+
+
+def test_ivf_topk_missing_query_returns_empty(spark):
+    from zestdb_spark.functions import similarity
+
+    embs = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    assert similarity.ivf_topk(embs, query_vec_id=999, k=3).count() == 0
+
+
+def test_tail_source_bogus_table_is_friendly(spark, tmp_path):
+    from zestdb_spark.sources import register
+
+    register(spark)
+    with pytest.raises(Exception, match="must be one of"):
+        spark.read.format("zest_tail").option("table", "ts_bogus").option(
+            "root", str(tmp_path)
+        ).option("series", "s").option("n", "1").option("mode", "last").load().collect()

@@ -24,11 +24,17 @@ def test_registry_ttl_expiry(monkeypatch):
 def test_registry_mode_separation():
     reg = ObserverRegistry()
     d = reg.register("/ts/x", mode="data")
-    a = reg.register("/x", mode="audit")
+    a = reg.register("/ts/x", mode="audit")
+    other = reg.register("/kv/other", mode="audit")
+    wild = reg.register("/ts/*", mode="audit")
     reg.publish_data("/ts/x", {"value": 1})
     reg.publish_audit((1, "srv", "cli", "GET", "/ts/x", 69))
     assert len(reg.messages(d)) == 1
     assert len(reg.messages(a)) == 1
+    # audit observers are path-scoped (an observer authorized for one
+    # path must not see every other client's audit lines)
+    assert len(reg.messages(other)) == 0
+    assert len(reg.messages(wild)) == 1
 
 
 def test_audit_stream_fanout(spark, tmp_path):

@@ -16,8 +16,6 @@ from dataclasses import dataclass, field
 
 from zestdb_spark.errors import Unauthorized
 
-_METHODS = ("GET", "POST", "DELETE", "OBSERVE")
-
 
 def path_matches(pattern: str, path: str) -> bool:
     """Exact match, or wildcard prefix ``/a/b/*`` (src/token.re:3-13).
@@ -70,11 +68,26 @@ class AclValidator:
     def revoke(self, token_id: str) -> None:
         self._tokens.pop(token_id, None)
 
-    def check(self, method: str, path: str, token_id: str | None) -> None:
+    def check(
+        self,
+        method: str,
+        path: str,
+        token_id: str | None,
+        observe: str | None = None,
+    ) -> None:
+        """``observe`` is set for observation registrations: an OBSERVE
+        grant authorizes exactly those, and a plain GET grant covers
+        them too (observing a path you may read). Without this branch
+        the OBSERVE method the Grant docstring advertises could never
+        match — the engine authorizes observe requests as GET."""
         if not self.enabled:
             return
         tok = self._tokens.get(token_id or "")
-        if tok is None or not tok.allows(method, path):
+        if tok is None:
+            raise Unauthorized(f"{method} {path} not permitted for this token")
+        if observe is not None and tok.allows("OBSERVE", path):
+            return
+        if not tok.allows(method, path):
             raise Unauthorized(f"{method} {path} not permitted for this token")
 
 

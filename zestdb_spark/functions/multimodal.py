@@ -61,12 +61,18 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # poison-row policy (same as decode_features): a NULL
+            # payload yields a 0-byte row, it must not kill the batch
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex().upper()),
+                    "byte_len": payloads.map(
+                        lambda b: 0 if b is None else len(b)
+                    ).astype("int64"),
+                    "head_hex": payloads.map(
+                        lambda b: "" if b is None else bytes(b[:8]).hex().upper()
+                    ),
                 }
             )
 

@@ -73,9 +73,25 @@ def _hyperplanes(nbits: int, dim: int) -> np.ndarray:
 
 def bucket_ids(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
     """(vec_id, v, norm, bucket): sign-bit bucketing against fixed
-    hyperplanes, computed as nbits dot products in codegen."""
+    hyperplanes, computed as nbits dot products in codegen.
+
+    A vector whose length differs from ``dim`` raises at execution
+    (raise_error) — zip_with would otherwise null-pad, every plane dot
+    would go NULL, and EVERY such vector would silently land in bucket
+    0, degrading the bucketed join back to the O(n²) blob it exists to
+    avoid."""
     planes = _hyperplanes(nbits, dim)
-    e = with_norm(embs)
+    e = with_norm(embs).withColumn(
+        "v",
+        F.when(F.size("v") == dim, F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bucket_ids: expected {dim}-dim vectors, got "),
+                    F.size("v").cast("string"),
+                )
+            )
+        ),
+    )
     bucket = F.lit(0).cast("long")
     for i in range(nbits):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -216,7 +232,13 @@ def ivf_topk(
     one scan with an ``isin`` list-membership filter + codegen dot
     products + TakeOrderedAndProject. Zero shuffles, zero joins."""
     cents = codebook if codebook is not None else _ivf_centroids(embs, n_centroids)
-    (qrow,) = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
+    qrows = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
+    if len(qrows) != 1 or qrows[0]["norm"] == 0.0:
+        # unknown query id or zero-norm query: cosine is undefined —
+        # return the empty frame, the same contract as cosine_topk
+        # (whose JVM-side division degrades to null and filters out)
+        return embs.sparkSession.createDataFrame([], "vec_id long, cosine double")
+    (qrow,) = qrows
 
     # driver-side probe ranking over m codebook rows — sequential
     # left-to-right fold (NOT np.dot: BLAS may reorder the summation)
@@ -229,9 +251,16 @@ def ivf_topk(
         return acc
 
     qv = list(qrow["v"])
+    # zero-norm centroids (an all-zero vector among the seeds) carry no
+    # direction — rank them last instead of dividing by zero
     ranked = sorted(
         cents,
-        key=lambda r: (-_seq_dot(r["v"], qv) / (r["norm"] * qrow["norm"]), r["vec_id"]),
+        key=lambda r: (
+            -_seq_dot(r["v"], qv) / (r["norm"] * qrow["norm"])
+            if r["norm"] > 0.0
+            else float("inf"),
+            r["vec_id"],
+        ),
     )
     probe_ids = [int(r["vec_id"]) for r in ranked[:n_probe]]
 
@@ -264,5 +293,8 @@ def lsh_bucketed_pairs(embs: DataFrame, tau: float, nbits: int = 8, dim: int = 6
             q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= tau)
-        .distinct()
+        # no distinct: each vector has exactly ONE bucket, so the
+        # equi-join can produce a given (id_a, id_b) at most once — a
+        # dedup here would add a full extra shuffle over the candidate
+        # set on the designated 100 TB path for nothing
     )

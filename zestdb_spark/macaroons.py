@@ -44,9 +44,19 @@ def _derive_key(secret: str | bytes) -> bytes:
 
 def _packet(key: str, value: bytes) -> bytes:
     """V1 packet: 4 lowercase-hex chars of TOTAL length (prefix + body +
-    newline), then ``key value\\n``."""
+    newline), then ``key value\\n``. The length field caps a packet at
+    0xFFFF bytes — enforce it at MINT time (libmacaroons does the
+    same): a silent 5-hex-digit overflow would serialize a token whose
+    packet stream desynchronizes on read, failing verification much
+    later with no hint why."""
     body = key.encode() + b" " + value + b"\n"
-    return f"{len(body) + 4:04x}".encode() + body
+    total = len(body) + 4
+    if total > 0xFFFF:
+        raise ValueError(
+            f"macaroon packet {key!r} is {total} bytes; the v1 format "
+            "caps packets at 65535"
+        )
+    return f"{total:04x}".encode() + body
 
 
 @dataclass(frozen=True)

@@ -132,10 +132,16 @@ class ZestTailReader(DataSourceReader):
 
         # footer pass: (boundary stat, file, row-group index) in read
         # order — newest-max first for 'last', oldest-min first for
-        # 'first'. Footers are KB-sized reads; no data pages yet.
+        # 'first'. Footers are KB-sized reads; no data pages yet. One
+        # handle per file, shared with the data pass below and closed
+        # on exit — reopening per pass doubled footer I/O and leaked
+        # descriptors to GC on long-lived executors.
+        open_files: dict[str, pq.ParquetFile] = {
+            path: pq.ParquetFile(path) for path in partition.files
+        }
         groups: list[tuple[int | None, str, int]] = []
         for path in partition.files:
-            md = pq.ParquetFile(path).metadata
+            md = open_files[path].metadata
             ts_idx = md.schema.names.index("timestamp")
             for g in range(md.num_row_groups):
                 stats = md.row_group(g).column(ts_idx).statistics
@@ -167,18 +173,20 @@ class ZestTailReader(DataSourceReader):
         batches: list[pa.Table] = []
         count = 0
         cutoff = None  # running n-th best timestamp
-        open_files: dict[str, pq.ParquetFile] = {}
-        for bound, path, g in groups:
-            if count >= partition.n and cutoff is not None and past_cutoff(bound, cutoff):
-                break
-            f = open_files.setdefault(path, pq.ParquetFile(path))
-            t = f.read_row_group(g, columns=list(partition.cols))
-            batches.append(t)
-            count += t.num_rows
-            if count >= partition.n:
-                all_ts = pa.concat_tables(batches)["timestamp"]
-                topn = pc.sort_indices(all_ts, sort_keys=[("", order)])[: partition.n]
-                cutoff = pc.take(all_ts.combine_chunks(), topn)[-1].as_py()
+        try:
+            for bound, path, g in groups:
+                if count >= partition.n and cutoff is not None and past_cutoff(bound, cutoff):
+                    break
+                t = open_files[path].read_row_group(g, columns=list(partition.cols))
+                batches.append(t)
+                count += t.num_rows
+                if count >= partition.n:
+                    all_ts = pa.concat_tables(batches)["timestamp"]
+                    topn = pc.sort_indices(all_ts, sort_keys=[("", order)])[: partition.n]
+                    cutoff = pc.take(all_ts.combine_chunks(), topn)[-1].as_py()
+        finally:
+            for f in open_files.values():
+                f.close()
 
         if not batches:
             return iter(())
@@ -203,7 +211,14 @@ class ZestTailDataSource(DataSource):
         return "zest_tail"
 
     def schema(self) -> str:
-        return _LAYOUTS[self.options.get("table", "ts_numeric")][1]
+        table = self.options.get("table", "ts_numeric")
+        if table not in _LAYOUTS:
+            # Spark resolves schema() before reader(), so the friendly
+            # message must live here too — not just in ZestTailReader
+            raise ValueError(
+                f"zest_tail: table must be one of {sorted(_LAYOUTS)}, got {table!r}"
+            )
+        return _LAYOUTS[table][1]
 
     def reader(self, schema) -> ZestTailReader:
         return ZestTailReader(self.options)

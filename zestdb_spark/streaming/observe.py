@@ -103,12 +103,18 @@ class ObserverRegistry:
         line = f"{ts} {server} {client} {method} {path} {code}"
         n = 0
         for o in self._obs.values():
-            if o.mode == "audit":
+            # audit observers are path-scoped like data observers — an
+            # observer authorized for /ts/mine must not receive audit
+            # lines for every other client's paths
+            if o.mode == "audit" and o.matches(path):
                 o.messages.append(line)
                 n += 1
         return n
 
     def messages(self, oid: str) -> list:
+        # sweep HERE too: TTL enforcement must not depend on unrelated
+        # traffic having triggered a publish since the expiry passed
+        self.expire()
         if oid not in self._obs:
             raise ObserverExpired(f"observer {oid} expired or unknown")
         return self._obs[oid].messages
