@@ -293,6 +293,10 @@ class ZestEngine:
     def _delete(self, path: str) -> None:
         parts = path.split("/")
         if len(parts) >= 3 and parts[1] == "kv":
+            if len(parts) > 4:
+                # destructive verbs validate at least as strictly as
+                # reads: /kv/ns/key/typo must error, not delete 'key'
+                raise BadRequest(f"unrecognized KV path {path!r}")
             self.store.kv_delete(
                 self._format or "json", parts[2], parts[3] if len(parts) > 3 else None
             )
@@ -305,11 +309,24 @@ class ZestEngine:
 
     # ---------------------------------------------------------- bulk ingest
 
-    def ingest_bulk(self, rows, path: str = "/ts/bulk", client: str = "loader") -> None:
+    def ingest_bulk(
+        self,
+        rows,
+        path: str = "/ts/bulk",
+        client: str = "loader",
+        token: Optional[str] = None,
+    ) -> None:
         """S6 write side at scale: one distributed append of a
         ts_numeric-shaped DataFrame under a single provenance record —
         the whole batch is one 'commit', exactly like a reference shard
-        write carries one Prov.info message (src/prov.re:38-46)."""
+        write carries one Prov.info message (src/prov.re:38-46).
+        Authorized like every other write: an ACL-protected engine must
+        not have an unauthenticated bulk side door."""
+        try:
+            self.authorize("POST", path, token)
+        except ZestError as e:
+            self._audit("POST", path, e.code, client)
+            raise
         self.store.set_request_context("POST", path, client, None)
         self.store.write_numeric_bulk(rows)
         self._audit("POST", path, 65, client)

@@ -12,8 +12,8 @@ any kind — SURVEY.md §2.6), designed for the 100 TB posture:
   banded LSH candidate generation, then exact-Jaccard verification of
   candidates only. Shuffles are on (band, band-signature) keys —
   work is proportional to candidates, not pairs.
-- ``simhash_pairs``        — 64-bit SimHash with 4×16-bit band
-  blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band equal), hamming
+- ``simhash_pairs``        — 60-bit SimHash with 4×15-bit chunk
+  blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk equal), hamming
   verification via bit_count.
 - ``embedding_dup_pairs``  — cosine near-duplicate pairs over an
   embedding column (exact; see similarity.py for the ANN path).
@@ -21,10 +21,13 @@ any kind — SURVEY.md §2.6), designed for the 100 TB posture:
 Everything is declarative DataFrame ops (explode / groupBy / join) —
 no Python UDFs anywhere, so the hot path stays in whole-stage codegen.
 
-Hashing is engine-portable by construction: token/shingle hashes are
-``conv(substr(md5(s),1,15),16,10)`` (60-bit ints), so the DuckDB
-correctness oracle can reproduce signatures exactly
-(``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``).
+Hash portability is per-operator: SimHash token hashes are the
+engine-portable ``conv(substr(md5(s),1,15),16,10)`` 60-bit ints
+(DuckDB replays them as ``CAST('0x'||substr(md5(s),1,15) AS
+BIGINT)``), while MinHash shingle hashes use native ``xxhash64`` —
+signatures are engine-INTERNAL there (candidates are exactly verified
+and the oracle mirrors the exact-Jaccard result, never the
+signatures), so only determinism matters and the faster hash wins.
 """
 
 from __future__ import annotations
@@ -203,11 +206,8 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return shingle_rows(docs, k).select("doc_id", "shingle")
 
 
-def _jaccard_from_shingles(
-    sh: DataFrame, candidates: DataFrame | None
-) -> DataFrame:
-    """(doc_id, n, shingle) rows [+ candidate (id_a,id_b) restriction]
-    → (id_a, id_b, jaccard).
+def _jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, n, shingle) rows → (id_a, id_b, jaccard).
 
     Self-join on shingle via ALIASES of one repartitioned plan — the
     identical exchange is computed once and reused for both sides
@@ -231,8 +231,6 @@ def _jaccard_from_shingles(
             F.first(F.col("b.n")).alias("nb"),
         )
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     return inter.select(
         "id_a",
         "id_b",
@@ -257,7 +255,7 @@ def jaccard_pairs(
     exactly verified) for real corpora."""
     _guard_quadratic(docs, "jaccard_pairs", "minhash_lsh_pairs", allow_quadratic)
     sh = shingle_rows(docs, k)
-    return _jaccard_from_shingles(sh, None).filter(F.col("jaccard") >= threshold)
+    return _jaccard_from_shingles(sh).filter(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------ MinHash LSH
@@ -331,6 +329,12 @@ def minhash_lsh_pairs(
     bounded registry (_persist_bounded) unpersists old candidate sets
     so repeated calls can't accumulate cache indefinitely.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            "a remainder would silently drop the trailing hashes and the "
+            "banding geometry (capture curve) would not be the one requested"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes)
 
@@ -597,8 +601,13 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             # the full-table agg materializes every partition of the new
-            # generation, so the predecessor is safe to drop afterwards
-            (row,) = labels.agg(F.sum("lbl").alias("s")).collect()
+            # generation, so the predecessor is safe to drop afterwards.
+            # DECIMAL(38,0) sum: with ~1e10 long doc_ids an int64 sum
+            # of labels overflows (ANSI: ArithmeticException mid-loop;
+            # legacy: silent wrap breaks the strictly-decreasing probe)
+            (row,) = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = labels

@@ -78,7 +78,10 @@ def pack_spans(
     counts = docs.select(
         "doc_id", F.size(_toks()).cast("long").alias("n")
     ).filter(F.col("n") > 0)
-    counts = counts.withColumn("b", (F.col("doc_id") / bucket).cast("long"))
+    # integer div, not double-divide-and-cast: doc_id > 2^53 would
+    # round through IEEE double and could bucket a boundary doc wrong,
+    # corrupting the prefix sum (same reason 'off div s' below)
+    counts = counts.withColumn("b", F.expr(f"doc_id div {int(bucket)}"))
 
     # two-level exclusive prefix sum of n in doc_id order
     subtotals = counts.groupBy("b").agg(F.sum("n").alias("bn"))

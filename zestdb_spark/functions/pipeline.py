@@ -26,8 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zestdb_spark.functions import dedup
-from zestdb_spark.functions.dedup import q6
-from zestdb_spark.functions.textstats import LANG_ORDER, _hits, _tokens
+from zestdb_spark.functions.textstats import lang_pred_expr, quality_exprs
 
 
 def clean_corpus(
@@ -37,11 +36,11 @@ def clean_corpus(
     k: int = 3,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, score, pred_lang) for the cleaned corpus."""
-    # stage 1: quality gate as a scan-local predicate (same arithmetic
-    # as textstats.quality_score, kept alongside text so no join-back)
-    n = F.size(F.filter(_tokens(), lambda t: t != "")).cast("long")
-    ratio = q6(_hits("en") / F.greatest(n, F.lit(1)))  # ANSI: no 0-div
-    score = q6(ratio * 0.5 + F.least(n, F.lit(400)) / 400 * 0.5)
+    # stage 1: quality gate as a scan-local predicate — the SHARED
+    # textstats expression factory, kept alongside text so no join-back
+    # (and no copy of the arithmetic that could drift from the
+    # standalone operator)
+    n, _ratio, score = quality_exprs()
     gated = (
         docs.withColumn("__n", n)
         .withColumn("__score", score)
@@ -53,21 +52,12 @@ def clean_corpus(
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = gated.join(F.broadcast(doomed), "doc_id", "left_anti")
 
-    # stage 3: annotate survivors in ONE projection (no stats⋈lang join)
-    hits = {lang: _hits(lang) for lang in LANG_ORDER}
-    cond_en = (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0)
-    cond_es = (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] > 0)
-    cond_de = (hits["de"] >= hits["fr"]) & (hits["de"] > 0)
-    pred = (
-        F.when(cond_en, "en")
-        .when(cond_es, "es")
-        .when(cond_de, "de")
-        .when(hits["fr"] > 0, "fr")
-        .otherwise("und")
-    )
+    # stage 3: annotate survivors in ONE projection (no stats⋈lang
+    # join); the argmax tree is textstats.lang_pred_expr — one
+    # definition for the operator and the pipeline
     return kept.select(
         "doc_id",
         F.col("__n").alias("n_tokens"),
         F.col("__score").alias("score"),
-        pred.alias("pred_lang"),
+        lang_pred_expr().alias("pred_lang"),
     )

@@ -74,18 +74,24 @@ def punct_ratio(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", q6(ratio).alias("punct_ratio"))
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
-    stopword density plus a capped length credit; round 6. Zero-token
-    docs score 0.0 (greatest(n,1) guards the division — under ANSI
-    mode a bare hits/n THROWS on empty text; found by the
+def quality_exprs() -> tuple[Column, Column, Column]:
+    """(n_tokens, stopword_ratio, score) expression trio — the ONE
+    definition of the quality arithmetic, shared by ``quality_score``
+    and the composed clean-corpus pipeline so they cannot drift.
+    Zero-token docs score 0.0 (greatest(n,1) guards the division —
+    under ANSI mode a bare hits/n THROWS on empty text; found by the
     oracle-equivalence property tests)."""
-    toks = _tokens()
-    n = F.size(F.filter(toks, lambda t: t != "")).cast("long")
-    hits = _hits("en")
-    ratio = q6(hits / F.greatest(n, F.lit(1)))
+    n = F.size(F.filter(_tokens(), lambda t: t != "")).cast("long")
+    ratio = q6(_hits("en") / F.greatest(n, F.lit(1)))
     length_credit = F.least(n, F.lit(400)) / 400
     score = q6(ratio * 0.5 + length_credit * 0.5)
+    return n, ratio, score
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
+    stopword density plus a capped length credit; q6-floored."""
+    n, ratio, score = quality_exprs()
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -94,23 +100,29 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, pred_lang): stopword-hit argmax with fixed precedence
-    (en > es > de > fr), 'und' (undetermined) when no list hits."""
+def lang_pred_expr() -> Column:
+    """The stopword-hit argmax expression (fixed precedence en > es >
+    de > fr, 'und' when nothing hits) — the ONE definition, shared by
+    ``lang_id`` and the clean-corpus pipeline."""
     hits = {lang: _hits(lang) for lang in LANG_ORDER}
     # argmax with precedence: en wins ties against all, es against de/fr, ...
     cond_en = (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0)
     cond_es = (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] > 0)
     cond_de = (hits["de"] >= hits["fr"]) & (hits["de"] > 0)
     cond_fr = hits["fr"] > 0
-    pred = (
+    return (
         F.when(cond_en, "en")
         .when(cond_es, "es")
         .when(cond_de, "de")
         .when(cond_fr, "fr")
         .otherwise("und")
     )
-    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang): stopword-hit argmax with fixed precedence
+    (en > es > de > fr), 'und' (undetermined) when no list hits."""
+    return docs.select("doc_id", lang_pred_expr().alias("pred_lang"))
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:

@@ -10,9 +10,12 @@ reference's wire shapes (docs/README.md:118):
 - KV count   → ``{"count": <int>}``; KV keys → array of strings
   (src/keyvalue/keyvalue.re:35-36, keys.re:32-45)
 
-``rows_to_json`` streams with ``toLocalIterator`` so the driver never
-materializes a 100 TB result — callers at scale should instead write the
-DataFrame to a sink; JSON rendering is for API-parity responses only.
+The ``iter_*`` generators stream with ``toLocalIterator``;
+``rows_to_json`` necessarily buffers the rendered rows (one JSON array
+string has to exist in full before it can be returned), so it is for
+API-SIZED results only — top-k reads and aggregates, the shapes the
+reference's wire protocol actually returns. A full-corpus result
+belongs in a DataFrame write, never in this module.
 """
 
 from __future__ import annotations

@@ -44,8 +44,10 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 def last_n_sql(view: str, ids: list[str], n: int) -> str:
     """Reference ``last/n`` as SQL over a ts view (per-series top-k with
-    the engine's deterministic tie-break)."""
-    id_list = ", ".join(f"'{i}'" for i in ids)
+    the engine's deterministic tie-break). Series ids are DATA, not
+    SQL: quotes are doubled so an id like "o'brien" renders as a valid
+    literal instead of breaking (or rewriting) the statement."""
+    id_list = ", ".join("'" + i.replace("'", "''") + "'" for i in ids)
     return f"""
       SELECT series_id, timestamp, value, tag_name, tag_value FROM (
         SELECT *, row_number() OVER (
