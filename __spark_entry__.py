@@ -696,6 +696,8 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style statistical quality: mean −ln p(tok) under the
         # corpus's own unigram LM (decimal-exact mean, q6 per token)
         "text_unigram": lambda s, d: corpus_ops.unigram_logprob(docs(s, d)),
+        # conditional (bigram) LM scoring — one step up the CCNet ladder
+        "text_bigram": lambda s, d: corpus_ops.bigram_logprob(docs(s, d)),
         # epoch-weighted mix materializer: src0 2.5 epochs, src1 a
         # quarter epoch, src2 dropped, everything else 1 epoch
         "corpus_mix": lambda s, d: corpus_ops.mix_upsample(
@@ -1417,6 +1419,28 @@ _EXT_SQL: dict[str, str] = {
       FROM f
       WHERE copy < wi
          OR {_BUCKET_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)", mod=1000000)} < wf
+    """,
+    "text_bigram": """
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text,' '), x -> x <> '') AS w
+                 FROM documents),
+      g0 AS (SELECT doc_id, unnest(range(0, greatest(len(w) - 1, 0))) AS i, w
+             FROM d),
+      bg AS (SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS bg FROM g0),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS pre, sum(c2) AS c1
+             FROM c2 GROUP BY 1),
+      per AS (
+        SELECT doc_id,
+               CAST(floor(ln(CAST(c1 AS DOUBLE) / c2) * 1000000.0)
+                    / 1000000.0 AS DECIMAL(38,6)) AS nlp
+        FROM bg JOIN c2 USING (bg)
+        JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.pre)
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_bigrams,
+             floor(CAST(sum(nlp) AS DOUBLE) / count(*) * 1000000.0)
+               / 1000000.0 AS mean_neglogp
+      FROM per GROUP BY doc_id
     """,
     "text_unigram": """
       WITH toks AS (

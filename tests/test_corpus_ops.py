@@ -351,3 +351,35 @@ def test_mix_upsample_epoch_math(spark):
         {"A": 2.5, "B": 0.5, "C": 0.0},
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------- bigram_logprob
+
+def test_bigram_matches_duckdb_oracle(docs):
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], r["mean_neglogp"])
+        for r in corpus_ops.bigram_logprob(docs).collect()
+    )
+    assert got == sorted(_duck(_oracle("text_bigram")))
+    # sub-2-token docs (3: empty) emit no row on either engine
+    assert 3 not in {t[0] for t in got}
+
+
+def test_bigram_closed_form(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in corpus_ops.bigram_logprob(
+            spark.createDataFrame(
+                [(0, "a b a b"), (1, "b c")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    # c2: 'a b'=2, 'b a'=1, 'b c'=1; prefix counts: c1(a)=2, c1(b)=2
+    q6 = lambda x: math.floor(x * 1e6) / 1e6
+    ln2 = q6(math.log(2.0))
+    assert rows[0]["n_bigrams"] == 3
+    # doc0 terms: ln(2/2)=0, ln(2/1)=ln2, 0 → mean = ln2/3
+    assert rows[0]["mean_neglogp"] == q6(ln2 / 3)
+    assert rows[1]["mean_neglogp"] == q6(ln2)
+    # the fully-predictable doc scores LOWER surprise than the rare pair
+    assert rows[0]["mean_neglogp"] < rows[1]["mean_neglogp"]

@@ -134,6 +134,17 @@ def test_unigram_oracle_equivalence(spark, rows):
     )
 
 
+@given(rows=_word_corpus)
+@_SETTINGS
+def test_bigram_oracle_equivalence(spark, rows):
+    from zestdb_spark.functions import corpus_ops
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _norm(corpus_ops.bigram_logprob(df).collect()) == _norm(
+        _duck_rows("text_bigram", rows)
+    )
+
+
 # 2-word vocab, 8-12 token docs: identical 8-token runs across docs are
 # likely enough that the scrub path actually fires under hypothesis
 _span_doc = st.lists(

@@ -36,6 +36,7 @@ __all__ = [
     "tf_idf",
     "decontaminate",
     "quantize_embeddings",
+    "bigram_logprob",
     "mix_upsample",
     "scrub_dup_spans",
     "unigram_logprob",
@@ -212,6 +213,62 @@ def quantize_embeddings(embs: DataFrame) -> DataFrame:
     )
     return embs.select(
         "vec_id", scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def bigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
+    """(doc_id, n_bigrams, mean_neglogp): per-document mean negative
+    conditional log-likelihood under the corpus's own bigram LM —
+    p(wᵢ | wᵢ₋₁) = c₂(wᵢ₋₁ wᵢ) / c₁(wᵢ₋₁·), with c₁ the count of the
+    prefix token AS a prefix (= Σ of bigram counts starting with it),
+    so probabilities are properly normalized and every bigram is
+    in-vocab by construction (the model is the corpus). One step up
+    the CCNet ladder from ``unigram_logprob``: conditioning makes
+    formulaic boilerplate score LOW even when its unigrams are rare.
+
+    Shape: bigrams build scan-locally (zip of shifted token slices —
+    same O(len) trick as the shingle builders), ONE count shuffle on
+    the bigram key; the prefix table derives FROM the bigram counts
+    (no second pass over the corpus); both model tables are
+    vocabulary-sized and broadcast by default (``broadcast_vocab=False``
+    degrades to shuffle joins past the broadcast ceiling); the per-doc
+    rollup is the only other shuffle. Determinism: q6-per-term +
+    DECIMAL(38,6) sum, the ``source_stats`` contract. Docs with fewer
+    than 2 tokens emit no row.
+    """
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = F.size(toks)
+    bg_arr = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(m - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(m - 1, F.lit(0)),
+    )
+    exploded = docs.select("doc_id", F.explode(bg_arr).alias("bg"))
+    c2 = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        c2.withColumn("pre", F.split(F.col("bg"), " ").getItem(0))
+        .groupBy("pre")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    maybe = F.broadcast if broadcast_vocab else (lambda df: df)
+    per = (
+        exploded.join(maybe(c2), "bg")
+        .withColumn("pre", F.split(F.col("bg"), " ").getItem(0))
+        .join(maybe(c1), "pre")
+        .select(
+            "doc_id",
+            q6(F.log(F.col("c1").cast("double") / F.col("c2")))
+            .cast("decimal(38,6)")
+            .alias("nlp"),
+        )
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        q6(F.sum("nlp").cast("double") / F.count(F.lit(1))).alias("mean_neglogp"),
     )
 
 
