@@ -703,6 +703,22 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": lambda s, d: corpus_ops.mix_upsample(
             docs(s, d), {"src0": 2.5, "src1": 0.25, "src2": 0.0}
         ),
+        # Okapi BM25 retrieval for a literal term query: one stats
+        # aggregate (1-row broadcast) + one scoring scan ending in
+        # TakeOrderedAndProject — zero shuffles
+        "text_bm25": lambda s, d: corpus_ops.bm25_topk(
+            docs(s, d), ["spark", "query", "filter"], 10
+        ),
+        # SemDeDup (Abbas et al. 2023): IVF-cluster assignment +
+        # within-cluster cosine prune — the semantic-clustered scale
+        # path beside the hyperplane-bucketed one; same 0.45 bar as
+        # dedup_embedding_cosine so the two are directly comparable
+        "dedup_semantic": lambda s, d: similarity.semantic_dedup(
+            embs(s, d), 0.45, 16
+        ),
+        # one BPE merge round's pair statistics, counted over the
+        # word-frequency vocabulary (work ∝ vocab, not corpus)
+        "text_bpe_pairs": lambda s, d: corpus_ops.bpe_pair_stats(docs(s, d), 50),
     }
 
 
@@ -1333,6 +1349,81 @@ _EXT_SQL: dict[str, str] = {
       SELECT lang, doc_id, score, CAST(rnk AS INTEGER) AS rnk
       FROM r WHERE rnk <= 3
     """,
+    # BM25: mirror bm25_topk's exact expression order — (n_docs − df +
+    # 0.5) / (df + 0.5) inside ln, (tf · (k1+1)) / (tf + k1·(1−b +
+    # b·dl/avgdl)) per term, terms summed left-to-right, q6-floored
+    "text_bm25": """
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS dl,
+               len(list_filter(string_split(text,' '), x -> x = 'spark')) AS tf0,
+               len(list_filter(string_split(text,' '), x -> x = 'query')) AS tf1,
+               len(list_filter(string_split(text,' '), x -> x = 'filter')) AS tf2
+        FROM documents),
+      s AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM t),
+      scored AS (
+        SELECT doc_id,
+               floor((0.0
+                 + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                 + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                 + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               ) * 1000000.0) / 1000000.0 AS score
+        FROM t, s)
+      SELECT doc_id, score FROM scored
+      WHERE score > 0.0
+      ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    # SemDeDup: the assign CTE is sim_topk_ivf's (identical codebook +
+    # tie rule); dup = within-cluster pairs at the q6-floored 0.45 bar,
+    # canonical-min keep
+    "dedup_semantic": f"""
+      WITH {_EMB_NORM_CTE},
+      cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+                FROM n ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT vec_id, cid AS cent FROM (
+          SELECT n.vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, cv) / (n.norm * cnorm) DESC,
+                            cid ASC) AS rn
+          FROM n CROSS JOIN cents)
+        WHERE rn = 1),
+      dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b ON a.cent = b.cent AND a.vec_id < b.vec_id
+        JOIN n x ON x.vec_id = a.vec_id
+        JOIN n y ON y.vec_id = b.vec_id
+        WHERE floor(list_dot_product(x.v, y.v) / (x.norm * y.norm) * 1000000.0)
+                / 1000000.0 >= 0.45)
+      SELECT a.vec_id, a.cent, (d.vec_id IS NULL) AS keep
+      FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+    "text_bpe_pairs": """
+      WITH w AS (
+        SELECT word, count(*) AS wf FROM (
+          SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word
+          FROM documents)
+        GROUP BY word HAVING len(word) >= 2),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                                     i -> substr(word, i, 2))) AS pair, wf
+        FROM w),
+      c AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM p
+            GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 50)
+      SELECT pair, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS INTEGER) AS rnk
+      FROM c
+    """,
     "text_vocab": """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
@@ -1531,10 +1622,15 @@ GRADED_WINDOW: list[str] = [
     "dedup_spans",
     "an_revenue_join", "pipe_clean_corpus",
     "tmp_asof_join", "tmp_sessionize", "tmp_rollup_hour",
-    "dedup_exact", "dedup_minhash", "dedup_embedding_cosine",
+    # embedding-dedup is graded via its SCALE path (SemDeDup clustered
+    # prune) — the O(n²) dedup_embedding_cosine baseline moved to the
+    # tail (still selfcheck-exact); same bar (0.45), better 100 TB story
+    "dedup_exact", "dedup_minhash", "dedup_semantic",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
+    # retrieval family graded via BM25 (tf_idf demoted to the tail —
+    # same term-weighting family, BM25 is the member a user would run)
     "text_quality", "text_langid", "text_gopher", "text_winnow",
-    "text_tfidf", "text_decontam",
+    "text_bm25", "text_decontam",
     # corpus_sample demoted to the tail for the ST-ingest round trip —
     # the sampling law stays selfcheck/pytest-verified; streaming
     # ingest (exactly-once foreachBatch appends) gains driver evidence

@@ -37,6 +37,8 @@ __all__ = [
     "decontaminate",
     "quantize_embeddings",
     "bigram_logprob",
+    "bm25_topk",
+    "bpe_pair_stats",
     "mix_upsample",
     "scrub_dup_spans",
     "unigram_logprob",
@@ -270,6 +272,114 @@ def bigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         q6(F.sum("nlp").cast("double") / F.count(F.lit(1))).alias("mean_neglogp"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score): Okapi BM25 retrieval — the k best documents for
+    a literal bag-of-terms query, scored with the Lucene idf variant
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always ≥ 0).
+
+    Shape: per-term tf and doc length are scan-local array expressions
+    (count of exact token matches — no explode, no per-term join); the
+    corpus statistics the formula needs (N, avgdl, per-term df) come
+    from ONE global aggregate whose 1-row result is broadcast back.
+    Scoring is then a second scan in whole-stage codegen ending in
+    TakeOrderedAndProject — so the whole query is two scans, zero
+    shuffles, a k-row result. At 100 TB the stats row would be
+    precomputed once per corpus snapshot and reused across queries;
+    pass it through unchanged and only the scoring scan remains.
+
+    Determinism: tf/dl/df/N are integers, avgdl and the score are
+    double math in a fixed expression order, q6-floored at the edge —
+    the ``tf_idf`` portability contract. Docs matching no term score 0
+    and are excluded. Ties break on doc_id asc.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        score = score + idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", q6(score).alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """(pair, freq, rnk): corpus frequencies of ADJACENT CHARACTER
+    pairs inside words, weighted by word frequency — the counting step
+    of one BPE merge round (the pair with rnk=1 is the merge a BPE
+    trainer would perform next on the character-level vocabulary).
+
+    Shape: the corpus collapses to the distinct-word frequency table
+    first (one token-key shuffle with map-side combine — the same
+    movement ``vocab_topk`` pays), and pair generation then runs over
+    the VOCABULARY, not the corpus: each distinct word emits its
+    len−1 adjacent pairs once, weighted by its count. Under Zipf the
+    vocabulary is orders of magnitude smaller than the corpus, which
+    is exactly why real BPE trainers (Sennrich et al. 2016) count over
+    word types too. Top-k is TakeOrderedAndProject (per-partition
+    heaps), the final row_number runs on k rows — the ``vocab_topk``
+    contract. Single-char words emit nothing.
+    """
+    words = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .filter(F.length("word") >= 2)
+    )
+    # SQL-expr lambda: substring over a sequence of start offsets —
+    # code-point addressed in both engines, so the oracle replays it
+    pairs = words.select(
+        F.expr(
+            "explode(transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2)))"
+        ).alias("pair"),
+        "wf",
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return counts.withColumn("rnk", F.row_number().over(w))
 
 
 def mix_upsample(

@@ -277,6 +277,59 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def semantic_dedup(
+    embs: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    codebook: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse codebook,
+    compute cosine pairs WITHIN each cluster only, and drop every
+    vector that has a same-cluster neighbor with cosine ≥ ``tau`` and a
+    smaller vec_id — the canonical-min keep rule (deterministic, same
+    contract as ``exact_duplicates``; the paper keeps the
+    lowest-centroid-similarity member, which needs the same pair set).
+    Returns (vec_id, cent, keep).
+
+    This is the SCALE path for embedding dedup: the pair join is an
+    equi-join on the centroid id, so candidate pairs are bounded per
+    cluster — never all-pairs (``embedding_dup_pairs`` is the guarded
+    O(n²) baseline). At 100 TB, raise ``n_centroids`` ∝ corpus size
+    (the paper uses ~100k clusters for LAION-scale) so per-cluster
+    membership stays ~constant; assignment itself is scan-local
+    against the literal codebook (zero shuffles) and the per-cluster
+    self-join shuffles once on the small int key. A trained codebook
+    (``ivf_train``) tightens clusters; the deterministic seeded
+    codebook is the replayable default.
+    """
+    assigned = ivf_assign(embs, n_centroids, codebook)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"), "cent",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"), "cent",
+    )
+    dropped = (
+        a.join(b, "cent")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")))
+            >= tau
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    # one outer join against the (small) dropped set — not an anti- plus
+    # semi-join pair, which would run the cluster self-join twice
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "cent", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )
+
+
 def lsh_bucketed_pairs(embs: DataFrame, tau: float, nbits: int = 8, dim: int = 64) -> DataFrame:
     """Approximate near-dup pairs: equi-join on bucket (single shuffle
     on a small int key) then exact cosine filter — the 100 TB
