@@ -492,6 +492,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         multimodal,
         similarity,
+        sketches,
         textstats,
     )
 
@@ -719,6 +720,15 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one BPE merge round's pair statistics, counted over the
         # word-frequency vocabulary (work ∝ vocab, not corpus)
         "text_bpe_pairs": lambda s, d: corpus_ops.bpe_pair_stats(docs(s, d), 50),
+        # mergeable cardinality sketches over a high-cardinality fact
+        # key — portable md5 hashes make the registers (not just the
+        # estimate) oracle-exact
+        "sk_hll_partkey": lambda s, d: sketches.hll_distinct(
+            s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey", 12
+        ),
+        "sk_kmv_partkey": lambda s, d: sketches.kmv_distinct(
+            s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey", 256
+        ),
     }
 
 
@@ -1424,6 +1434,60 @@ _EXT_SQL: dict[str, str] = {
              CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS INTEGER) AS rnk
       FROM c
     """,
+    # HLL p=12 over the 60-bit md5-prefix hash: register = top 12 bits,
+    # rho = 49 − bitlen(48-bit suffix); Σ 2^−rho kept as the exact
+    # integer Σ 2^(49−rho) (2^49 = 562949953421312); α·m² inlined as
+    # the Python-computed double 12098218.894406674; small-range
+    # correction mirrors sketches.hll_estimate exactly
+    "sk_hll_partkey": """
+      WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem),
+      r AS (
+        SELECT h >> 48 AS register,
+               max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
+                              THEN 0
+                              ELSE length(bin(h & ((CAST(1 AS BIGINT) << 48) - 1)))
+                         END)) AS max_rho
+        FROM h GROUP BY 1),
+      a AS (
+        SELECT count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                 AS s_present
+        FROM r),
+      e AS (
+        SELECT n_present,
+               (CAST(coalesce(s_present, 0) AS DOUBLE)
+                + CAST(4096 - n_present AS DOUBLE) * 562949953421312.0)
+                 / 562949953421312.0 AS s
+        FROM a)
+      SELECT CAST(4096 AS INTEGER) AS m,
+             CAST(4096 - n_present AS BIGINT) AS v_zero,
+             floor((CASE WHEN 12098218.894406674 / s <= 10240.0
+                              AND (4096 - n_present) > 0
+                         THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                         ELSE 12098218.894406674 / s
+                    END) * 1000000.0) / 1000000.0 AS estimate
+      FROM e
+    """,
+    # KMV bottom-256: (k−1)/u_k with u_k the 256th smallest distinct
+    # hash normalized by 2^60 = 1152921504606846976; < k distinct ⇒
+    # exact count
+    "sk_kmv_partkey": """
+      WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                             AS BIGINT) AS h
+        FROM lineitem),
+      m AS (SELECT h FROM h ORDER BY h LIMIT 256),
+      a AS (SELECT count(*) AS n_min, max(h) AS hk FROM m)
+      SELECT CAST(256 AS INTEGER) AS k,
+             CAST(n_min AS BIGINT) AS n_min,
+             floor((CASE WHEN n_min < 256 THEN CAST(n_min AS DOUBLE)
+                         ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                    END) * 1000000.0) / 1000000.0 AS estimate
+      FROM a
+    """,
     "text_vocab": """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
@@ -1621,7 +1685,11 @@ GRADED_WINDOW: list[str] = [
     "rs_locf_hourly",
     "dedup_spans",
     "an_revenue_join", "pipe_clean_corpus",
-    "tmp_asof_join", "tmp_sessionize", "tmp_rollup_hour",
+    # the temporal family keeps two graded rows (as-of join +
+    # sessionize); tmp_rollup_hour moved to the tail so the sketch
+    # family (mergeable HLL — registers oracle-exact, not just the
+    # estimate) has driver evidence
+    "tmp_asof_join", "tmp_sessionize", "sk_hll_partkey",
     # embedding-dedup is graded via its SCALE path (SemDeDup clustered
     # prune) — the O(n²) dedup_embedding_cosine baseline moved to the
     # tail (still selfcheck-exact); same bar (0.45), better 100 TB story

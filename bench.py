@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "text_decontam",
     "dedup_spans",
     "text_unigram",
+    "text_bm25",
+    "dedup_semantic",
+    "text_bpe_pairs",
+    "sk_hll_partkey",
 ]
 
 

@@ -1,0 +1,214 @@
+"""Mergeable cardinality sketches: HyperLogLog and KMV (k-minimum
+values) distinct-count estimation, built from PORTABLE hashes.
+
+Extension beyond the reference surface (ZestDB has no approximate
+aggregates — SURVEY.md §2.4 lists sum/count/min/max/mean/median/sd
+only). Spark ships ``approx_count_distinct`` (HLL++), but its binary
+sketch is engine-internal — unverifiable and unmergeable outside
+Spark. These operators instead materialize the SKETCH ITSELF as a
+DataFrame of (register, max_rho) rows derived from the md5-prefix
+60-bit hash (the ``dedup._hash60`` construction, replayable in any
+engine with md5 — the exact-oracle contract), so:
+
+- the estimate is DETERMINISTIC and oracle-exact (DuckDB reproduces
+  every register and the same correction arithmetic, not just a
+  tolerance-matched estimate);
+- sketches MERGE: register tables union + max per register (HLL), or
+  min-k over unions (KMV). That is the 100 TB posture — one tiny
+  sketch per shard/day, merged at read time, never a re-scan. A
+  p=12 HLL is ≤ 4096 rows of two ints per shard regardless of input
+  size; standard error ≈ 1.04/√m ≈ 1.6%.
+
+Plan shape: one scan → hash projections (scan-local, codegen) → one
+groupBy on the p-bit register key (map-side combine; at most m groups
+reach the shuffle) → a 4096-row final aggregate. KMV is one scan →
+distinct → TakeOrderedAndProject(k) → 1-row aggregate.
+
+Determinism of the float path: Σ 2^−rho is accumulated as the INTEGER
+Σ 2^(width+1−rho) (each term ≤ 2^width, m terms — fits int64), so the
+harmonic-mean denominator is exact and reduce-order-free; the only
+float ops are the final α·m²/S and ln corrections, identical
+expression order in the oracle. Estimates are q6-floored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions.dedup import _hash60, q6
+
+__all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct",
+           "kmv_distinct", "sampled_quantiles"]
+
+#: md5-prefix hash width (15 hex chars → 60 bits, signed-long safe)
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """HLL bias constant α_m (Flajolet et al. 2007) for m ≥ 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """(register, max_rho): the HLL register table — top-p hash bits
+    pick the register, rho = 1 + leading zeros of the remaining
+    (60−p)-bit suffix. Only PRESENT registers emit a row (absent ⇒ 0),
+    so the table is ≤ min(distinct, 2^p) rows; groupBy(register) is
+    map-side combined and the shuffle carries ≤ 2^p rows per task."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_registers: p must be in [4, 18], got {p}")
+    width = _HASH_BITS - p
+    h = _hash60(F.col(col).cast("string"))
+    w = h.bitwiseAND(F.lit((1 << width) - 1))
+    # bit length via base-2 string length (no leading zeros in conv);
+    # w = 0 ⇒ bitlen 0 ⇒ rho = width + 1 (all suffix bits zero)
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(
+            F.shiftright(h, width).alias("register"),
+            (F.lit(width + 1) - bitlen).alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same p): union + per-register max.
+    Lossless — merging shard sketches equals sketching the union, the
+    property that makes one-sketch-per-shard the 100 TB plan."""
+    if not register_tables:
+        raise ValueError("hll_merge: need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """(m, v_zero, estimate): the HLL cardinality estimate from a
+    register table, with the standard small-range correction
+    (E ≤ 2.5m and empty registers present ⇒ linear counting
+    m·ln(m/V)). The 60-bit hash space makes the large-range
+    correction irrelevant below ~10^17 distinct values — documented
+    here rather than implemented."""
+    m = 1 << p
+    width = _HASH_BITS - p
+    # Σ 2^(width+1−rho) as exact int64 — divided back by 2^(width+1)
+    # at the float step. Absent registers contribute 2^(width+1) each.
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # SQL-expr form: the Python shiftleft wrapper only takes a
+        # literal int shift, but the underlying expression is general
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - max_rho)"))
+        .alias("s_present"),
+    )
+    scale = float(1 << (width + 1))
+    v_zero = F.lit(m) - F.col("n_present")
+    s = (
+        F.coalesce(F.col("s_present"), F.lit(0)).cast("double")
+        + v_zero.cast("double") * F.lit(scale)
+    ) / F.lit(scale)
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        v_zero.cast("long").alias("v_zero"),
+        q6(est).alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One-shot distinct-count estimate: sketch + estimate."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """(k, n_min, estimate): KMV (bottom-k) distinct-count estimate —
+    keep the k smallest distinct 60-bit hashes; estimate = (k−1)/u_k
+    with u_k the k-th smallest hash normalized to [0,1). Fewer than k
+    distinct hashes ⇒ the count is exact (estimate = n_min).
+
+    Plan: scan-local hash → distinct (one shuffle on the 8-byte key)
+    → global k smallest via TakeOrderedAndProject (per-partition
+    heaps) → 1-row aggregate. Mergeable by construction: min-k of a
+    union = min-k of concatenated min-k sets — at scale keep one
+    bottom-k per shard and re-rank (same TakeOrdered shape) at read."""
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be ≥ 2, got {k}")
+    mins = (
+        df.select(_hash60(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = mins.agg(F.count(F.lit(1)).alias("n_min"), F.max("h").alias("hk"))
+    u_k = F.col("hk").cast("double") / F.lit(float(1 << _HASH_BITS))
+    est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+    return agg.select(
+        F.lit(k).alias("k"), F.col("n_min").cast("long").alias("n_min"),
+        q6(est).alias("estimate"),
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    rate_bits: int = 4,
+) -> DataFrame:
+    """(n_sample, est_total, q_25, q_50, ...): quantile estimates from
+    a DETERMINISTIC hash sample — keep the rows whose 60-bit md5 hash
+    of ``key_cols`` (a row-unique key, e.g. the table's PK) falls below
+    2^(60−rate_bits), i.e. a fixed 2^−rate_bits Bernoulli sample that
+    every engine, run, and cluster size reproduces bit-identically
+    (the package's no-``rand()`` rule), then take EXACT interpolated
+    quantiles over the sample.
+
+    Why not ``percentile_approx``: its KLL-ish sketch is
+    merge-order-dependent and engine-internal — neither deterministic
+    nor oracle-replayable. The hash sample IS the sketch here, and it
+    MERGES: the same predicate applied per shard unions into exactly
+    the sample of the union (no re-rank step at all — filter-samples
+    compose by construction). 100 TB posture: keep each shard's sample
+    rows (2^−rate_bits of the shard), merge by union, one exact
+    quantile pass over sample-sized data at read. Error: quantile rank
+    error is O(1/√(n·2^−rate_bits)) — pick rate_bits so the sample is
+    ~10⁶ rows and ranks are exact to ~0.1%.
+
+    Plan: scan-local hash filter (codegen; the value and key columns
+    are the only ReadSchema) → single 1-row exact-percentile aggregate
+    over sample-sized data. ``est_total`` = n_sample·2^rate_bits, the
+    Horvitz–Thompson count estimate from the same sample. Quantiles
+    are q6-floored; Spark ``percentile`` and DuckDB ``quantile_cont``
+    both linear-interpolate over identical sampled doubles (the
+    ``li_range_median`` contract)."""
+    if not key_cols:
+        raise ValueError("sampled_quantiles: key_cols must name a row-unique key")
+    if not 0 <= rate_bits <= 40:
+        raise ValueError(
+            f"sampled_quantiles: rate_bits must be in [0, 40], got {rate_bits}"
+        )
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    sample = df.filter(_hash60(key) < F.lit(1 << (_HASH_BITS - rate_bits)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_sample"),
+        (F.count(F.lit(1)) * F.lit(1 << rate_bits)).alias("est_total"),
+    ]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"sampled_quantiles: quantile {q} outside [0, 1]")
+        name = f"q_{int(round(q * 1000)):03d}"  # per-mille: 0.25 → q_250
+        aggs.append(
+            q6(F.percentile(F.col(value_col).cast("double"), F.lit(q))).alias(name)
+        )
+    return sample.agg(*aggs)
