@@ -729,6 +729,21 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_kmv_partkey": lambda s, d: sketches.kmv_distinct(
             s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey", 256
         ),
+        # mergeable quantile sketch: deterministic 1/8 hash sample on
+        # the (orderkey, linenumber) PK → exact interpolated quartiles
+        "sk_quantiles": lambda s, d: sketches.sampled_quantiles(
+            s.read.parquet(f"{d}/lineitem.parquet"),
+            "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+            (0.25, 0.5, 0.75),
+            rate_bits=3,
+        ),
+        # DSIR importance resampling: steer the whole corpus toward the
+        # English-document target distribution (Gumbel-top-k over
+        # smoothed unigram log-ratio weights, hash-derived noise)
+        "corpus_dsir": lambda s, d: corpus_ops.dsir_select(
+            docs(s, d), docs(s, d).filter(F.col("lang") == "en"), 25
+        ),
     }
 
 
@@ -1488,6 +1503,73 @@ _EXT_SQL: dict[str, str] = {
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
     """,
+    # deterministic 2^-3 Bernoulli sample by the 60-bit md5 hash of the
+    # (l_orderkey, l_linenumber) PK, then exact interpolated quartiles
+    # (quantile_cont ≡ Spark percentile, the tmp_rollup_quantiles
+    # contract), q6-floored; est_total = n·8 (Horvitz–Thompson)
+    "sk_quantiles": """
+      WITH s AS (
+        SELECT l_extendedprice AS v
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5(concat_ws(chr(31),
+                     CAST(l_orderkey AS VARCHAR),
+                     CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)
+              < (CAST(1 AS BIGINT) << 57))
+      SELECT CAST(count(*) AS BIGINT) AS n_sample,
+             CAST(count(*) * 8 AS BIGINT) AS est_total,
+             floor(quantile_cont(v, 0.25) * 1000000.0) / 1000000.0 AS q_250,
+             floor(quantile_cont(v, 0.50) * 1000000.0) / 1000000.0 AS q_500,
+             floor(quantile_cont(v, 0.75) * 1000000.0) / 1000000.0 AS q_750
+      FROM s
+    """,
+    # DSIR: add-one-smoothed unigram log-ratio (target = lang:'en'
+    # docs) q6-floored per token, exact DECIMAL(38,6) per-doc sum,
+    # + q6-floored Gumbel noise from u = (hash60(doc_id)+0.5)/2^60;
+    # top-25 by (score desc, doc_id asc)
+    "corpus_dsir": """
+      WITH rt AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents),
+      tt AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents WHERE lang = 'en'),
+      cr AS (SELECT tok, count(*) AS cr FROM rt GROUP BY 1),
+      ct AS (SELECT tok, count(*) AS ct FROM tt GROUP BY 1),
+      vocab AS (
+        SELECT coalesce(cr.tok, ct.tok) AS tok,
+               coalesce(cr.cr, 0) AS cr, coalesce(ct.ct, 0) AS ct
+        FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+      tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt2, count(*) AS v FROM vocab),
+      llr AS (
+        SELECT tok,
+               CAST(floor((ln(CAST(ct AS DOUBLE) + 1.0)
+                           - ln(CAST(cr AS DOUBLE) + 1.0)
+                           + ln(CAST(tr + v AS DOUBLE))
+                           - ln(CAST(tt2 + v AS DOUBLE))) * 1000000.0)
+                    / 1000000.0 AS DECIMAL(38,6)) AS llr
+        FROM vocab, tot),
+      per AS (
+        SELECT rt.doc_id,
+               CAST(count(*) AS INTEGER) AS n_tokens,
+               sum(llr) AS logw_d
+        FROM rt JOIN llr USING (tok)
+        GROUP BY 1),
+      g AS (
+        SELECT doc_id, n_tokens, logw_d,
+               floor(-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                        AS BIGINT) AS DOUBLE) + 0.5)
+                             / 1152921504606846976.0)) * 1000000.0)
+                 / 1000000.0 AS gum
+        FROM per)
+      SELECT doc_id, n_tokens,
+             floor(CAST(logw_d AS DOUBLE) * 1000000.0) / 1000000.0 AS logw,
+             floor((CAST(logw_d AS DOUBLE) + gum) * 1000000.0) / 1000000.0
+               AS score
+      FROM g
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 25
+    """,
     "text_vocab": """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
@@ -1665,7 +1747,12 @@ GRADED_WINDOW: list[str] = [
     "ts_latest_multi", "ts_earliest_multi", "ts_first_n_multi",
     "ts_since", "ts_range",
     "filter_equals", "filter_contains",
-    "agg_count", "agg_min", "agg_max", "agg_mean", "agg_sd",
+    # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
+    # agg family keeps FIVE graded rows: count, mean, sd, li_range_sum,
+    # li_range_median) to give the two newest first-class extension
+    # ops — the mergeable quantile sketch and DSIR — driver evidence
+    "agg_count", "agg_mean", "agg_sd",
+    "sk_quantiles", "corpus_dsir",
     "blob_last_n",
     # lineitem volume mapping (covers last/n, sum, median, length)
     "li_last_n_multi", "li_range_sum", "li_range_median", "li_length",

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "text_bpe_pairs",
     "sk_hll_partkey",
+    "sk_quantiles",
+    "corpus_dsir",
 ]
 
 

@@ -383,3 +383,40 @@ def test_bigram_closed_form(spark):
     assert rows[1]["mean_neglogp"] == q6(ln2)
     # the fully-predictable doc scores LOWER surprise than the rare pair
     assert rows[0]["mean_neglogp"] < rows[1]["mean_neglogp"]
+
+
+# ------------------------------------------------------------ dsir_select
+
+def test_dsir_self_target_zero_logw(docs):
+    """target == raw ⇒ every per-token log-ratio is exactly 0 (ct=cr,
+    tt=tr), so logw must be 0.0 for every selected doc and the ranking
+    reduces to pure Gumbel noise — the importance-weight null case."""
+    rows = corpus_ops.dsir_select(docs, docs, k=100).collect()
+    assert rows  # zero-token docs excluded, everything else present
+    assert all(r["logw"] == 0.0 for r in rows)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)]
+        + [(i + 10, "delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    top = corpus_ops.dsir_select(raw, target, k=10).collect()
+    # the Gumbel noise is bounded (~[-2, 7] q6-floored over 20 hashes)
+    # while the weight gap between the two groups is >> that, so the
+    # whole top-10 must be the target-like group
+    assert {r["doc_id"] for r in top} == set(range(10))
+    assert all(r["logw"] > 0 for r in top)
+
+
+def test_dsir_k_and_determinism(docs):
+    with pytest.raises(ValueError, match="k must be"):
+        corpus_ops.dsir_select(docs, docs, k=0)
+    a = corpus_ops.dsir_select(docs, docs.limit(3), k=5).collect()
+    b = corpus_ops.dsir_select(docs, docs.limit(3), k=5).collect()
+    assert a == b
+    assert len(a) == 5

@@ -91,3 +91,51 @@ def test_sketches_deterministic(ids):
     k1 = sketches.kmv_distinct(ids, "v").collect()
     k2 = sketches.kmv_distinct(ids, "v").collect()
     assert k1 == k2
+
+
+# ------------------------------------------------------- sampled_quantiles
+
+def test_sampled_quantiles_rate_zero_is_exact(spark):
+    """rate_bits=0 keeps every row, so the 'estimates' must equal the
+    exact interpolated quantiles (q6-floored) of the full input."""
+    import math
+
+    df = spark.range(1001).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    (row,) = sketches.sampled_quantiles(
+        df, "v", ["k"], (0.25, 0.5, 0.75), rate_bits=0
+    ).collect()
+    assert row["n_sample"] == 1001 and row["est_total"] == 1001
+    assert row["q_250"] == 250.0
+    assert row["q_500"] == 500.0
+    assert row["q_750"] == 750.0
+
+
+def test_sampled_quantiles_accuracy_and_merge(spark):
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    (row,) = sketches.sampled_quantiles(df, "v", ["k"], (0.5,), rate_bits=3).collect()
+    # 1/8 sample of 20k ≈ 2500 rows; rank error O(1/sqrt(n)) ≈ 2%
+    assert row["est_total"] == pytest.approx(20_000, rel=0.1)
+    assert row["q_500"] == pytest.approx(499.5, abs=25)
+    # merge law: the same predicate applied per shard then unioned IS
+    # the sample of the union — quantiles over two half-shards must
+    # equal the single-pass result exactly
+    lo = df.filter(F.col("k") < 10_000)
+    hi = df.filter(F.col("k") >= 10_000)
+    (merged,) = sketches.sampled_quantiles(
+        lo.unionAll(hi), "v", ["k"], (0.5,), rate_bits=3
+    ).collect()
+    assert merged == row
+
+
+def test_sampled_quantiles_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="key_cols"):
+        sketches.sampled_quantiles(df, "v", [])
+    with pytest.raises(ValueError, match="rate_bits"):
+        sketches.sampled_quantiles(df, "v", ["k"], rate_bits=41)
+    with pytest.raises(ValueError, match="outside"):
+        sketches.sampled_quantiles(df, "v", ["k"], qs=(1.5,))
