@@ -303,7 +303,15 @@ def semantic_dedup(
     (``ivf_train``) tightens clusters; the deterministic seeded
     codebook is the replayable default.
     """
-    assigned = ivf_assign(embs, n_centroids, codebook)
+    from zestdb_spark.functions.dedup import _persist_bounded
+
+    # materialize the assignment ONCE: it feeds three subtrees (both
+    # self-join sides + the final keep join), and each would otherwise
+    # recompile and re-run the m·dim-literal nearest-centroid
+    # expression over the whole corpus (measured ~2× end-to-end at
+    # bench scale). This is also the 100 TB shape — SemDeDup persists
+    # cluster assignments as a build artifact, not a throwaway subtree.
+    assigned = _persist_bounded(ivf_assign(embs, n_centroids, codebook))
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("norm").alias("norm_a"), "cent",
