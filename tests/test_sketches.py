@@ -139,3 +139,23 @@ def test_sampled_quantiles_validation(spark):
         sketches.sampled_quantiles(df, "v", ["k"], rate_bits=41)
     with pytest.raises(ValueError, match="outside"):
         sketches.sampled_quantiles(df, "v", ["k"], qs=(1.5,))
+
+
+def test_fast_hash_variants_accurate(spark, ids):
+    """portable=False (masked xxhash64 — the 100 TB hash) must keep
+    every estimator law: same error bounds, duplicates free, exact
+    below k. Only oracle replayability is given up."""
+    (h,) = sketches.hll_distinct(ids, "v", p=12, portable=False).collect()
+    assert h["estimate"] == pytest.approx(5000, rel=0.08)
+    (kv,) = sketches.kmv_distinct(ids, "v", k=256, portable=False).collect()
+    assert kv["estimate"] == pytest.approx(5000, rel=0.25)
+    small = spark.range(100).select(F.col("id").alias("v"))
+    (ex,) = sketches.kmv_distinct(small, "v", k=256, portable=False).collect()
+    assert ex["estimate"] == 100.0
+    df = spark.range(1001).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    (row,) = sketches.sampled_quantiles(
+        df, "v", ["k"], (0.5,), rate_bits=0, portable=False
+    ).collect()
+    assert row["q_500"] == 500.0  # rate 0 keeps all rows whatever the hash

@@ -45,12 +45,27 @@ __all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct",
 _HASH_BITS = 60
 
 
+def _hash60_fast(col: Column) -> Column:
+    """The 100 TB hash: xxhash64 masked to the same 60-bit domain as
+    ``_hash60`` (sign bit cleared, uniform over [0, 2^60)). ~10× less
+    per-row work than md5-of-string + base-conv, JVM-native — but NOT
+    replayable outside Spark, so only the ``portable=False`` sketch
+    variants use it; every oracle-graded row stays on md5."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << _HASH_BITS) - 1))
+
+
+def _h60(col: Column, portable: bool) -> Column:
+    return _hash60(col) if portable else _hash60_fast(col)
+
+
 def _alpha(m: int) -> float:
     """HLL bias constant α_m (Flajolet et al. 2007) for m ≥ 128."""
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, portable: bool = True
+) -> DataFrame:
     """(register, max_rho): the HLL register table — top-p hash bits
     pick the register, rho = 1 + leading zeros of the remaining
     (60−p)-bit suffix. Only PRESENT registers emit a row (absent ⇒ 0),
@@ -59,7 +74,7 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     if not 4 <= p <= 18:
         raise ValueError(f"hll_registers: p must be in [4, 18], got {p}")
     width = _HASH_BITS - p
-    h = _hash60(F.col(col).cast("string"))
+    h = _h60(F.col(col).cast("string"), portable)
     w = h.bitwiseAND(F.lit((1 << width) - 1))
     # bit length via base-2 string length (no leading zeros in conv);
     # w = 0 ⇒ bitlen 0 ⇒ rho = width + 1 (all suffix bits zero)
@@ -124,12 +139,18 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     )
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
-    """One-shot distinct-count estimate: sketch + estimate."""
-    return hll_estimate(hll_registers(df, col, p), p)
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 12, portable: bool = True
+) -> DataFrame:
+    """One-shot distinct-count estimate: sketch + estimate.
+    ``portable=False`` swaps the md5 hash for masked xxhash64 — the
+    100 TB variant (same plan, ~10x cheaper rows, not oracle-replayable)."""
+    return hll_estimate(hll_registers(df, col, p, portable), p)
 
 
-def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, portable: bool = True
+) -> DataFrame:
     """(k, n_min, estimate): KMV (bottom-k) distinct-count estimate —
     keep the k smallest distinct 60-bit hashes; estimate = (k−1)/u_k
     with u_k the k-th smallest hash normalized to [0,1). Fewer than k
@@ -143,7 +164,7 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     if k < 2:
         raise ValueError(f"kmv_distinct: k must be ≥ 2, got {k}")
     mins = (
-        df.select(_hash60(F.col(col).cast("string")).alias("h"))
+        df.select(_h60(F.col(col).cast("string"), portable).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -165,6 +186,7 @@ def sampled_quantiles(
     key_cols: list[str],
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     rate_bits: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """(n_sample, est_total, q_25, q_50, ...): quantile estimates from
     a DETERMINISTIC hash sample — keep the rows whose 60-bit md5 hash
@@ -199,7 +221,7 @@ def sampled_quantiles(
             f"sampled_quantiles: rate_bits must be in [0, 40], got {rate_bits}"
         )
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    sample = df.filter(_hash60(key) < F.lit(1 << (_HASH_BITS - rate_bits)))
+    sample = df.filter(_h60(key, portable) < F.lit(1 << (_HASH_BITS - rate_bits)))
     aggs = [
         F.count(F.lit(1)).alias("n_sample"),
         (F.count(F.lit(1)) * F.lit(1 << rate_bits)).alias("est_total"),
