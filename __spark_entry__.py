@@ -744,6 +744,25 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": lambda s, d: corpus_ops.dsir_select(
             docs(s, d), docs(s, d).filter(F.col("lang") == "en"), 25
         ),
+        # per-group HLL ("distinct parts per return flag") — the
+        # grouped-sketch shape; registers still oracle-exact per group
+        "sk_hll_by_flag": lambda s, d: sketches.hll_distinct(
+            s.read.parquet(f"{d}/lineitem.parquet"),
+            "l_partkey",
+            12,
+            by=("l_returnflag",),
+        ),
+        # count-min frequency estimates for three probe keys (one
+        # present low, one present high, one absent)
+        "sk_cm_partkey": lambda s, d: sketches.cm_estimate(
+            sketches.cm_sketch(
+                s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey", 4, 1024
+            ),
+            s.createDataFrame([(1,), (500,), (99999999,)], "probe long"),
+            "probe",
+            4,
+            1024,
+        ),
     }
 
 
@@ -1502,6 +1521,65 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # per-group HLL: the sk_hll_partkey construction grouped by
+    # l_returnflag — registers, corrections, and q6 floor identical
+    "sk_hll_by_flag": """
+      WITH h AS (
+        SELECT l_returnflag AS flag,
+               CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM lineitem),
+      r AS (
+        SELECT flag, h >> 48 AS register,
+               max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
+                              THEN 0
+                              ELSE length(bin(h & ((CAST(1 AS BIGINT) << 48) - 1)))
+                         END)) AS max_rho
+        FROM h GROUP BY 1, 2),
+      a AS (
+        SELECT flag, count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                 AS s_present
+        FROM r GROUP BY 1),
+      e AS (
+        SELECT flag, n_present,
+               (CAST(coalesce(s_present, 0) AS DOUBLE)
+                + CAST(4096 - n_present AS DOUBLE) * 562949953421312.0)
+                 / 562949953421312.0 AS s
+        FROM a)
+      SELECT flag AS l_returnflag,
+             CAST(4096 AS INTEGER) AS m,
+             CAST(4096 - n_present AS BIGINT) AS v_zero,
+             floor((CASE WHEN 12098218.894406674 / s <= 10240.0
+                              AND (4096 - n_present) > 0
+                         THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                         ELSE 12098218.894406674 / s
+                    END) * 1000000.0) / 1000000.0 AS estimate
+      FROM e
+    """,
+    # count-min: 4×1024 cells from the "d:"-salted md5 hash; probe
+    # estimate = min over the probe's 4 cells, absent cells 0
+    "sk_cm_partkey": """
+      WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+      cells AS (
+        SELECT d,
+               CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                        || CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1024 AS cell
+        FROM lineitem, ds),
+      sk AS (SELECT d, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+      probes AS (SELECT unnest([1, 500, 99999999]) AS probe),
+      pc AS (
+        SELECT probe, d,
+               CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                        || CAST(probe AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1024 AS cell
+        FROM probes, ds)
+      SELECT CAST(probe AS BIGINT) AS probe,
+             min(coalesce(cnt, 0)) AS estimate
+      FROM pc LEFT JOIN sk USING (d, cell)
+      GROUP BY 1
     """,
     # deterministic 2^-3 Bernoulli sample by the 60-bit md5 hash of the
     # (l_orderkey, l_linenumber) PK, then exact interpolated quartiles

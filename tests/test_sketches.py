@@ -159,3 +159,74 @@ def test_fast_hash_variants_accurate(spark, ids):
         df, "v", ["k"], (0.5,), rate_bits=0, portable=False
     ).collect()
     assert row["q_500"] == 500.0  # rate 0 keeps all rows whatever the hash
+
+
+# --------------------------------------------------------- per-group HLL
+
+def test_hll_by_group_matches_global_per_group(spark):
+    df = spark.range(6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 900).alias("v"),  # 900 distinct, all in every group
+    )
+    rows = {r["g"]: r for r in sketches.hll_distinct(df, "v", by=("g",)).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    # every group holds exactly the values ≡ its residues — compare each
+    # group's estimate to a single-group sketch of the same value set
+    for g in rows:
+        sub = df.filter(F.col("g") == g)
+        (solo,) = sketches.hll_distinct(sub, "v").collect()
+        assert rows[g]["estimate"] == solo["estimate"]
+        assert rows[g]["v_zero"] == solo["v_zero"]
+
+
+def test_hll_merge_by_group(spark):
+    a = spark.range(0, 2000).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "v", by=("g",)),
+        sketches.hll_registers(b, "v", by=("g",)),
+        by=("g",),
+    )
+    direct = sketches.hll_registers(a.unionAll(b), "v", by=("g",))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# ------------------------------------------------------- count-min sketch
+
+def test_cm_estimate_overcounts_never_under(spark):
+    """CM guarantees estimate ≥ true count; with width >> distinct the
+    estimate is exact."""
+    df = spark.range(10_000).select((F.col("id") % 100).alias("v"))
+    sk = sketches.cm_sketch(df, "v", depth=4, width=1024)
+    items = spark.range(100).select(F.col("id").alias("v"))
+    rows = sketches.cm_estimate(sk, items, "v", depth=4, width=1024).collect()
+    assert len(rows) == 100
+    assert all(r["estimate"] == 100 for r in rows)  # exact: no collisions
+
+
+def test_cm_absent_item_zero(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    sk = sketches.cm_sketch(df, "v", depth=4, width=4096)
+    items = spark.createDataFrame([(999_999,)], "v long")
+    (row,) = sketches.cm_estimate(sk, items, "v", depth=4, width=4096).collect()
+    # an unseen item can still collide into occupied cells, but with
+    # width=4096 and 1000 values a 4-way simultaneous collision is
+    # effectively impossible — and the bound still holds
+    assert row["estimate"] <= 2  # 2N/width = 0.49 expected error bound
+
+
+def test_cm_merge_equals_union(spark):
+    a = spark.range(0, 500).select((F.col("id") % 50).alias("v"))
+    b = spark.range(0, 300).select((F.col("id") % 30).alias("v"))
+    merged = sketches.cm_merge(
+        sketches.cm_sketch(a, "v"), sketches.cm_sketch(b, "v")
+    )
+    direct = sketches.cm_sketch(a.unionAll(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cm_sketch_bounded_size(spark):
+    df = spark.range(100_000).select(F.col("id").alias("v"))
+    assert sketches.cm_sketch(df, "v", depth=4, width=64).count() <= 4 * 64
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cm_sketch(df, "v", depth=0)

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from zestdb_spark.functions.dedup import _hash60, q6
 
 __all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct",
-           "kmv_distinct", "sampled_quantiles"]
+           "kmv_distinct", "sampled_quantiles", "cm_sketch", "cm_merge",
+           "cm_estimate"]
 
 #: md5-prefix hash width (15 hex chars → 60 bits, signed-long safe)
 _HASH_BITS = 60
@@ -64,13 +65,19 @@ def _alpha(m: int) -> float:
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 12, portable: bool = True
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    portable: bool = True,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(register, max_rho): the HLL register table — top-p hash bits
-    pick the register, rho = 1 + leading zeros of the remaining
+    """(*by, register, max_rho): the HLL register table — top-p hash
+    bits pick the register, rho = 1 + leading zeros of the remaining
     (60−p)-bit suffix. Only PRESENT registers emit a row (absent ⇒ 0),
-    so the table is ≤ min(distinct, 2^p) rows; groupBy(register) is
-    map-side combined and the shuffle carries ≤ 2^p rows per task."""
+    so the table is ≤ min(distinct, 2^p) rows per group; the groupBy is
+    map-side combined and the shuffle carries ≤ 2^p rows per group per
+    task. ``by`` turns it into the per-group sketch ("distinct users
+    per day"): one sketch row-set per key, still mergeable per key."""
     if not 4 <= p <= 18:
         raise ValueError(f"hll_registers: p must be in [4, 18], got {p}")
     width = _HASH_BITS - p
@@ -83,44 +90,51 @@ def hll_registers(
     )
     return (
         df.select(
+            *by,
             F.shiftright(h, width).alias("register"),
             (F.lit(width + 1) - bitlen).alias("rho"),
         )
-        .groupBy("register")
+        .groupBy(*by, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
-    """Merge HLL register tables (same p): union + per-register max.
-    Lossless — merging shard sketches equals sketching the union, the
-    property that makes one-sketch-per-shard the 100 TB plan."""
+def hll_merge(*register_tables: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """Merge HLL register tables (same p, same ``by``): union +
+    per-(group, register) max. Lossless — merging shard sketches
+    equals sketching the union, the property that makes
+    one-sketch-per-shard the 100 TB plan."""
     if not register_tables:
         raise ValueError("hll_merge: need at least one register table")
     out = register_tables[0]
     for t in register_tables[1:]:
         out = out.unionAll(t)
-    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    return out.groupBy(*by, "register").agg(F.max("max_rho").alias("max_rho"))
 
 
-def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
-    """(m, v_zero, estimate): the HLL cardinality estimate from a
+def hll_estimate(
+    registers: DataFrame, p: int = 12, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*by, m, v_zero, estimate): the HLL cardinality estimate from a
     register table, with the standard small-range correction
     (E ≤ 2.5m and empty registers present ⇒ linear counting
     m·ln(m/V)). The 60-bit hash space makes the large-range
     correction irrelevant below ~10^17 distinct values — documented
-    here rather than implemented."""
+    here rather than implemented. With ``by``, one estimate row per
+    group (inputs are ≤ 2^p rows per group, so this aggregate is
+    sketch-sized work whatever the corpus was)."""
     m = 1 << p
     width = _HASH_BITS - p
     # Σ 2^(width+1−rho) as exact int64 — divided back by 2^(width+1)
     # at the float step. Absent registers contribute 2^(width+1) each.
-    agg = registers.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_present"),
         # SQL-expr form: the Python shiftleft wrapper only takes a
         # literal int shift, but the underlying expression is general
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - max_rho)"))
         .alias("s_present"),
-    )
+    ]
+    agg = registers.groupBy(*by).agg(*aggs) if by else registers.agg(*aggs)
     scale = float(1 << (width + 1))
     v_zero = F.lit(m) - F.col("n_present")
     s = (
@@ -133,6 +147,7 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *by,
         F.lit(m).alias("m"),
         v_zero.cast("long").alias("v_zero"),
         q6(est).alias("estimate"),
@@ -140,12 +155,18 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
 
 
 def hll_distinct(
-    df: DataFrame, col: str, p: int = 12, portable: bool = True
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    portable: bool = True,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One-shot distinct-count estimate: sketch + estimate.
-    ``portable=False`` swaps the md5 hash for masked xxhash64 — the
-    100 TB variant (same plan, ~10x cheaper rows, not oracle-replayable)."""
-    return hll_estimate(hll_registers(df, col, p, portable), p)
+    """One-shot distinct-count estimate: sketch + estimate; with
+    ``by``, one estimate per group — the "distinct users per day"
+    query at sketch cost. ``portable=False`` swaps the md5 hash for
+    masked xxhash64 — the 100 TB variant (same plan, ~10x cheaper
+    rows, not oracle-replayable)."""
+    return hll_estimate(hll_registers(df, col, p, portable, by), p, by)
 
 
 def kmv_distinct(
@@ -234,3 +255,102 @@ def sampled_quantiles(
             q6(F.percentile(F.col(value_col).cast("double"), F.lit(q))).alias(name)
         )
     return sample.agg(*aggs)
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """(d, cell, cnt): a Count-Min sketch (Cormode & Muthukrishnan
+    2005) — ``depth`` independent hash rows of ``width`` counting
+    cells; a value's frequency estimate is the MIN over its d cells
+    (always an overestimate, error ≤ 2N/width with prob 1−2^−depth).
+    The d hash functions are the 60-bit md5 hash salted with the
+    literal row index ("0:", "1:", … prefixes) — engine constants, so
+    DuckDB replays every cell exactly.
+
+    Plan: one scan → a d-element array of (d, cell) structs per row,
+    exploded (×depth row amplification, collapsed immediately by the
+    map-side combine: at most d·width cells per task reach the
+    shuffle) → groupBy(d, cell). The sketch is ≤ d·width rows however
+    large the input — and MERGES by cell-wise sum (``cm_merge``), the
+    shard-sketch posture shared with ``hll_merge``."""
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"cm_sketch: need depth ≥ 1 and width ≥ 2, got {depth}×{width}"
+        )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _h60(
+                        F.concat(F.lit(f"{d}:"), F.col(col).cast("string")),
+                        portable,
+                    ),
+                    F.lit(width),
+                ).alias("cell"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("dc"))
+        .select("dc.d", "dc.cell")
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CM sketches (same depth/width/hashes): cell-wise sum."""
+    if not sketches:
+        raise ValueError("cm_merge: need at least one sketch")
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("d", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """(*items.columns, estimate): point-frequency estimates for each
+    row of ``items`` — min over the d cells the item hashes to. The
+    sketch is ≤ d·width rows → broadcast; the probe is therefore one
+    map-side join per depth row, no shuffle on the (possibly large)
+    items side beyond its own rollup. Absent cells count 0 (the item
+    was never seen, or its cells were — min handles both)."""
+    probes = items.select(
+        *items.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            _h60(
+                                F.concat(F.lit(f"{d}:"), F.col(col).cast("string")),
+                                portable,
+                            ),
+                            F.lit(width),
+                        ).alias("cell"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    ).select(*items.columns, "dc.d", "dc.cell")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+        .groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )
