@@ -24,6 +24,12 @@ groupBy on the p-bit register key (map-side combine; at most m groups
 reach the shuffle) → a 4096-row final aggregate. KMV is one scan →
 distinct → TakeOrderedAndProject(k) → 1-row aggregate.
 
+Streaming: ``hll_registers`` is a groupBy-max, so it runs UNCHANGED
+on a streaming DataFrame (update/complete mode) — Spark maintains the
+register state incrementally per micro-batch, which is exactly the
+sketch-merge law applied by the engine (test_streaming_sketches.py
+pins streamed == batch).
+
 Determinism of the float path: Σ 2^−rho is accumulated as the INTEGER
 Σ 2^(width+1−rho) (each term ≤ 2^width, m terms — fits int64), so the
 harmonic-mean denominator is exact and reduce-order-free; the only
