@@ -744,6 +744,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": lambda s, d: corpus_ops.dsir_select(
             docs(s, d), docs(s, d).filter(F.col("lang") == "en"), 25
         ),
+        # incremental-crawl dedup: new corpus vs reference corpus
+        # (here each doc meets itself at jaccard 1.0 plus the natural
+        # near-dups, in both directions — no id ordering across sides)
+        "dedup_cross": lambda s, d: dedup.cross_lsh_pairs(
+            docs(s, d), docs(s, d), 3, 64, 16, 0.8
+        ),
         # per-group HLL ("distinct parts per return flag") — the
         # grouped-sketch shape; registers still oracle-exact per group
         "sk_hll_by_flag": lambda s, d: sketches.hll_distinct(
@@ -1521,6 +1527,28 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # cross-corpus LSH dedup vs the exact cross Jaccard (capture ≈ 1
+    # at τ=0.8, exact verification — the dedup_minhash contract,
+    # directed pairs instead of id_a < id_b)
+    "dedup_cross": """
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      words AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w,1) AS i FROM toks),
+      sh AS (SELECT DISTINCT doc_id,
+                    tok || ' ' || lead(tok,1) OVER (PARTITION BY doc_id ORDER BY i)
+                        || ' ' || lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+             FROM words
+             QUALIFY lead(tok,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+      pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      SELECT new_id, ref_id,
+             floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = new_id
+      JOIN sizes sb ON sb.doc_id = ref_id
+      WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8
     """,
     # per-group HLL: the sk_hll_partkey construction grouped by
     # l_returnflag — registers, corrections, and q6 floor identical

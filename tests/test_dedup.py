@@ -90,3 +90,45 @@ def test_dup_clusters_empty_and_canonical_filter(spark):
     clusters = dedup.dup_clusters(pairs)
     keep = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
     assert [r["doc_id"] for r in keep.collect()] == [5]
+
+
+# --------------------------------------------------------- cross_lsh_pairs
+
+def test_cross_lsh_finds_cross_corpus_dups(spark):
+    from zestdb_spark.functions import dedup as dd
+
+    ref = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated reference text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of ref 0; doc_id collides with ref 1 on purpose —
+            # ids are namespaced per side
+            (1, "the quick brown fox jumps over the lazy dog now"),
+            (2, "totally novel content with no reference overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.cross_lsh_pairs(new, ref, k=3, threshold=0.5).collect()
+    assert [(r["new_id"], r["ref_id"]) for r in rows] == [(1, 0)]
+    assert rows[0]["jaccard"] >= 0.5
+    # exact-copy case: jaccard 1.0
+    exact = dd.cross_lsh_pairs(ref, ref, k=3, threshold=0.99).collect()
+    assert sorted((r["new_id"], r["ref_id"], r["jaccard"]) for r in exact) == [
+        (0, 0, 1.0),
+        (1, 1, 1.0),
+    ]
+
+
+def test_cross_lsh_band_validation(spark):
+    from zestdb_spark.functions import dedup as dd
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="divisible"):
+        dd.cross_lsh_pairs(df, df, num_hashes=64, bands=7)

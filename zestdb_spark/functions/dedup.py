@@ -301,6 +301,23 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _banded_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, sig): LSH banding of a MinHash signature table —
+    each band's row-group hashed to one 8-byte bucket key."""
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for i in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -338,15 +355,6 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k, num_hashes)
 
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{i * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for i in range(bands)
-    ]
     # PERSIST the banded signatures before the self-join: with accurate
     # stats Spark broadcast-joins the two sides, and without a shuffle
     # exchange there is no ReuseExchange — an unpersisted plan computes
@@ -354,11 +362,7 @@ def minhash_lsh_pairs(
     # per side; measured ~2× signature cost at sf0.1). The cached frame
     # is (doc_id, band, sig) — 3 fixed-width ints per doc·band, tiny
     # relative to the corpus at any scale.
-    banded = _persist_bounded(
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
-        )
-    )
+    banded = _persist_bounded(_banded_rows(sig, bands, rows_per_band))
     ca = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
     cb = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
     candidates = (
@@ -402,6 +406,75 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
+            q6(inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cross_lsh_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, ref_id, jaccard): near-duplicates of NEW documents
+    against an existing REFERENCE corpus — the incremental-crawl dedup
+    a training pipeline runs before admitting fresh data (new-vs-new
+    dedup is ``minhash_lsh_pairs``; this is new-vs-old). Ids are
+    namespaced per side, so the same doc_id may appear in both inputs
+    without colliding.
+
+    Same geometry and guarantees as ``minhash_lsh_pairs`` (banded
+    MinHash candidates, EXACT Jaccard verification — no false
+    positives, capture ≈ 1 at the default τ=0.8), but the band join is
+    new×ref instead of a self-join: at 100 TB the reference side's
+    banded signatures are the precomputed, persisted index (3 ints per
+    doc·band) that every new crawl increment joins against — the new
+    side only signatures its increment, never re-reads the reference
+    corpus text except for the candidate rows verified."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            "a remainder would silently drop the trailing hashes and the "
+            "banding geometry (capture curve) would not be the one requested"
+        )
+    rows_per_band = num_hashes // bands
+    new_banded = _persist_bounded(
+        _banded_rows(minhash_signatures(new_docs, k, num_hashes), bands, rows_per_band)
+    )
+    ref_banded = _persist_bounded(
+        _banded_rows(minhash_signatures(ref_docs, k, num_hashes), bands, rows_per_band)
+    )
+    candidates = _persist_bounded(
+        new_banded.select(F.col("doc_id").alias("new_id"), "band", "sig")
+        .join(ref_banded.select(F.col("doc_id").alias("ref_id"), "band", "sig"),
+              ["band", "sig"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    # exact verification ∝ candidates, one slim semi-join per corpus
+    new_arr = _persist_bounded(
+        new_docs.join(
+            F.broadcast(candidates.select(F.col("new_id").alias("doc_id")).distinct()),
+            "doc_id", "left_semi",
+        ).select(F.col("doc_id").alias("new_id"), _shingle_array(k).alias("sa"))
+    )
+    ref_arr = _persist_bounded(
+        ref_docs.join(
+            F.broadcast(candidates.select(F.col("ref_id").alias("doc_id")).distinct()),
+            "doc_id", "left_semi",
+        ).select(F.col("doc_id").alias("ref_id"), _shingle_array(k).alias("sb"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        candidates.join(new_arr, "new_id")
+        .join(ref_arr, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
             q6(inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
