@@ -525,6 +525,29 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), gap_ms=600_000
         )
 
+    def zscore_events(spark, sf_dir):
+        from zestdb_spark.operators import anomaly
+
+        return anomaly.zscore_outliers(
+            fixtures.ts_numeric_from_events(spark, sf_dir)
+        )
+
+    def mad_events(spark, sf_dir):
+        from zestdb_spark.operators import anomaly
+
+        return anomaly.mad_outliers(fixtures.ts_numeric_from_events(spark, sf_dir))
+
+    def funnel_events(spark, sf_dir):
+        from zestdb_spark.operators import funnel as fl
+
+        ev = fixtures.read_events(spark, sf_dir)
+        base = ev.select(
+            "user_id", fixtures.ts_ms(ev).alias("timestamp"), "event_type"
+        )
+        return fl.funnel(
+            base, ["view", "click", "purchase"], 7 * 86_400_000
+        )
+
     def rollup_hour(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
@@ -744,6 +767,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": lambda s, d: corpus_ops.dsir_select(
             docs(s, d), docs(s, d).filter(F.col("lang") == "en"), 25
         ),
+        # per-series anomaly detection over the events-mapped TS table
+        "an_zscore": zscore_events,
+        "an_mad": mad_events,
+        # ordered-funnel analysis: view → click → purchase within 7 d
+        "ev_funnel": funnel_events,
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
@@ -1527,6 +1555,77 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # z-score outliers: exact decimal sums (v² q6-floored pre-cast),
+    # sample sd from the fixed sd² = (S2−S1²/n)/(n−1) expression,
+    # q6-floored z; degenerate keys (n<2 or sd=0) → z NULL, flag false
+    "an_zscore": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      s AS (
+        SELECT series_id, "timestamp", value,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(floor(value*value*1000000.0)/1000000.0
+                             AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+               CAST(count(*) OVER w AS DOUBLE) AS n
+        FROM ts WINDOW w AS (PARTITION BY series_id)),
+      z AS (
+        SELECT series_id, "timestamp", value,
+               CASE WHEN n > 1 AND sqrt((s2 - s1*s1/n)/(n - 1.0)) > 0
+                    THEN floor((value - s1/n)
+                               / sqrt((s2 - s1*s1/n)/(n - 1.0)) * 1000000.0)
+                         / 1000000.0
+               END AS z
+        FROM s)
+      SELECT series_id, "timestamp", value, z,
+             coalesce(abs(z) > 3.0, false) AS is_outlier
+      FROM z
+    """,
+    # MAD outliers: exact per-series median + median absolute
+    # deviation, modified z-score 0.6745·|v−med|/MAD q6-floored;
+    # MAD = 0 → score NULL, flag false
+    "an_mad": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      med AS (SELECT series_id, quantile_cont(value, 0.5) AS med
+              FROM ts GROUP BY 1),
+      mad AS (SELECT t.series_id,
+                     quantile_cont(abs(t.value - m.med), 0.5) AS mad
+              FROM ts t JOIN med m USING (series_id) GROUP BY 1),
+      sc AS (
+        SELECT t.series_id, t."timestamp", t.value,
+               CASE WHEN d.mad > 0
+                    THEN floor(0.6745 * abs(t.value - m.med) / d.mad
+                               * 1000000.0) / 1000000.0
+               END AS score
+        FROM ts t JOIN med m USING (series_id) JOIN mad d USING (series_id))
+      SELECT series_id, "timestamp", value, score,
+             coalesce(score > 3.5, false) AS is_outlier
+      FROM sc
+    """,
+    # ordered funnel: greedy-earliest per step, strict order, whole
+    # run within 7 d of the user's first 'view'
+    "ev_funnel": """
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM ev e JOIN t1 USING (user_id)
+             WHERE e.event_type = 'click'
+               AND e.ts > t1.t1 AND e.ts <= t1.t1 + 604800000
+             GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM ev e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+             WHERE e.event_type = 'purchase'
+               AND e.ts > t2.t2 AND e.ts <= t1.t1 + 604800000
+             GROUP BY 1)
+      SELECT t1.user_id,
+             CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                       WHEN t2.t2 IS NOT NULL THEN 2
+                       ELSE 1 END AS INTEGER) AS steps_completed,
+             t1.t1 AS t_start,
+             coalesce(t3.t3, t2.t2, t1.t1) AS t_end
+      FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
     """,
     # cross-corpus LSH dedup vs the exact cross Jaccard (capture ≈ 1
     # at τ=0.8, exact verification — the dedup_minhash contract,

@@ -1,0 +1,110 @@
+"""Hand-computable invariants for the anomaly detectors (z-score /
+MAD) and the ordered-funnel operator; the driver's DuckDB oracle pins
+engine parity, these pin the semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zestdb_spark.operators import anomaly, funnel
+
+
+def _ts(spark, rows):
+    return spark.createDataFrame(
+        rows, "series_id string, timestamp long, value double"
+    )
+
+
+def test_zscore_flags_the_spike(spark):
+    rows = [("a", i, 10.0) for i in range(10)] + [("a", 10, 1000.0)]
+    out = {r["timestamp"]: r for r in anomaly.zscore_outliers(_ts(spark, rows)).collect()}
+    assert out[10]["is_outlier"] and out[10]["z"] > 3
+    assert not out[0]["is_outlier"]
+    # z of the 10 identical baseline points is negative but small
+    assert out[0]["z"] < 0
+
+
+def test_zscore_degenerate_series_never_flag(spark):
+    rows = [("solo", 0, 5.0), ("flat", 0, 7.0), ("flat", 1, 7.0), ("flat", 2, 7.0)]
+    out = anomaly.zscore_outliers(_ts(spark, rows)).collect()
+    assert all(r["z"] is None and not r["is_outlier"] for r in out)
+
+
+def test_zscore_exact_value(spark):
+    # values 1..5: mean 3, sample sd sqrt(2.5)
+    rows = [("s", i, float(i)) for i in range(1, 6)]
+    out = {r["value"]: r["z"] for r in anomaly.zscore_outliers(_ts(spark, rows)).collect()}
+    q6 = lambda x: math.floor(x * 1e6) / 1e6
+    sd = math.sqrt(2.5)
+    assert out[5.0] == q6(2.0 / sd)
+    assert out[3.0] == q6(0.0)
+
+
+def test_mad_robust_to_the_outlier_it_flags(spark):
+    # 10 baseline points + extreme spike: MAD ignores the spike
+    rows = [("a", i, 10.0 + (i % 3)) for i in range(10)] + [("a", 99, 500.0)]
+    out = {r["timestamp"]: r for r in anomaly.mad_outliers(_ts(spark, rows)).collect()}
+    assert out[99]["is_outlier"]
+    assert not out[0]["is_outlier"]
+
+
+def test_mad_zero_mad_never_flags(spark):
+    rows = [("flat", i, 4.0) for i in range(5)] + [("flat", 9, 9.0)]
+    # over half identical → MAD 0 → no flags, scores NULL
+    out = anomaly.mad_outliers(_ts(spark, rows)).collect()
+    assert all(r["score"] is None and not r["is_outlier"] for r in out)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_type string"
+    )
+
+
+def test_funnel_orders_and_window(spark):
+    W = 100
+    rows = [
+        # u1 completes all three in order inside the window
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing — stuck at step 1
+        (2, 20, "click"), (2, 30, "view"),
+        # u3 purchases outside the window of the first view
+        (3, 10, "view"), (3, 20, "click"), (3, 200, "purchase"),
+        # u4 never views — absent from the result
+        (4, 10, "click"), (4, 20, "purchase"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in funnel.funnel(_ev(spark, rows), ["view", "click", "purchase"], W).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["steps_completed"], out[1]["t_start"], out[1]["t_end"]) == (3, 10, 30)
+    assert out[2]["steps_completed"] == 1
+    assert (out[3]["steps_completed"], out[3]["t_end"]) == (2, 20)
+
+
+def test_funnel_strict_order_and_greedy_first(spark):
+    rows = [
+        # same-timestamp step 2 does NOT count (strictly after)
+        (1, 10, "view"), (1, 10, "click"),
+        # u2: the FIRST view anchors the window even though a later
+        # view would let the purchase fit
+        (2, 10, "view"), (2, 500, "view"), (2, 510, "click"), (2, 520, "purchase"),
+    ]
+    out = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel.funnel(_ev(spark, rows), ["view", "click", "purchase"], 100).collect()
+    }
+    assert out[1] == 1
+    assert out[2] == 1
+
+
+def test_funnel_validation(spark):
+    ev = _ev(spark, [(1, 1, "view")])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel.funnel(ev, ["view"], 100)
+    with pytest.raises(ValueError, match="positive"):
+        funnel.funnel(ev, ["view", "click"], 0)

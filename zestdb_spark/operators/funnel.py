@@ -1,0 +1,111 @@
+"""Ordered-sequence funnel analysis over the events stream: how far
+each user progresses through steps s1 → s2 → … → sk, with every later
+step required AFTER the previous one and within a time budget of the
+first.
+
+Extension beyond the reference surface — the canonical product-
+analytics query over exactly the event_type/user_id/ts data the
+reference's observation streams carry.
+
+Shape: one first-occurrence aggregate per step, chained by k−1
+equi-joins on the user key (each later step's candidate set only
+shrinks). All k step aggregates scan the SAME filtered source and
+shuffle on the same user key, so AQE plans them as one exchange
+family; the per-step tables are user-sized (≪ events) and the chain
+joins are broadcast-eligible. No window over raw events is needed at
+all — work ∝ matching events, state ∝ users. Timestamps are epoch-ms
+longs (min() is exact), so the whole result is integer-derived and
+oracle-replayable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    user: str = "user_id",
+    ts: str = "timestamp",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, steps_completed, t_start, t_end): the farthest prefix
+    of ``steps`` each user completes in strict order (every step
+    strictly after the previous one) with the whole run inside
+    ``within_ms`` of the user's FIRST occurrence of step 1. Users who
+    never perform step 1 are absent; t_end is the completion time of
+    the last completed step.
+
+    Matching is first-occurrence greedy: t1 = min ts of step 1, then
+    t_i = min ts of step i with t_i > t_{i−1} and t_i ≤ t1 +
+    within_ms. Greedy-earliest is the standard funnel semantics and
+    maximizes the reachable prefix for the fixed t1.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel: need at least 2 steps, got {list(steps)}")
+    if within_ms <= 0:
+        raise ValueError(f"funnel: within_ms must be positive, got {within_ms}")
+    src = events.select(
+        F.col(user).alias("user_id"),
+        F.col(ts).alias("ts"),
+        F.col(type_col).alias("step"),
+    ).filter(F.col("step").isin(list(steps)))
+
+    cur = (
+        src.filter(F.col("step") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .withColumn("t_prev", F.col("t1"))
+        .withColumn("steps_completed", F.lit(1))
+        .withColumn("t_end", F.col("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = src.filter(F.col("step") == step).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        hit = (
+            cur.join(nxt, "user_id")
+            .filter(
+                (F.col("_ts") > F.col("t_prev"))
+                & (F.col("_ts") <= F.col("t1") + F.lit(within_ms))
+            )
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias("_ti"))
+        )
+        cur = (
+            cur.join(hit, "user_id", "left")
+            .withColumn(
+                "steps_completed",
+                F.when(F.col("_ti").isNotNull(), F.lit(i)).otherwise(
+                    F.col("steps_completed")
+                ),
+            )
+            .withColumn(
+                "t_end",
+                F.when(F.col("_ti").isNotNull(), F.col("_ti")).otherwise(
+                    F.col("t_end")
+                ),
+            )
+            # a user who stalled keeps t_prev beyond any event so no
+            # later step can match (strict order through ALL steps)
+            .withColumn(
+                "t_prev",
+                F.when(F.col("_ti").isNotNull(), F.col("_ti")).otherwise(
+                    F.lit((1 << 62))
+                ),
+            )
+            .drop("_ti")
+        )
+    return cur.select(
+        "user_id",
+        "steps_completed",
+        F.col("t1").alias("t_start"),
+        "t_end",
+    )
