@@ -548,6 +548,22 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base, ["view", "click", "purchase"], 7 * 86_400_000
         )
 
+    def retention_events(spark, sf_dir):
+        from zestdb_spark.operators import funnel as fl
+
+        ev = fixtures.read_events(spark, sf_dir)
+        return fl.retention_cohorts(
+            ev.select("user_id", fixtures.ts_ms(ev).alias("timestamp"))
+        )
+
+    def profile_events(spark, sf_dir):
+        from zestdb_spark.functions.profile import profile
+
+        return profile(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            ["event_id", "user_id", "event_type", "value", "props"],
+        )
+
     def rollup_hour(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
@@ -772,6 +788,10 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "an_mad": mad_events,
         # ordered-funnel analysis: view → click → purchase within 7 d
         "ev_funnel": funnel_events,
+        # weekly cohort-retention matrix over the events stream
+        "ev_retention": retention_events,
+        # one-pass per-column table profile of the events table
+        "tbl_profile": profile_events,
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
@@ -1600,6 +1620,53 @@ _EXT_SQL: dict[str, str] = {
       SELECT series_id, "timestamp", value, score,
              coalesce(score > 3.5, false) AS is_outlier
       FROM sc
+    """,
+    # weekly cohort retention: per-user first-event bucket (cohort) ×
+    # period offsets with at least one event; epoch-floor buckets
+    "ev_retention": """
+      WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+      first AS (
+        SELECT user_id,
+               min(ts) - ((min(ts) % 604800000 + 604800000) % 604800000)
+                 AS cohort_ms
+        FROM ev GROUP BY 1),
+      hits AS (
+        SELECT DISTINCT e.user_id, f.cohort_ms,
+               CAST((e.ts - ((e.ts % 604800000 + 604800000) % 604800000)
+                     - f.cohort_ms) / 604800000 AS INTEGER) AS period
+        FROM ev e JOIN first f USING (user_id))
+      SELECT cohort_ms, period, CAST(count(*) AS BIGINT) AS n_users
+      FROM hits GROUP BY 1, 2
+    """,
+    # one-pass table profile (ts excluded: its loaded dtype depends on
+    # a session conf, and dtype is part of the profiled output)
+    "tbl_profile": """
+      SELECT 'event_id' AS "column", 'bigint' AS dtype,
+             count(*) AS n, count(*) - count(event_id) AS n_null,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS DOUBLE) AS min_num,
+             CAST(max(event_id) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM events
+      UNION ALL
+      SELECT 'user_id', 'bigint', count(*), count(*) - count(user_id),
+             count(DISTINCT user_id),
+             CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+             NULL, NULL
+      FROM events
+      UNION ALL
+      SELECT 'event_type', 'string', count(*), count(*) - count(event_type),
+             count(DISTINCT event_type), NULL, NULL,
+             min(event_type), max(event_type)
+      FROM events
+      UNION ALL
+      SELECT 'value', 'double', count(*), count(*) - count(value),
+             count(DISTINCT value), min(value), max(value), NULL, NULL
+      FROM events
+      UNION ALL
+      SELECT 'props', 'string', count(*), count(*) - count(props),
+             count(DISTINCT props), NULL, NULL, min(props), max(props)
+      FROM events
     """,
     # ordered funnel: greedy-earliest per step, strict order, whole
     # run within 7 d of the user's first 'view'

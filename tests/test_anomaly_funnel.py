@@ -108,3 +108,46 @@ def test_funnel_validation(spark):
         funnel.funnel(ev, ["view"], 100)
     with pytest.raises(ValueError, match="positive"):
         funnel.funnel(ev, ["view", "click"], 0)
+
+
+# -------------------------------------------------- retention + profiling
+
+def test_retention_cohorts_matrix(spark):
+    B = 100  # bucket
+    rows = [
+        # u1 first in bucket 0, back in periods 1 and 3
+        (1, 10), (1, 150), (1, 320),
+        # u2 first in bucket 1, never back
+        (2, 120),
+        # u3 first in bucket 0, back in period 1
+        (3, 90), (3, 110),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, timestamp long")
+    from zestdb_spark.operators.funnel import retention_cohorts
+
+    got = {
+        (r["cohort_ms"], r["period"]): r["n_users"]
+        for r in retention_cohorts(ev, bucket_ms=B).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (100, 0): 1}
+
+
+def test_profile_counts_and_types(spark):
+    from zestdb_spark.functions.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.5), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["k"]["n"] == 3 and rows["k"]["n_distinct"] == 2
+    assert rows["s"]["n_null"] == 1 and rows["s"]["min_str"] == "a"
+    assert rows["v"]["n_null"] == 1 and rows["v"]["min_num"] == -0.5
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["v"]["min_str"] is None  # numeric column: no string stats
+    # subset + validation
+    assert profile(df, ["k"]).count() == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown columns"):
+        profile(df, ["nope"])

@@ -1,0 +1,93 @@
+"""One-pass table profiling: per-column null counts, distinct counts,
+and min/max — the "what is in this 100 TB directory" first query of
+any data-engineering engagement.
+
+Shape: ONE aggregate computes every column's statistics in a single
+scan (multiple distinct-aggregates lower to Spark's Expand operator —
+one pass, expand factor = #columns), then the 1-row result is
+unpivoted scan-locally into one row per column. Nothing driver-side
+but the final k-row matrix.
+
+Determinism/oracle contract: counts are exact integers; numeric
+min/max stay DOUBLE (never stringified — double→string formatting is
+engine-specific, e.g. 1e7 renders '1.0E7' in Spark and '10000000.0'
+in DuckDB); string min/max are lexicographic on the raw bytes.
+``approx=True`` swaps exact distinct counts for
+``approx_count_distinct`` — the scale path for very wide tables,
+engine-internal and therefore not oracle-replayable (use the portable
+``sketches.hll_distinct`` per column when the sketch itself must be
+auditable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile"]
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """(column, dtype, n, n_null, n_distinct, min_num, max_num,
+    min_str, max_str): one row per profiled column. min/max_num are
+    populated for numeric columns (cast to double), min/max_str for
+    string columns; other types (timestamps, arrays, binary) profile
+    counts only."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns is not None else df.columns
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"profile: unknown columns {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(c).alias(f"_nn{i}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+            ).alias(f"_nd{i}")
+        )
+        t = dtypes[c]
+        if t.startswith(_NUMERIC):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn{i}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx{i}"))
+        elif t == "string":
+            aggs.append(F.min(c).alias(f"_mn{i}"))
+            aggs.append(F.max(c).alias(f"_mx{i}"))
+    row = df.agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(cols):
+        t = dtypes[c]
+        is_num = t.startswith(_NUMERIC)
+        is_str = t == "string"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("_n").alias("n"),
+                (F.col("_n") - F.col(f"_nn{i}")).alias("n_null"),
+                F.col(f"_nd{i}").cast("long").alias("n_distinct"),
+                (F.col(f"_mn{i}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"_mx{i}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (F.col(f"_mn{i}") if is_str else F.lit(None).cast("string")).alias(
+                    "min_str"
+                ),
+                (F.col(f"_mx{i}") if is_str else F.lit(None).cast("string")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "retention_cohorts"]
 
 
 def funnel(
@@ -108,4 +108,53 @@ def funnel(
         "steps_completed",
         F.col("t1").alias("t_start"),
         "t_end",
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    bucket_ms: int = 7 * 86_400_000,
+    user: str = "user_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """(cohort_ms, period, n_users): the retention matrix — users
+    grouped by the time bucket of their FIRST event (the cohort), and
+    for each later period offset, how many of them came back. period 0
+    is the cohort size itself; epoch-anchored floor bucketing (the
+    rollup_time_bucket convention: bucket = ts − ts mod bucket_ms,
+    correct for negative epochs too).
+
+    Shape: per-user min-ts aggregate (one shuffle on the user key),
+    broadcast-join the user→cohort table back onto events (user-sized
+    ≪ events), then one distinct + rollup on (cohort, period) — the
+    distinct is the only corpus-keyed exchange and its key is three
+    ints. At 100 TB the user→cohort table is the thing to persist;
+    each day's increment joins against it and appends matrix deltas.
+    """
+    if bucket_ms <= 0:
+        raise ValueError(f"retention_cohorts: bucket_ms must be positive")
+    t = F.col(ts)
+    bucket = t - F.pmod(t, F.lit(bucket_ms))
+    first = (
+        events.groupBy(F.col(user).alias("user_id"))
+        .agg(F.min(ts).alias("_t0"))
+        .select(
+            "user_id",
+            (F.col("_t0") - F.pmod(F.col("_t0"), F.lit(bucket_ms))).alias("cohort_ms"),
+        )
+    )
+    hits = (
+        events.select(F.col(user).alias("user_id"), bucket.alias("_b"))
+        .join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_ms",
+            ((F.col("_b") - F.col("cohort_ms")) / F.lit(bucket_ms))
+            .cast("int")
+            .alias("period"),
+        )
+        .distinct()
+    )
+    return hits.groupBy("cohort_ms", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
     )
