@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "sk_hll_partkey",
     "sk_quantiles",
     "corpus_dsir",
+    "an_zscore",
+    "ev_funnel",
+    "ev_retention",
+    "dedup_cross",
 ]
 
 
