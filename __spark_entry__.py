@@ -355,6 +355,46 @@ def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch streaming contract under the correctness
+    gate: HLL registers are a groupBy-max, so Spark maintains them
+    INCREMENTALLY over a stream — replay the events table through a
+    file-source stream into ``sketches.hll_registers`` (complete-mode
+    memory sink, two micro-batches forced via maxFilesPerTrigger),
+    then derive the estimate from the STREAMED register state. A
+    finite replay must equal the batch sketch bit-for-bit (the merge
+    law applied by the engine per micro-batch), so the oracle is the
+    same register+correction SQL the batch sk_hll row uses — over
+    user_id here."""
+    import tempfile
+    import uuid
+
+    from zestdb_spark.functions import sketches
+
+    base = tempfile.mkdtemp(prefix="zest_shll_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    # two parquet files + maxFilesPerTrigger=1 → at least two
+    # micro-batches, so incremental state maintenance is actually
+    # exercised rather than a single-batch degenerate run
+    ev.repartition(2).write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema("user_id long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{base}/in")
+    name = f"shll_{uuid.uuid4().hex[:10]}"
+    q = (
+        sketches.hll_registers(stream, "user_id", p=12)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_hll_roundtrip: replay did not finish in 300s")
+    return sketches.hll_estimate(spark.table(name), p=12)
+
+
 def _src_tail_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zest_tail data source (per-series limit pushdown, SURVEY
     §7.3) under the correctness gate: bulk-ingest the events mapping
@@ -1716,6 +1756,41 @@ _EXT_SQL: dict[str, str] = {
       JOIN sizes sb ON sb.doc_id = ref_id
       WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8
     """,
+    # streamed HLL must equal the batch sketch: the sk_hll_partkey
+    # construction over events.user_id (150 distinct → the linear-
+    # counting branch, exercised here and not by the partkey rows)
+    "stream_hll_roundtrip": """
+      WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events),
+      r AS (
+        SELECT h >> 48 AS register,
+               max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
+                              THEN 0
+                              ELSE length(bin(h & ((CAST(1 AS BIGINT) << 48) - 1)))
+                         END)) AS max_rho
+        FROM h GROUP BY 1),
+      a AS (
+        SELECT count(*) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                 AS s_present
+        FROM r),
+      e AS (
+        SELECT n_present,
+               (CAST(coalesce(s_present, 0) AS DOUBLE)
+                + CAST(4096 - n_present AS DOUBLE) * 562949953421312.0)
+                 / 562949953421312.0 AS s
+        FROM a)
+      SELECT CAST(4096 AS INTEGER) AS m,
+             CAST(4096 - n_present AS BIGINT) AS v_zero,
+             floor((CASE WHEN 12098218.894406674 / s <= 10240.0
+                              AND (4096 - n_present) > 0
+                         THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                         ELSE 12098218.894406674 / s
+                    END) * 1000000.0) / 1000000.0 AS estimate
+      FROM e
+    """,
     # per-group HLL: the sk_hll_partkey construction grouped by
     # l_returnflag — registers, corrections, and q6 floor identical
     "sk_hll_by_flag": """
@@ -2083,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["del_roundtrip"] = _del_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
+    out["stream_hll_roundtrip"] = _stream_hll_roundtrip
     out["kv_del_roundtrip"] = _kv_del_roundtrip
     out["observe_roundtrip"] = _observe_roundtrip
     out.update(_ext_queries())
