@@ -565,6 +565,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), gap_ms=600_000
         )
 
+    def rollup_sliding_events(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.rollup_sliding(
+            fixtures.ts_numeric_from_events(spark, sf_dir), 3_600_000, 1_800_000
+        )
+
     def zscore_events(spark, sf_dir):
         from zestdb_spark.operators import anomaly
 
@@ -823,6 +830,8 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": lambda s, d: corpus_ops.dsir_select(
             docs(s, d), docs(s, d).filter(F.col("lang") == "en"), 25
         ),
+        # hopping-window rollup: 1 h windows every 30 min (overlapping)
+        "tmp_rollup_sliding": rollup_sliding_events,
         # per-series anomaly detection over the events-mapped TS table
         "an_zscore": zscore_events,
         "an_mad": mad_events,
@@ -1615,6 +1624,25 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # hopping windows: each row fans out to its window/slide member
+    # starts (epoch-aligned floor, pmod for pre-1970), then the
+    # tumbling-rollup aggregate per (series, start)
+    "tmp_rollup_sliding": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      w AS (
+        SELECT series_id, value,
+               unnest(generate_series(
+                 "timestamp" - ((("timestamp" % 1800000) + 1800000) % 1800000)
+                   - 1800000,
+                 "timestamp" - ((("timestamp" % 1800000) + 1800000) % 1800000),
+                 1800000)) AS bucket_ms
+        FROM ts)
+      SELECT series_id, bucket_ms, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM w GROUP BY 1, 2
     """,
     # z-score outliers: exact decimal sums (v² q6-floored pre-cast),
     # sample sd from the fixed sd² = (S2−S1²/n)/(n−1) expression,

@@ -117,3 +117,33 @@ def test_rollup_quantiles(ts):
     # single-row series: both quantiles equal the value
     s = by_key[("single", 0)]
     assert s["p50"] == 99.0 and s["p95"] == 99.0
+
+
+# ---------------------------------------------------------- rollup_sliding
+
+def test_sliding_rollup_fanout_and_values(spark):
+    from zestdb_spark.operators import temporal
+
+    rows = [("a", 0, 1.0), ("a", 1500, 2.0), ("a", 2500, 4.0)]
+    df = spark.createDataFrame(rows, "series_id string, timestamp long, value double")
+    out = {
+        r["bucket_ms"]: r
+        for r in temporal.rollup_sliding(df, 2000, 1000).collect()
+    }
+    # ts=0 → windows starting −1000, 0; ts=1500 → 0, 1000; ts=2500 → 1000, 2000
+    assert set(out) == {-1000, 0, 1000, 2000}
+    assert out[0]["n"] == 2 and out[0]["sum_value"] == 3.0
+    assert out[1000]["n"] == 2 and out[1000]["max_value"] == 4.0
+    assert out[-1000]["n"] == 1
+    # every row lands in exactly window/slide = 2 windows
+    assert sum(r["n"] for r in out.values()) == 2 * len(rows)
+
+
+def test_sliding_rollup_validation(spark):
+    from zestdb_spark.operators import temporal
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "series_id string, timestamp long, value double")
+    with pytest.raises(ValueError, match="multiple"):
+        temporal.rollup_sliding(df, 2500, 1000)
+    with pytest.raises(ValueError, match="positive"):
+        temporal.rollup_sliding(df, 1000, 0)

@@ -164,6 +164,58 @@ def rollup_time_bucket(
     )
 
 
+def rollup_sliding(
+    df: DataFrame,
+    window_ms: int,
+    slide_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """Hopping-window rollup: overlapping windows of ``window_ms``
+    advancing every ``slide_ms`` (the moving-average / rolling-rate
+    shape tumbling buckets can't express). Uses Spark's native
+    ``F.window`` — each row fans out to its window_ms/slide_ms
+    member windows scan-locally, then ONE map-side-combinable groupBy
+    on (key, window start), exactly the tumbling-rollup shuffle shape
+    with a bounded fan-out factor. Epoch-aligned window starts, so
+    results are replayable anywhere; decimal-exact sums (A1 contract).
+
+    ``window_ms`` must be a multiple of ``slide_ms`` — a non-multiple
+    silently changes which windows exist between engines, so it is
+    rejected rather than approximated."""
+    if slide_ms <= 0 or window_ms <= 0:
+        raise ValueError("rollup_sliding: window_ms and slide_ms must be positive")
+    if window_ms % slide_ms != 0:
+        raise ValueError(
+            f"rollup_sliding: window_ms ({window_ms}) must be a multiple of "
+            f"slide_ms ({slide_ms})"
+        )
+    w = F.window(
+        F.timestamp_millis(F.col(on)),
+        f"{window_ms} milliseconds",
+        f"{slide_ms} milliseconds",
+    )
+    return (
+        df.groupBy(*by, w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            *by,
+            F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def rollup_quantiles(
     df: DataFrame,
     bucket_ms: int,
