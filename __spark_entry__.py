@@ -565,6 +565,30 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), gap_ms=600_000
         )
 
+    def interval_promo_rollup(spark, sf_dir):
+        from zestdb_spark.operators.interval import interval_join
+
+        fixtures.harden_session(spark)  # UTC: date→epoch-ms casts
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        iv = orders.filter(F.col("o_orderkey") % 149 == 0).select(
+            F.col("o_orderkey").alias("iid"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("start_ms"),
+        ).withColumn("end_ms", F.col("start_ms") + F.lit(30 * 86_400_000))
+        pts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+            "l_quantity",
+        )
+        return (
+            interval_join(pts, iv, bucket_ms=7 * 86_400_000)
+            .groupBy("iid")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+
     def rollup_sliding_events(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
@@ -832,6 +856,9 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # hopping-window rollup: 1 h windows every 30 min (overlapping)
         "tmp_rollup_sliding": rollup_sliding_events,
+        # bucketed point-in-interval join: 30 d promo windows × ship
+        # events, rolled up per window
+        "tmp_interval_join": interval_promo_rollup,
         # per-series anomaly detection over the events-mapped TS table
         "an_zscore": zscore_events,
         "an_mad": mad_events,
@@ -1624,6 +1651,19 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # point-in-interval join (inclusive both ends) rolled up per
+    # interval — the oracle states the containment predicate directly;
+    # the engine's bucketed equi-join must produce identical pairs
+    "tmp_interval_join": """
+      WITH iv AS (
+        SELECT o_orderkey AS iid, epoch_ms(o_orderdate) AS s
+        FROM orders WHERE o_orderkey % 149 = 0),
+      pts AS (SELECT epoch_ms(l_shipdate) AS t, l_quantity FROM lineitem)
+      SELECT iid, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM iv JOIN pts ON t >= s AND t <= s + 2592000000
+      GROUP BY 1
     """,
     # hopping windows: each row fans out to its window/slide member
     # starts (epoch-aligned floor, pmod for pre-1970), then the

@@ -147,3 +147,44 @@ def test_sliding_rollup_validation(spark):
         temporal.rollup_sliding(df, 2500, 1000)
     with pytest.raises(ValueError, match="positive"):
         temporal.rollup_sliding(df, 1000, 0)
+
+
+# ----------------------------------------------------------- interval_join
+
+def test_interval_join_containment(spark):
+    from zestdb_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 50), (2, 150), (3, 250), (4, 1000)], "pid long, timestamp long"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (10, 0, 100),      # catches p1
+            (11, 100, 300),    # catches p2, p3
+            (12, 40, 260),     # catches p1, p2, p3 (overlapping interval)
+            (13, 400, 300),    # inverted — matches nothing
+        ],
+        "iid long, start_ms long, end_ms long",
+    )
+    # tiny bucket forces multi-bucket interval replication; results
+    # must be bucket-size-invariant
+    for bucket in (10, 1000, 7):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(pts, ivs, bucket_ms=bucket).collect()
+        )
+        assert got == [(1, 10), (1, 12), (2, 11), (2, 12), (3, 11), (3, 12)]
+
+
+def test_interval_join_inclusive_ends_and_validation(spark):
+    from zestdb_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame([(1, 100), (2, 200)], "pid long, timestamp long")
+    ivs = spark.createDataFrame([(9, 100, 200)], "iid long, start_ms long, end_ms long")
+    got = sorted(r["pid"] for r in interval_join(pts, ivs).collect())
+    assert got == [1, 2]  # both ends inclusive
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(pts, ivs, bucket_ms=0)
+    bad = spark.createDataFrame([(9, 1, 2)], "pid long, start_ms long, end_ms long")
+    with pytest.raises(ValueError, match="colliding"):
+        interval_join(pts, bad)
