@@ -874,6 +874,10 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross": lambda s, d: dedup.cross_lsh_pairs(
             docs(s, d), docs(s, d), 3, 64, 16, 0.8
         ),
+        # length-weighted corpus sample (A-ES, deterministic, no rand)
+        "corpus_weighted_sample": lambda s, d: corpus_ops.weighted_sample(
+            docs(s, d), "n_chars", 50
+        ),
         # per-group HLL ("distinct parts per return flag") — the
         # grouped-sketch shape; registers still oracle-exact per group
         "sk_hll_by_flag": lambda s, d: sketches.hll_distinct(
@@ -1823,6 +1827,19 @@ _EXT_SQL: dict[str, str] = {
       JOIN sizes sa ON sa.doc_id = new_id
       JOIN sizes sb ON sb.doc_id = ref_id
       WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8
+    """,
+    # Efraimidis–Spirakis weighted sample: key = ln(u)/w from the
+    # hash-uniform u = (h+0.5)/2^60, q6-floored, top-k by (key, id)
+    "corpus_weighted_sample": """
+      WITH w AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               floor(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+                        / 1152921504606846976.0)
+                     / CAST(n_chars AS DOUBLE) * 1000000.0) / 1000000.0
+                 AS sample_key
+        FROM documents WHERE n_chars > 0)
+      SELECT * FROM w ORDER BY sample_key DESC, doc_id ASC LIMIT 50
     """,
     # streamed HLL must equal the batch sketch: the sk_hll_partkey
     # construction over events.user_id (150 distinct → the linear-

@@ -420,3 +420,46 @@ def test_dsir_k_and_determinism(docs):
     b = corpus_ops.dsir_select(docs, docs.limit(3), k=5).collect()
     assert a == b
     assert len(a) == 5
+
+
+# ---------------------------------------------------------- weighted_sample
+
+def test_weighted_sample_laws(spark):
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        # ids < 100 get weight 50, the rest weight 1
+        "CASE WHEN id < 100 THEN 50.0 ELSE 1.0 END AS w",
+    )
+    got = corpus_ops.weighted_sample(df, "w", 200).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    # heavy ids are 100/2000 of rows but 5000/6900 of the weight mass —
+    # expectation ~72+ of 200 draws; 40 is > 6 sigma below it while far
+    # above the ~10 a uniform sample would give
+    assert heavy > 40
+    # deterministic
+    again = corpus_ops.weighted_sample(df, "w", 200).collect()
+    assert got == again
+    # zero/negative/null weights can never be drawn
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)], "doc_id long, w double"
+    )
+    assert [r["doc_id"] for r in corpus_ops.weighted_sample(z, "w", 10).collect()] == [4]
+    with pytest.raises(ValueError, match="k must be"):
+        corpus_ops.weighted_sample(z, "w", 0)
+
+
+def test_weighted_sample_merge_law(spark):
+    df = spark.range(1000).selectExpr("id AS doc_id", "1.0 + id % 7 AS w")
+    whole = corpus_ops.weighted_sample(df, "w", 50).collect()
+    lo = corpus_ops.weighted_sample(df.filter("doc_id < 500"), "w", 50)
+    hi = corpus_ops.weighted_sample(df.filter("doc_id >= 500"), "w", 50)
+    from pyspark.sql import functions as F
+
+    rerank = (
+        lo.unionAll(hi)
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    )
+    assert whole == rerank

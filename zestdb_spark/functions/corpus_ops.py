@@ -43,6 +43,7 @@ __all__ = [
     "scrub_dup_spans",
     "unigram_logprob",
     "dsir_select",
+    "weighted_sample",
 ]
 
 
@@ -528,6 +529,37 @@ def scrub_dup_spans(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
             "text_scrubbed"
         ),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(*docs.columns, sample_key): k-row weighted sample WITHOUT
+    replacement — inclusion probability ∝ ``weight_col`` — via the
+    Efraimidis–Spirakis A-ES scheme: key = ln(u)/w with u the
+    deterministic hash-uniform of the id, keep the k LARGEST keys
+    (equivalent to u^(1/w) and overflow-free). The package's
+    no-``rand()`` rule: membership is stable under retries,
+    repartitioning, and cluster size, and DuckDB replays it exactly
+    (q6-floored key, ties on id).
+
+    Rows with weight ≤ 0 or NULL can never be drawn and are excluded —
+    the same contract as w→0 in the limit. Plan: scan-local key
+    projection → TakeOrderedAndProject(k); mergeable the KMV way
+    (top-k of per-shard top-k's = global top-k), so shard samples
+    re-rank at read without re-scanning."""
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be ≥ 1, got {k}")
+    u = (
+        _hash60(F.col(id_col).cast("string")).cast("double") + 0.5
+    ) / F.lit(float(1 << 60))
+    key = q6(F.log(u) / F.col(weight_col))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
     )
 
 
