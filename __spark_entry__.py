@@ -372,7 +372,12 @@ def _stream_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zestdb_spark.functions import sketches
 
     base = tempfile.mkdtemp(prefix="zest_shll_")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    # harden first: a bare read of events.parquet dies on TIMESTAMP
+    # (NANOS)-generation testdata without nanosAsLong, even though
+    # only user_id is used — schema conversion covers every column
+    ev = fixtures.harden_session(spark).read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).select("user_id")
     # two parquet files + maxFilesPerTrigger=1 → at least two
     # micro-batches, so incremental state maintenance is actually
     # exercised rather than a single-batch degenerate run
@@ -630,8 +635,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def profile_events(spark, sf_dir):
         from zestdb_spark.functions.profile import profile
 
+        # harden: schema conversion covers the ts column even though
+        # it is not profiled (nanos-generation testdata)
         return profile(
-            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            fixtures.harden_session(spark).read.parquet(
+                f"{sf_dir}/events.parquet"
+            ),
             ["event_id", "user_id", "event_type", "value", "props"],
         )
 
@@ -1702,7 +1711,7 @@ _EXT_SQL: dict[str, str] = {
         FROM ts WINDOW w AS (PARTITION BY series_id)),
       z AS (
         SELECT series_id, "timestamp", value,
-               CASE WHEN n > 1 AND sqrt((s2 - s1*s1/n)/(n - 1.0)) > 0
+               CASE WHEN n > 1 AND (s2 - s1*s1/n)/(n - 1.0) > 0
                     THEN floor((value - s1/n)
                                / sqrt((s2 - s1*s1/n)/(n - 1.0)) * 1000000.0)
                          / 1000000.0

@@ -151,3 +151,13 @@ def test_profile_counts_and_types(spark):
 
     with _pt.raises(ValueError, match="unknown columns"):
         profile(df, ["nope"])
+
+
+def test_zscore_constant_series_off_grid_value(spark):
+    """Regression: a constant series whose square is off the 1e-6 q6
+    grid makes the computed variance slightly NEGATIVE — the guard
+    must fire on var > 0 (sqrt of it is NaN in Spark / an error in
+    DuckDB), yielding NULL z, never 0.0 or a crash."""
+    rows = [("c", i, 1.234567) for i in range(5)]
+    out = anomaly.zscore_outliers(_ts(spark, rows)).collect()
+    assert all(r["z"] is None and not r["is_outlier"] for r in out)

@@ -230,3 +230,16 @@ def test_cm_sketch_bounded_size(spark):
     assert sketches.cm_sketch(df, "v", depth=4, width=64).count() <= 4 * 64
     with pytest.raises(ValueError, match="depth"):
         sketches.cm_sketch(df, "v", depth=0)
+
+
+def test_hll_small_m_alpha_constants(spark):
+    """p=4 (m=16) must use the tabulated alpha_16 = 0.673, not the
+    asymptotic formula (0.676) — and still estimate within the much
+    wider small-m error bound 1.04/sqrt(16) = 26%."""
+    assert sketches._alpha(16) == 0.673
+    assert sketches._alpha(32) == 0.697
+    assert sketches._alpha(64) == 0.709
+    assert abs(sketches._alpha(4096) - 0.7213 / (1 + 1.079 / 4096)) < 1e-12
+    df = spark.range(100_000).select(F.col("id").alias("v"))
+    (row,) = sketches.hll_distinct(df, "v", p=4).collect()
+    assert row["estimate"] == pytest.approx(100_000, rel=0.55)  # 2 sigma

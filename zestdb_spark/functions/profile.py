@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile"]
 
-_NUMERIC = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+#: exact dtype names (plus parameterized decimal) — prefix matching
+#: would misclassify 'interval day to second' as numeric via 'int'
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype in _NUMERIC or dtype.startswith("decimal(")
 
 
 def profile(
@@ -56,7 +62,7 @@ def profile(
             ).alias(f"_nd{i}")
         )
         t = dtypes[c]
-        if t.startswith(_NUMERIC):
+        if _is_numeric(t):
             aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn{i}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx{i}"))
         elif t == "string":
@@ -67,7 +73,7 @@ def profile(
     structs = []
     for i, c in enumerate(cols):
         t = dtypes[c]
-        is_num = t.startswith(_NUMERIC)
+        is_num = _is_numeric(t)
         is_str = t == "string"
         structs.append(
             F.struct(

@@ -66,7 +66,16 @@ def _h60(col: Column, portable: bool) -> Column:
 
 
 def _alpha(m: int) -> float:
-    """HLL bias constant α_m (Flajolet et al. 2007) for m ≥ 128."""
+    """HLL bias constant α_m (Flajolet et al. 2007): the tabulated
+    small-m constants for m = 16/32/64, the asymptotic formula for
+    m ≥ 128 — using the formula below 128 silently biases every
+    estimate past the linear-counting range."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
 
 
@@ -215,7 +224,8 @@ def sampled_quantiles(
     rate_bits: int = 4,
     portable: bool = True,
 ) -> DataFrame:
-    """(n_sample, est_total, q_25, q_50, ...): quantile estimates from
+    """(n_sample, est_total, q_250, q_500, ...): quantile estimates
+    (per-mille column names — q=0.25 → ``q_250``) from
     a DETERMINISTIC hash sample — keep the rows whose 60-bit md5 hash
     of ``key_cols`` (a row-unique key, e.g. the table's PK) falls below
     2^(60−rate_bits), i.e. a fixed 2^−rate_bits Bernoulli sample that
@@ -263,6 +273,24 @@ def sampled_quantiles(
     return sample.agg(*aggs)
 
 
+def _cm_cells(col: Column, depth: int, width: int, portable: bool) -> Column:
+    """The d-element (d, cell) struct array for one value — the ONE
+    definition of the CM hash family, shared by sketch build and probe
+    (a drifted copy would silently desynchronize them)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _h60(F.concat(F.lit(f"{d}:"), col.cast("string")), portable),
+                    F.lit(width),
+                ).alias("cell"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     col: str,
@@ -288,23 +316,8 @@ def cm_sketch(
         raise ValueError(
             f"cm_sketch: need depth ≥ 1 and width ≥ 2, got {depth}×{width}"
         )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(
-                    _h60(
-                        F.concat(F.lit(f"{d}:"), F.col(col).cast("string")),
-                        portable,
-                    ),
-                    F.lit(width),
-                ).alias("cell"),
-            )
-            for d in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("dc"))
+        df.select(F.explode(_cm_cells(F.col(col), depth, width, portable)).alias("dc"))
         .select("dc.d", "dc.cell")
         .groupBy("d", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -337,23 +350,7 @@ def cm_estimate(
     was never seen, or its cells were — min handles both)."""
     probes = items.select(
         *items.columns,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.pmod(
-                            _h60(
-                                F.concat(F.lit(f"{d}:"), F.col(col).cast("string")),
-                                portable,
-                            ),
-                            F.lit(width),
-                        ).alias("cell"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("dc"),
+        F.explode(_cm_cells(F.col(col), depth, width, portable)).alias("dc"),
     ).select(*items.columns, "dc.d", "dc.cell")
     return (
         probes.join(F.broadcast(sketch), ["d", "cell"], "left")

@@ -57,9 +57,13 @@ def zscore_outliers(
     n = F.count(F.lit(1)).over(w).cast("double")
     mean = s1 / n
     var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
-    sd = F.sqrt(var)
-    z = q6((F.col(value) - mean) / sd)
-    z = F.when((n > 1) & (sd > 0), z)
+    # guard on the VARIANCE, not sqrt(var): the q6-floored squares can
+    # push a constant series' computed variance slightly NEGATIVE, and
+    # sqrt of that is NaN in Spark (NaN > 0 is true there — the z rows
+    # would silently floor to 0.0) and an Out-of-Range ERROR in the
+    # oracle. var > 0 short-circuits both engines identically.
+    z = q6((F.col(value) - mean) / F.sqrt(var))
+    z = F.when((n > 1) & (var > 0), z)
     return df.select(
         *by,
         "timestamp",

@@ -132,7 +132,9 @@ def retention_cohorts(
     each day's increment joins against it and appends matrix deltas.
     """
     if bucket_ms <= 0:
-        raise ValueError(f"retention_cohorts: bucket_ms must be positive")
+        raise ValueError(
+            f"retention_cohorts: bucket_ms must be positive, got {bucket_ms}"
+        )
     t = F.col(ts)
     bucket = t - F.pmod(t, F.lit(bucket_ms))
     first = (

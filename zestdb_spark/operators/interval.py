@@ -53,6 +53,12 @@ def interval_join(
             f"interval_join: colliding column names {sorted(overlap)} — rename "
             "one side so provenance stays explicit"
         )
+    if "_b" in points.columns or "_b" in intervals.columns:
+        raise ValueError(
+            "interval_join: '_b' is reserved for the internal bucket key — "
+            "rename that column (withColumn would silently overwrite it and "
+            "the final drop would delete it from the output)"
+        )
     t = F.col(on)
     p = points.withColumn("_b", t - F.pmod(t, F.lit(bucket_ms)))
     s, e = F.col(start), F.col(end)
