@@ -243,3 +243,26 @@ def test_hll_small_m_alpha_constants(spark):
     df = spark.range(100_000).select(F.col("id").alias("v"))
     (row,) = sketches.hll_distinct(df, "v", p=4).collect()
     assert row["estimate"] == pytest.approx(100_000, rel=0.55)  # 2 sigma
+
+
+def test_sampled_quantiles_by_group(spark):
+    df = spark.range(4000).selectExpr(
+        "id AS k",
+        "CAST(id % 2 AS STRING) AS g",
+        "CAST(CASE WHEN id % 2 = 0 THEN id % 100 ELSE 1000 + id % 100 END AS DOUBLE) AS v",
+    )
+    rows = {
+        r["g"]: r
+        for r in sketches.sampled_quantiles(
+            df, "v", ["k"], (0.5,), rate_bits=2, by=("g",)
+        ).collect()
+    }
+    assert set(rows) == {"0", "1"}
+    assert rows["0"]["q_500"] < 100
+    assert rows["1"]["q_500"] > 1000
+    # grouped row equals the filtered single-group run exactly
+    (solo,) = sketches.sampled_quantiles(
+        df.filter("g = '1'"), "v", ["k"], (0.5,), rate_bits=2
+    ).collect()
+    assert rows["1"]["q_500"] == solo["q_500"]
+    assert rows["1"]["n_sample"] == solo["n_sample"]

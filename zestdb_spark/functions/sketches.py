@@ -223,8 +223,10 @@ def sampled_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     rate_bits: int = 4,
     portable: bool = True,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(n_sample, est_total, q_250, q_500, ...): quantile estimates
+    """(*by, n_sample, est_total, q_250, q_500, ...): quantile
+    estimates
     (per-mille column names — q=0.25 → ``q_250``) from
     a DETERMINISTIC hash sample — keep the rows whose 60-bit md5 hash
     of ``key_cols`` (a row-unique key, e.g. the table's PK) falls below
@@ -250,7 +252,10 @@ def sampled_quantiles(
     Horvitz–Thompson count estimate from the same sample. Quantiles
     are q6-floored; Spark ``percentile`` and DuckDB ``quantile_cont``
     both linear-interpolate over identical sampled doubles (the
-    ``li_range_median`` contract)."""
+    ``li_range_median`` contract). With ``by``, one row per group —
+    per-key quantiles at sample cost (the grouped aggregate replaces
+    the global one; the sample predicate is group-agnostic, so the
+    merge law holds per key too)."""
     if not key_cols:
         raise ValueError("sampled_quantiles: key_cols must name a row-unique key")
     if not 0 <= rate_bits <= 40:
@@ -270,7 +275,7 @@ def sampled_quantiles(
         aggs.append(
             q6(F.percentile(F.col(value_col).cast("double"), F.lit(q))).alias(name)
         )
-    return sample.agg(*aggs)
+    return sample.groupBy(*by).agg(*aggs) if by else sample.agg(*aggs)
 
 
 def _cm_cells(col: Column, depth: int, width: int, portable: bool) -> Column:
