@@ -880,9 +880,9 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
-        "dedup_cross": lambda s, d: dedup.cross_lsh_pairs(
-            docs(s, d), docs(s, d), 3, 64, 16, 0.8
-        ),
+        "dedup_cross": lambda s, d: (
+            lambda dd: dedup.cross_lsh_pairs(dd, dd, 3, 64, 16, 0.8)
+        )(docs(s, d)),
         # length-weighted corpus sample (A-ES, deterministic, no rand)
         "corpus_weighted_sample": lambda s, d: corpus_ops.weighted_sample(
             docs(s, d), "n_chars", 50

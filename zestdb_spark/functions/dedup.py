@@ -445,7 +445,9 @@ def cross_lsh_pairs(
     new_banded = _persist_bounded(
         _banded_rows(minhash_signatures(new_docs, k, num_hashes), bands, rows_per_band)
     )
-    ref_banded = _persist_bounded(
+    # same DataFrame on both sides (self-dedup through the cross API):
+    # reuse the banded signatures instead of building them twice
+    ref_banded = new_banded if ref_docs is new_docs else _persist_bounded(
         _banded_rows(minhash_signatures(ref_docs, k, num_hashes), bands, rows_per_band)
     )
     candidates = _persist_bounded(
