@@ -624,6 +624,25 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base, ["view", "click", "purchase"], 7 * 86_400_000
         )
 
+    def funnel_latency_events(spark, sf_dir):
+        ev = fixtures.read_events(spark, sf_dir)
+        base = ev.select(
+            "user_id", fixtures.ts_ms(ev).alias("timestamp"), "event_type"
+        )
+        from zestdb_spark.functions.dedup import q6
+        from zestdb_spark.operators import funnel as fl
+
+        done = fl.funnel(base, ["view", "click", "purchase"], 7 * 86_400_000).filter(
+            F.col("steps_completed") == 3
+        )
+        lat = (F.col("t_end") - F.col("t_start")).cast("double")
+        return done.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            q6(F.percentile(lat, F.lit(0.25))).alias("q_250"),
+            q6(F.percentile(lat, F.lit(0.50))).alias("q_500"),
+            q6(F.percentile(lat, F.lit(0.75))).alias("q_750"),
+        )
+
     def retention_events(spark, sf_dir):
         from zestdb_spark.operators import funnel as fl
 
@@ -875,6 +894,10 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel": funnel_events,
         # weekly cohort-retention matrix over the events stream
         "ev_retention": retention_events,
+        # conversion-latency distribution: exact quartiles of
+        # (t_end − t_start) over completed funnels — operators compose
+        # as ONE lazy plan (funnel → filter → percentile)
+        "ev_funnel_latency": funnel_latency_events,
         # one-pass per-column table profile of the events table
         "tbl_profile": profile_events,
         # incremental-crawl dedup: new corpus vs reference corpus
@@ -1788,6 +1811,33 @@ _EXT_SQL: dict[str, str] = {
       SELECT 'props', 'string', count(*), count(*) - count(props),
              count(DISTINCT props), NULL, NULL, min(props), max(props)
       FROM events
+    """,
+    # conversion latency: the ev_funnel chain restricted to completed
+    # runs, exact interpolated quartiles of (t3 − t1), q6-floored
+    "ev_funnel_latency": """
+      WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      t2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM ev e JOIN t1 USING (user_id)
+             WHERE e.event_type = 'click'
+               AND e.ts > t1.t1 AND e.ts <= t1.t1 + 604800000
+             GROUP BY 1),
+      t3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM ev e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+             WHERE e.event_type = 'purchase'
+               AND e.ts > t2.t2 AND e.ts <= t1.t1 + 604800000
+             GROUP BY 1),
+      lat AS (
+        SELECT CAST(t3.t3 - t1.t1 AS DOUBLE) AS l
+        FROM t3 JOIN t1 USING (user_id))
+      SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             floor(quantile_cont(l, 0.25) * 1000000.0) / 1000000.0 AS q_250,
+             floor(quantile_cont(l, 0.50) * 1000000.0) / 1000000.0 AS q_500,
+             floor(quantile_cont(l, 0.75) * 1000000.0) / 1000000.0 AS q_750
+      FROM lat
     """,
     # ordered funnel: greedy-earliest per step, strict order, whole
     # run within 7 d of the user's first 'view'
