@@ -594,6 +594,24 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def moving_stats_events(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.moving_stats(
+            fixtures.ts_numeric_from_events(spark, sf_dir), 5
+        )
+
+    def pivot_events(spark, sf_dir):
+        from zestdb_spark.operators import pivot
+
+        ev = fixtures.read_events(spark, sf_dir)
+        return pivot.pivot_counts(
+            ev.select("user_id", "event_type"),
+            ["user_id"],
+            "event_type",
+            ["view", "click", "purchase", "signup", "error"],
+        )
+
     def rollup_sliding_events(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
@@ -884,6 +902,10 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # hopping-window rollup: 1 h windows every 30 min (overlapping)
         "tmp_rollup_sliding": rollup_sliding_events,
+        # trailing 5-row moving stats per series (row-count frames)
+        "tmp_moving_stats": moving_stats_events,
+        # event_type × user cross-tab (explicit categories, one pass)
+        "ev_pivot": pivot_events,
         # bucketed point-in-interval join: 30 d promo windows × ship
         # events, rolled up per window
         "tmp_interval_join": interval_promo_rollup,
@@ -1687,6 +1709,30 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 255.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM a
+    """,
+    # trailing 5-row window per series, engine total order (ts, value);
+    # decimal-exact sum then q6 for the average
+    "tmp_moving_stats": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id, "timestamp", value,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / (count(*) OVER w) * 1000000.0) / 1000000.0 AS mov_avg,
+             min(value) OVER w AS mov_min,
+             max(value) OVER w AS mov_max
+      FROM ts
+      WINDOW w AS (PARTITION BY series_id
+                   ORDER BY "timestamp" ASC, value ASC
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    # explicit-category cross-tab: conditional sums, one pass
+    "ev_pivot": """
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      FROM events GROUP BY 1
     """,
     # point-in-interval join (inclusive both ends) rolled up per
     # interval — the oracle states the containment predicate directly;

@@ -161,3 +161,31 @@ def test_zscore_constant_series_off_grid_value(spark):
     rows = [("c", i, 1.234567) for i in range(5)]
     out = anomaly.zscore_outliers(_ts(spark, rows)).collect()
     assert all(r["z"] is None and not r["is_outlier"] for r in out)
+
+
+# ------------------------------------------------------------------ pivot
+
+def test_pivot_counts_and_sums(spark):
+    from zestdb_spark.operators import pivot
+
+    df = spark.createDataFrame(
+        [("u1", "view", 1.0), ("u1", "view", 2.0), ("u1", "click", 5.0),
+         ("u2", "view", 3.0), ("u2", "other", 9.0)],
+        "user string, ev string, value double",
+    )
+    rows = {
+        r["user"]: r
+        for r in pivot.pivot_counts(df, ["user"], "ev", ["view", "click"]).collect()
+    }
+    assert (rows["u1"]["n_view"], rows["u1"]["n_click"]) == (2, 1)
+    assert (rows["u2"]["n_view"], rows["u2"]["n_click"]) == (1, 0)
+    sums = {
+        r["user"]: r
+        for r in pivot.pivot_sum(df, ["user"], "ev", ["view", "click"]).collect()
+    }
+    assert sums["u1"]["sum_view"] == 3.0 and sums["u1"]["sum_click"] == 5.0
+    assert sums["u2"]["sum_click"] is None  # never occurred ≠ 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        pivot.pivot_counts(df, ["user"], "ev", [])

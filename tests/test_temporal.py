@@ -188,3 +188,39 @@ def test_interval_join_inclusive_ends_and_validation(spark):
     bad = spark.createDataFrame([(9, 1, 2)], "pid long, start_ms long, end_ms long")
     with pytest.raises(ValueError, match="colliding"):
         interval_join(pts, bad)
+
+
+# ------------------------------------------------------------ moving_stats
+
+def test_moving_stats_trailing_window(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 6.0), ("b", 1, 10.0)],
+        "series_id string, timestamp long, value double",
+    )
+    out = {
+        (r["series_id"], r["timestamp"]): r
+        for r in temporal.moving_stats(df, 2).collect()
+    }
+    assert out[("a", 1)]["mov_avg"] == 1.0
+    assert out[("a", 2)]["mov_avg"] == 1.5
+    assert out[("a", 3)]["mov_avg"] == 4.0 and out[("a", 3)]["mov_min"] == 2.0
+    assert out[("b", 1)]["mov_avg"] == 10.0  # series isolated
+    with pytest.raises(ValueError, match="n must be"):
+        temporal.moving_stats(df, 0)
+
+
+def test_moving_stats_tie_determinism(spark):
+    # duplicate timestamps: the (timestamp, value) total order pins
+    # which row is "previous", so results are stable across runs
+    df = spark.createDataFrame(
+        [("a", 5, 3.0), ("a", 5, 1.0), ("a", 6, 2.0)],
+        "series_id string, timestamp long, value double",
+    )
+    a = sorted(map(tuple, temporal.moving_stats(df, 2).collect()))
+    b = sorted(map(tuple, temporal.moving_stats(df, 2).collect()))
+    assert a == b
+    by_val = {r[2]: r for r in a}
+    # order is (ts, value) asc → 1.0 comes first (window of itself),
+    # 3.0 trails it: (1.0 + 3.0)/2
+    assert by_val[1.0][3] == 1.0
+    assert by_val[3.0][3] == 2.0

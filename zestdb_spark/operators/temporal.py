@@ -164,6 +164,46 @@ def rollup_time_bucket(
     )
 
 
+def moving_stats(
+    df: DataFrame,
+    n: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """(*by, timestamp, value, mov_avg, mov_min, mov_max): per-series
+    trailing-window statistics over the last ``n`` rows (current row
+    inclusive) in event order — the TS-database moving-average staple.
+    Row-count frames, not time frames: the reading cadence defines the
+    window, matching the reference's shard-ordered reads.
+
+    ONE exchange on the series key; the frame is bounded (n−1
+    PRECEDING), so state per partition is O(n) whatever the series
+    length. Order is the engine's total order (timestamp, then value —
+    the T1 tie-break) so results are deterministic under duplicate
+    timestamps. mov_avg is decimal-exact-summed then q6-floored; at a
+    bucketized store the exchange disappears like every per-series
+    window."""
+    if n < 1:
+        raise ValueError(f"moving_stats: n must be ≥ 1, got {n}")
+    from zestdb_spark.functions.dedup import q6
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("value").asc())
+        .rowsBetween(-(n - 1), 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    c = F.count(F.lit(1)).over(w)
+    return df.select(
+        *by,
+        on,
+        "value",
+        q6(s / c).alias("mov_avg"),
+        F.min("value").over(w).alias("mov_min"),
+        F.max("value").over(w).alias("mov_max"),
+    )
+
+
 def rollup_sliding(
     df: DataFrame,
     window_ms: int,
