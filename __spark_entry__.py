@@ -940,6 +940,17 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             12,
             by=("l_returnflag",),
         ),
+        # bloom membership probes (no false negatives; the broadcast
+        # scan-prune primitive) — one present, one present, one absent
+        "sk_bloom_probe": lambda s, d: sketches.bloom_probe(
+            sketches.bloom_build(
+                s.read.parquet(f"{d}/lineitem.parquet"), "l_partkey", 1 << 16, 5
+            ),
+            s.createDataFrame([(1,), (500,), (99999999,)], "probe long"),
+            "probe",
+            1 << 16,
+            5,
+        ),
         # count-min frequency estimates for three probe keys (one
         # present low, one present high, one absent)
         "sk_cm_partkey": lambda s, d: sketches.cm_estimate(
@@ -2016,6 +2027,35 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 12098218.894406674 / s
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM e
+    """,
+    # bloom: k=5 "b{i}:"-salted md5 bit positions mod 2^16, 60-bit
+    # words (sign-safe in both engines), bit_or build, bool_and probe
+    "sk_bloom_probe": """
+      WITH ds AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+      bits AS (
+        SELECT CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                                        || CAST(l_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 65536 AS bit
+        FROM lineitem, ds),
+      w AS (
+        SELECT bit // 60 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(bit % 60 AS INTEGER)) AS bits
+        FROM bits GROUP BY 1),
+      probes AS (SELECT unnest([1, 500, 99999999]) AS probe),
+      pp AS (
+        SELECT probe,
+               CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                                        || CAST(probe AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 65536 AS bit
+        FROM probes, ds),
+      pw AS (
+        SELECT probe, bit // 60 AS word_idx,
+               CAST(1 AS BIGINT) << CAST(bit % 60 AS INTEGER) AS mask
+        FROM pp)
+      SELECT CAST(probe AS BIGINT) AS probe,
+             bool_and((coalesce(bits, 0) & mask) = mask) AS maybe_contains
+      FROM pw LEFT JOIN w USING (word_idx)
+      GROUP BY 1
     """,
     # count-min: 4×1024 cells from the "d:"-salted md5 hash; probe
     # estimate = min over the probe's 4 cells, absent cells 0

@@ -266,3 +266,44 @@ def test_sampled_quantiles_by_group(spark):
     ).collect()
     assert rows["1"]["q_500"] == solo["q_500"]
     assert rows["1"]["n_sample"] == solo["n_sample"]
+
+
+# ------------------------------------------------------------ bloom filter
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.range(2000).select(F.col("id").alias("v"))
+    bl = sketches.bloom_build(df, "v", m_bits=1 << 15, k=5)
+    rows = sketches.bloom_probe(bl, df, "v", m_bits=1 << 15, k=5).collect()
+    assert len(rows) == 2000
+    assert all(r["maybe_contains"] for r in rows)  # the hard guarantee
+
+
+def test_bloom_false_positive_rate_in_range(spark):
+    n, m = 2000, 1 << 15
+    df = spark.range(n).select(F.col("id").alias("v"))
+    bl = sketches.bloom_build(df, "v", m_bits=m, k=5)
+    absent = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("v"))
+    hits = (
+        sketches.bloom_probe(bl, absent, "v", m_bits=m, k=5)
+        .filter("maybe_contains")
+        .count()
+    )
+    # theoretical fp ≈ (1 - e^(-5*2000/32768))^5 ≈ 0.2%; allow 10×
+    assert hits <= 40
+
+
+def test_bloom_merge_equals_union(spark):
+    a = spark.range(0, 700).select(F.col("id").alias("v"))
+    b = spark.range(500, 1200).select(F.col("id").alias("v"))
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(a, "v"), sketches.bloom_build(b, "v")
+    )
+    direct = sketches.bloom_build(a.unionAll(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_validation():
+    with pytest.raises(ValueError, match="m_bits"):
+        sketches.bloom_build(None, "v", m_bits=10)
+    with pytest.raises(ValueError, match="at least one"):
+        sketches.bloom_merge()

@@ -46,7 +46,7 @@ from zestdb_spark.functions.dedup import _hash60, q6
 
 __all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct",
            "kmv_distinct", "sampled_quantiles", "cm_sketch", "cm_merge",
-           "cm_estimate"]
+           "cm_estimate", "bloom_build", "bloom_merge", "bloom_probe"]
 
 #: md5-prefix hash width (15 hex chars → 60 bits, signed-long safe)
 _HASH_BITS = 60
@@ -361,4 +361,97 @@ def cm_estimate(
         probes.join(F.broadcast(sketch), ["d", "cell"], "left")
         .groupBy(*items.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )
+
+
+#: Bloom word width: 60 bits per word keeps every mask positive in a
+#: signed int64 in BOTH engines (bit 63 would go negative and DuckDB's
+#: checked shift differs) — the same signed-long-safety rule as _HASH_BITS.
+_BLOOM_WORD = 60
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int, portable: bool) -> Column:
+    """The k bit positions for one value — salted like _cm_cells, ONE
+    definition shared by build and probe."""
+    return F.array(
+        *[
+            F.pmod(
+                _h60(F.concat(F.lit(f"b{i}:"), col.cast("string")), portable),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 5,
+    portable: bool = True,
+) -> DataFrame:
+    """(word_idx, bits): a Bloom filter over ``col`` as DATA — ≤
+    ceil(m_bits/60) rows of two ints whatever the input size. k salted
+    portable hashes set k bits per value; the word table groupBy is
+    map-side combined (bit_or partials), so at most m_bits/60 rows per
+    task reach the shuffle — the HLL register movement for membership.
+
+    MERGES by per-word bit_or (``bloom_merge``) — one filter per
+    shard/day, OR them at read. No false negatives ever; false-positive
+    rate ≈ (1 − e^(−k·n/m))^k — size m_bits ≈ 10·n for ~1% at k=5.
+    At 100 TB the built table is broadcast back to pre-filter a fact
+    scan (``bloom_probe``) — membership pruning without shuffling the
+    fact side."""
+    if m_bits < _BLOOM_WORD or k < 1:
+        raise ValueError(
+            f"bloom_build: need m_bits ≥ {_BLOOM_WORD} and k ≥ 1, got {m_bits}, {k}"
+        )
+    pos = F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("bit") / F.lit(_BLOOM_WORD)).cast("long").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge Bloom filters (same m_bits/k/hashes): per-word bit_or."""
+    if not filters:
+        raise ValueError("bloom_merge: need at least one filter")
+    out = filters[0]
+    for t in filters[1:]:
+        out = out.unionAll(t)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    bloom: DataFrame, items: DataFrame, col: str, m_bits: int = 1 << 16,
+    k: int = 5, portable: bool = True,
+) -> DataFrame:
+    """(*items.columns, maybe_contains): membership test — false means
+    DEFINITELY absent (the pruning guarantee), true means present up
+    to the false-positive rate. The word table is ≤ m_bits/60 rows →
+    broadcast; the probe is a map-side join + per-item bool_and, so
+    the (possibly huge) items side never shuffles its payload."""
+    probes = items.select(
+        *items.columns,
+        F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit"),
+    ).select(
+        *items.columns,
+        (F.col("bit") / F.lit(_BLOOM_WORD)).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))")
+        .alias("mask"),
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(*items.columns)
+        .agg(
+            F.every(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("maybe_contains")
+        )
     )
