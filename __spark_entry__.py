@@ -922,6 +922,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel_latency": funnel_latency_events,
         # one-pass per-column table profile of the events table
         "tbl_profile": profile_events,
+        # fixed-width value histogram with explicit under/overflow bins
+        "tbl_histogram": lambda s, d: __import__(
+            "zestdb_spark.functions.profile", fromlist=["profile"]
+        ).histogram(
+            fixtures.ts_numeric_from_events(s, d), "value", 0.0, 500.0, 20
+        ),
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
@@ -1895,6 +1901,21 @@ _EXT_SQL: dict[str, str] = {
              floor(quantile_cont(l, 0.50) * 1000000.0) / 1000000.0 AS q_500,
              floor(quantile_cont(l, 0.75) * 1000000.0) / 1000000.0 AS q_750
       FROM lat
+    """,
+    # fixed-width histogram, [0,500) in 20 bins + under/overflow rows
+    "tbl_histogram": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      b AS (
+        SELECT CASE WHEN value < 0.0 THEN -1
+                    WHEN value >= 500.0 THEN 20
+                    ELSE CAST(floor((value - 0.0) / 25.0) AS INTEGER)
+               END AS bucket
+        FROM ts WHERE value IS NOT NULL)
+      SELECT bucket,
+             0.0 + bucket * 25.0 AS lo_edge,
+             0.0 + (bucket + 1) * 25.0 AS hi_edge,
+             count(*) AS n
+      FROM b GROUP BY 1
     """,
     # ordered funnel: greedy-earliest per step, strict order, whole
     # run within 7 d of the user's first 'view'

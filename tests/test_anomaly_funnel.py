@@ -189,3 +189,22 @@ def test_pivot_counts_and_sums(spark):
 
     with _pt.raises(ValueError, match="non-empty"):
         pivot.pivot_counts(df, ["user"], "ev", [])
+
+
+def test_histogram_edges_and_overflow(spark):
+    from zestdb_spark.functions.profile import histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, None]], "v double"
+    )
+    rows = {r["bucket"]: r for r in histogram(df, "v", 0.0, 10.0, 10).collect()}
+    assert rows[-1]["n"] == 1        # below range
+    assert rows[0]["n"] == 2         # 0.0 and 0.5
+    assert rows[9]["n"] == 1         # 9.99
+    assert rows[10]["n"] == 2        # 10.0 (hi is exclusive) and 25.0
+    assert sum(r["n"] for r in rows.values()) == 6  # NULL excluded
+    assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hi > lo"):
+        histogram(df, "v", 5.0, 5.0)

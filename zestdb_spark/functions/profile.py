@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "histogram"]
 
 #: exact dtype names (plus parameterized decimal) — prefix matching
 #: would misclassify 'interval day to second' as numeric via 'int'
@@ -97,3 +97,45 @@ def profile(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+) -> DataFrame:
+    """(bucket, lo_edge, hi_edge, n): fixed-width histogram of a
+    numeric column over [lo, hi) — buckets 0..nbins−1, plus bucket −1
+    (below lo) and nbins (at/above hi) so no row is silently dropped
+    and the bucket counts always sum to count(col). NULLs are excluded
+    (they are n_null in ``profile``, not a magic bucket).
+
+    Deterministic: the bucket index floor((x−lo)/width) is integer
+    output of double math identical in any engine; edges derive from
+    (lo, width, index) so they are replayable too. ONE map-side-
+    combinable groupBy on an int key ≤ nbins+2 distinct values — the
+    same movement as the HLL register table."""
+    if not hi > lo:
+        raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi})")
+    if nbins < 1:
+        raise ValueError(f"histogram: nbins must be ≥ 1, got {nbins}")
+    width = (hi - lo) / nbins
+    x = F.col(col).cast("double")
+    bucket = (
+        F.when(x < lo, F.lit(-1))
+        .when(x >= hi, F.lit(nbins))
+        .otherwise(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
+            "n",
+        )
+    )
