@@ -661,6 +661,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q6(F.percentile(lat, F.lit(0.75))).alias("q_750"),
         )
 
+    def histogram_events(spark, sf_dir):
+        from zestdb_spark.functions.profile import histogram
+
+        return histogram(
+            fixtures.ts_numeric_from_events(spark, sf_dir), "value", 0.0, 500.0, 20
+        )
+
     def retention_events(spark, sf_dir):
         from zestdb_spark.operators import funnel as fl
 
@@ -923,11 +930,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-pass per-column table profile of the events table
         "tbl_profile": profile_events,
         # fixed-width value histogram with explicit under/overflow bins
-        "tbl_histogram": lambda s, d: __import__(
-            "zestdb_spark.functions.profile", fromlist=["profile"]
-        ).histogram(
-            fixtures.ts_numeric_from_events(s, d), "value", 0.0, 500.0, 20
-        ),
+        "tbl_histogram": histogram_events,
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
