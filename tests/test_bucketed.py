@@ -77,3 +77,21 @@ def test_load_bucketed_requires_publish(spark, tmp_path):
     st = ZestStore(spark, str(tmp_path / "empty"))
     with pytest.raises(KeyError, match="bucketize"):
         st.load_bucketed("ts_blob")
+
+
+def test_bucketized_moving_stats_has_no_shuffle(store):
+    """The round-6 per-series operators inherit the elision: trailing
+    moving stats over the mirror plan with ZERO shuffle exchanges."""
+    from zestdb_spark.operators import temporal
+
+    out = temporal.moving_stats(store.load_bucketed("ts_numeric"), 3)
+    assert _shuffle_exchanges(_plan(out)) == 0
+    assert out.count() > 0
+
+
+def test_bucketized_zscore_has_no_shuffle(store):
+    from zestdb_spark.operators import anomaly
+
+    out = anomaly.zscore_outliers(store.load_bucketed("ts_numeric"))
+    assert _shuffle_exchanges(_plan(out)) == 0
+    assert out.count() > 0
