@@ -208,3 +208,46 @@ def test_histogram_edges_and_overflow(spark):
 
     with _pt.raises(ValueError, match="hi > lo"):
         histogram(df, "v", 5.0, 5.0)
+
+
+def test_histogram_inexact_width_keeps_in_range_values_in_range(spark):
+    """width=(hi−lo)/nbins is inexact for hi=0.1: floor(x/width) hits
+    nbins for x just below hi — the clamp must keep every x < hi out of
+    the overflow bucket (bucket nbins is reserved for x ≥ hi)."""
+    from zestdb_spark.functions.profile import histogram
+
+    x = 0.09999999999999999  # < 0.1, but floor(x / (0.1/3)) == 3
+    df = spark.createDataFrame([(x,), (0.1,)], "v double")
+    rows = {r["bucket"]: r["n"] for r in histogram(df, "v", 0.0, 0.1, 3).collect()}
+    assert rows.get(2) == 1      # in-range value stays in the top bin
+    assert rows.get(3) == 1      # only x ≥ hi overflows
+
+
+def test_pivot_counts_all_null_category_group_is_zero(spark):
+    """A group whose col_key values are all NULL gets 0, not NULL —
+    matching the SQL oracle's CASE ... ELSE 0 semantics."""
+    from zestdb_spark.operators import pivot
+
+    df = spark.createDataFrame(
+        [("u1", None, 1.0), ("u1", None, 2.0), ("u2", "view", 3.0)],
+        "user string, ev string, value double",
+    )
+    rows = {
+        r["user"]: r
+        for r in pivot.pivot_counts(df, ["user"], "ev", ["view"]).collect()
+    }
+    assert rows["u1"]["n_view"] == 0
+    assert rows["u2"]["n_view"] == 1
+
+
+def test_pivot_sanitized_label_collision_raises(spark):
+    """'a-b' and 'a_b' both sanitize to a_b — duplicate output columns
+    resolve ambiguously later, so the pivot must refuse up front."""
+    from zestdb_spark.operators import pivot
+    import pytest as _pt
+
+    df = spark.createDataFrame([("u", "a-b", 1.0)], "user string, ev string, value double")
+    with _pt.raises(ValueError, match="collide"):
+        pivot.pivot_counts(df, ["user"], "ev", ["a-b", "a_b"])
+    with _pt.raises(ValueError, match="collide"):
+        pivot.pivot_sum(df, ["user"], "ev", ["a-b", "a_b"])

@@ -224,3 +224,20 @@ def test_moving_stats_tie_determinism(spark):
     # 3.0 trails it: (1.0 + 3.0)/2
     assert by_val[1.0][3] == 1.0
     assert by_val[3.0][3] == 2.0
+
+
+def test_moving_stats_null_value_orders_last(spark):
+    """NULL value at a duplicate timestamp sorts LAST — Spark's bare
+    asc() would put it first while the SQL oracle's ORDER BY ... ASC is
+    NULLS LAST, silently shifting every trailing frame between engines."""
+    df = spark.createDataFrame(
+        [("a", 1000, None), ("a", 1000, 5.0), ("a", 2000, 7.0)],
+        "series_id string, timestamp long, value double",
+    )
+    rows = temporal.moving_stats(df, 2).collect()
+    # engine total order must be [5.0, NULL, 7.0]
+    avgs = [r["mov_avg"] for r in sorted(
+        rows, key=lambda r: (r["timestamp"], r["value"] is None, r["value"] or 0.0)
+    )]
+    # frames: [5.0] → 5.0; [5.0, NULL] → 5/2; [NULL, 7.0] → 7/2
+    assert avgs == [5.0, 2.5, 3.5]

@@ -126,7 +126,16 @@ def histogram(
     bucket = (
         F.when(x < lo, F.lit(-1))
         .when(x >= hi, F.lit(nbins))
-        .otherwise(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"))
+        .otherwise(
+            # width = (hi−lo)/nbins is inexact for most (lo, hi, nbins);
+            # floor((x−lo)/width) can reach nbins for x just below hi,
+            # which would mislabel an IN-RANGE value as overflow — clamp
+            # so bucket nbins is reserved for x ≥ hi as documented.
+            F.least(
+                F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(nbins - 1),
+            )
+        )
     )
     return (
         df.filter(x.isNotNull())

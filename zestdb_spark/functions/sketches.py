@@ -407,13 +407,20 @@ def bloom_build(
     pos = F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit")
     return (
         df.select(pos)
-        .select(
-            (F.col("bit") / F.lit(_BLOOM_WORD)).cast("long").alias("word_idx"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))")
-            .alias("mask"),
-        )
+        .select(*_bloom_word_mask())
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def _bloom_word_mask() -> tuple:
+    """bit → (word_idx, mask): the filter's wire format — the SAME
+    derivation must be used by build and probe or false negatives
+    appear, so it lives in exactly one place."""
+    return (
+        (F.col("bit") / F.lit(_BLOOM_WORD)).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))")
+        .alias("mask"),
     )
 
 
@@ -439,12 +446,7 @@ def bloom_probe(
     probes = items.select(
         *items.columns,
         F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit"),
-    ).select(
-        *items.columns,
-        (F.col("bit") / F.lit(_BLOOM_WORD)).cast("long").alias("word_idx"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))")
-        .alias("mask"),
-    )
+    ).select(*items.columns, *_bloom_word_mask())
     return (
         probes.join(F.broadcast(bloom), "word_idx", "left")
         .groupBy(*items.columns)

@@ -27,6 +27,21 @@ def _safe(name: str) -> str:
     return "".join(ch if ch.isalnum() else "_" for ch in name)
 
 
+def _labels(categories: Sequence[str], prefix: str) -> list[str]:
+    """Sanitized, collision-checked output column names. Two distinct
+    categories may sanitize to the same label ('a-b' vs 'a_b'); a
+    duplicate column would build fine and then resolve ambiguously on
+    the first select — fail loudly instead."""
+    labels = [f"{prefix}_{_safe(c)}" for c in categories]
+    if len(set(labels)) != len(labels):
+        dupes = sorted({l for l in labels if labels.count(l) > 1})
+        raise ValueError(
+            f"pivot: categories collide after sanitizing: {dupes} — "
+            "rename the colliding categories"
+        )
+    return labels
+
+
 def pivot_counts(
     df: DataFrame, row_key: Sequence[str], col_key: str, categories: Sequence[str]
 ) -> DataFrame:
@@ -35,9 +50,12 @@ def pivot_counts(
     are ignored (they'd be an invisible column otherwise)."""
     if not categories:
         raise ValueError("pivot_counts: categories must be non-empty")
+    # count(when(...)) never yields NULL — a group whose col_key values
+    # are all NULL still gets honest zeros (sum-of-casts would be NULL,
+    # diverging from the SQL oracle's CASE ... ELSE 0).
     aggs = [
-        F.sum((F.col(col_key) == F.lit(c)).cast("long")).alias(f"n_{_safe(c)}")
-        for c in categories
+        F.count(F.when(F.col(col_key) == F.lit(c), F.lit(1))).alias(label)
+        for c, label in zip(categories, _labels(categories, "n"))
     ]
     return df.groupBy(*row_key).agg(*aggs)
 
@@ -59,7 +77,7 @@ def pivot_sum(
             F.when(F.col(col_key) == F.lit(c), F.col(value)).cast("decimal(38,6)")
         )
         .cast("double")
-        .alias(f"sum_{_safe(c)}")
-        for c in categories
+        .alias(label)
+        for c, label in zip(categories, _labels(categories, "sum"))
     ]
     return df.groupBy(*row_key).agg(*aggs)

@@ -189,7 +189,11 @@ def moving_stats(
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("value").asc())
+        # NULLS LAST explicitly: Spark's bare asc() is NULLS FIRST while
+        # the SQL oracle's ORDER BY ... ASC is NULLS LAST — a NULL value
+        # at a duplicate timestamp would silently shift every trailing
+        # frame between the engines.
+        .orderBy(F.col(on).asc_nulls_last(), F.col("value").asc_nulls_last())
         .rowsBetween(-(n - 1), 0)
     )
     s = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
