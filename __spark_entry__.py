@@ -688,6 +688,23 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["event_id", "user_id", "event_type", "value", "props"],
         )
 
+    def keep_canonical_docs(spark, sf_dir):
+        # the dedup end product: pairs → components → one survivor per
+        # cluster (highest n_chars, tie → smallest id) + all singletons
+        dd = docs(spark, sf_dir)
+        return dedup.keep_canonical(
+            dd,
+            dedup.dup_clusters(dedup.minhash_lsh_pairs(dd, 3, 64, 32, 0.5)),
+            "n_chars",
+        )
+
+    def topk_partkeys(spark, sf_dir):
+        from zestdb_spark.functions.profile import top_k_values
+
+        return top_k_values(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_partkey", 10
+        )
+
     def rollup_hour(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
@@ -778,6 +795,8 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dedup.dup_clusters(
             dedup.minhash_lsh_pairs(docs(s, d), 3, 64, 32, 0.5)
         ),
+        # …and the end product: one surviving doc per cluster
+        "dedup_keep": keep_canonical_docs,
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(docs(s, d), 3),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), 0.45),
         "dedup_hybrid": lambda s, d: dedup.hybrid_dup_pairs(
@@ -931,6 +950,9 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_profile": profile_events,
         # fixed-width value histogram with explicit under/overflow bins
         "tbl_histogram": histogram_events,
+        # exact heavy hitters (deterministic tie-break) — the batch
+        # truth the Count-Min sketch approximates
+        "tbl_topk_values": topk_partkeys,
         # incremental-crawl dedup: new corpus vs reference corpus
         # (here each doc meets itself at jaccard 1.0 plus the natural
         # near-dups, in both directions — no id ordering across sides)
@@ -1231,6 +1253,41 @@ _EXT_SQL: dict[str, str] = {
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
       SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    # same cluster closure as dedup_clusters, then the survivor pick:
+    # highest n_chars per cluster, ties to the smallest doc_id;
+    # singletons (docs with no near-dup) survive as their own cluster
+    "dedup_keep": f"""
+      WITH RECURSIVE {_SHINGLE_CTE},
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN cl USING (doc_id)),
+      rk AS (SELECT cluster_id, doc_id,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC NULLS LAST,
+                                                doc_id ASC) AS rn,
+                    count(*) OVER (PARTITION BY cluster_id) AS n_members
+             FROM lab)
+      SELECT cluster_id, doc_id, n_members FROM rk WHERE rn = 1
+    """,
+    # exact heavy hitters over the lineitem part key — total order
+    # (n DESC, value ASC) makes the k-th place engine-independent
+    "tbl_topk_values": """
+      SELECT l_partkey AS value, count(*) AS n
+      FROM lineitem GROUP BY 1
+      ORDER BY n DESC, value ASC LIMIT 10
     """,
     # LSH candidates are exactly verified and FN prob ≤ 4e-8 at the data's
     # j≥0.9 pairs, so the exact-Jaccard result is the valid oracle.

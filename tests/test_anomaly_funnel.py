@@ -251,3 +251,17 @@ def test_pivot_sanitized_label_collision_raises(spark):
         pivot.pivot_counts(df, ["user"], "ev", ["a-b", "a_b"])
     with _pt.raises(ValueError, match="collide"):
         pivot.pivot_sum(df, ["user"], "ev", ["a-b", "a_b"])
+
+
+def test_top_k_values_exact_with_deterministic_ties(spark):
+    from zestdb_spark.functions.profile import top_k_values
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "v string"
+    )
+    rows = [(r["value"], r["n"]) for r in top_k_values(df, "v", 2).collect()]
+    # counts tie at 2 → value ASC breaks it; NULL never counted
+    assert rows == [("a", 2), ("b", 2)]
+    with _pt.raises(ValueError, match="k must be"):
+        top_k_values(df, "v", 0)

@@ -132,3 +132,25 @@ def test_cross_lsh_band_validation(spark):
 
     with _pt.raises(ValueError, match="divisible"):
         dd.cross_lsh_pairs(df, df, num_hashes=64, bands=7)
+
+
+def test_keep_canonical_survivor_and_singletons(spark):
+    """One survivor per cluster (highest quality, tie → smallest id);
+    docs without a near-dup survive as their own singleton cluster."""
+    from zestdb_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], "doc_id long, n_chars long"
+    )
+    # 1~2 and 2~3 must collapse into ONE cluster {1,2,3}; 7 is alone
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["cluster_id"]: r
+        for r in dedup.keep_canonical(
+            docs, dedup.dup_clusters(pairs), "n_chars"
+        ).collect()
+    }
+    assert set(out) == {1, 7}
+    # quality tie between 2 and 3 at 99 → smallest id wins
+    assert out[1]["doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[7]["doc_id"] == 7 and out[7]["n_members"] == 1

@@ -699,3 +699,49 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, doc_id, n_members): ONE surviving document per
+    duplicate cluster — the end product a dedup pipeline actually
+    ships (pairs and even components still leave the choice of which
+    copy to keep). Survivor = highest ``quality`` in the cluster, ties
+    broken by smallest id, so the pick is deterministic and replayable
+    in any engine. Docs absent from ``clusters`` are singletons and
+    survive as their own cluster with n_members = 1.
+
+    ONE shuffle on the cluster key: a left join attaches labels
+    (``clusters`` holds only docs that HAVE a near-dup — a small
+    fraction of the corpus, so AQE broadcasts it when it fits), then a
+    single window pass computes the survivor rank and the cluster size
+    together over the same partitioning. Only (id, quality, label)
+    move — the text/payload columns are pruned out of the scan.
+
+    Capability extension of the reference's read path (no dedup there;
+    see jaccard_pairs for the family rationale)."""
+    from pyspark.sql import Window
+
+    lab = clusters.select(
+        F.col("doc_id").alias("_kid"), F.col("cluster_id").alias("_kcl")
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(quality).alias("_q")
+    )
+    labeled = base.join(lab, base["doc_id"] == lab["_kid"], "left").select(
+        "doc_id", "_q", F.coalesce(F.col("_kcl"), F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", "doc_id", "n_members")
+    )

@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram"]
+__all__ = ["profile", "histogram", "top_k_values"]
 
 #: exact dtype names (plus parameterized decimal) — prefix matching
 #: would misclassify 'interval day to second' as numeric via 'int'
@@ -147,4 +147,26 @@ def histogram(
             (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
             "n",
         )
+    )
+
+
+def top_k_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """(value, n): the k most frequent values of a column, EXACT — the
+    batch complement to the Count-Min estimate (``sketches.cm_sketch``
+    bounds error at stream scale; this is the truth when a full scan is
+    affordable). NULLs are excluded (they are n_null in ``profile``).
+
+    Deterministic: ties rank by (n DESC, value ASC) — a total order, so
+    the k-th place never depends on partitioning. The plan is a
+    map-side-combined groupBy on the value key followed by
+    TakeOrderedAndProject — each task keeps only its local top-k and
+    the driver merges k·tasks rows; no global sort ever materializes."""
+    if k < 1:
+        raise ValueError(f"top_k_values: k must be ≥ 1, got {k}")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(k)
     )
