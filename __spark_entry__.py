@@ -601,6 +601,27 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), 5
         )
 
+    def moving_time_events(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        # 6 h trailing clock window (~24 rows/frame at sf0.01 cadence)
+        return temporal.moving_stats_time(
+            fixtures.ts_numeric_from_events(spark, sf_dir), 21_600_000
+        )
+
+    def delta_events(spark, sf_dir):
+        from zestdb_spark.operators import temporal
+
+        return temporal.series_delta(fixtures.ts_numeric_from_events(spark, sf_dir))
+
+    def gaps_events(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        # 1 h silence threshold ≈ 4× the sf0.01 median inter-arrival
+        return resample.gaps(
+            fixtures.ts_numeric_from_events(spark, sf_dir), 3_600_000
+        )
+
     def pivot_events(spark, sf_dir):
         from zestdb_spark.operators import pivot
 
@@ -930,6 +951,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_rollup_sliding": rollup_sliding_events,
         # trailing 5-row moving stats per series (row-count frames)
         "tmp_moving_stats": moving_stats_events,
+        # trailing TIME-window stats (range frame — tie-insensitive)
+        "tmp_moving_time": moving_time_events,
+        # first difference / rate-of-change per series
+        "tmp_series_delta": delta_events,
+        # where did each series go silent for > 1 h
+        "rs_gaps": gaps_events,
         # event_type × user cross-tab (explicit categories, one pass)
         "ev_pivot": pivot_events,
         # bucketed point-in-interval join: 30 d promo windows × ship
@@ -1800,6 +1827,49 @@ _EXT_SQL: dict[str, str] = {
       WINDOW w AS (PARTITION BY series_id
                    ORDER BY "timestamp" ASC, value ASC
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    # trailing 6 h clock window — RANGE frame, so ties share a frame
+    # and no tie-break convention is needed
+    "tmp_moving_time": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id, "timestamp", value,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / (count(*) OVER w) * 1000000.0) / 1000000.0 AS mov_avg,
+             min(value) OVER w AS mov_min,
+             max(value) OVER w AS mov_max,
+             count(*) OVER w AS mov_n
+      FROM ts
+      WINDOW w AS (PARTITION BY series_id
+                   ORDER BY "timestamp"
+                   RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+    """,
+    # first difference + rate per series ((ts, value) total order;
+    # dup-timestamp rows get dt_ms = 0 and a NULL rate)
+    "tmp_series_delta": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT series_id, "timestamp", value,
+             "timestamp" - lag("timestamp") OVER w AS dt_ms,
+             floor((value - lag(value) OVER w) * 1000000.0) / 1000000.0 AS dv,
+             CASE WHEN "timestamp" - lag("timestamp") OVER w > 0
+                  THEN floor((value - lag(value) OVER w)
+                             / ("timestamp" - lag("timestamp") OVER w)
+                             * 1000.0 * 1000000.0) / 1000000.0
+             END AS rate_per_s
+      FROM ts
+      WINDOW w AS (PARTITION BY series_id
+                   ORDER BY "timestamp" ASC, value ASC)
+    """,
+    # silence intervals > 1 h: lead over the sorted timestamp multiset
+    # (duplicate timestamps pair at gap 0 and are filtered)
+    "rs_gaps": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      l AS (SELECT series_id, "timestamp" AS gap_start_ms,
+                   lead("timestamp") OVER (PARTITION BY series_id
+                                           ORDER BY "timestamp") AS gap_end_ms
+            FROM ts)
+      SELECT series_id, gap_start_ms, gap_end_ms,
+             gap_end_ms - gap_start_ms AS gap_ms
+      FROM l WHERE gap_end_ms - gap_start_ms > 3600000
     """,
     # explicit-category cross-tab: conditional sums, one pass
     "ev_pivot": """

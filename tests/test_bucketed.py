@@ -95,3 +95,19 @@ def test_bucketized_zscore_has_no_shuffle(store):
     out = anomaly.zscore_outliers(store.load_bucketed("ts_numeric"))
     assert _shuffle_exchanges(_plan(out)) == 0
     assert out.count() > 0
+
+
+def test_bucketized_time_window_delta_gaps_have_no_shuffle(store):
+    """The newest per-series window operators inherit the elision too:
+    time-frame moving stats, first differences, and gap detection over
+    the bucketized mirror each plan ZERO shuffle exchanges."""
+    from zestdb_spark.operators import resample, temporal
+
+    src = store.load_bucketed("ts_numeric")
+    for out in (
+        temporal.moving_stats_time(src, 1000),
+        temporal.series_delta(src),
+        resample.gaps(src, 1000),
+    ):
+        assert _shuffle_exchanges(_plan(out)) == 0
+    assert temporal.series_delta(src).count() > 0

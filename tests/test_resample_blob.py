@@ -82,3 +82,24 @@ def test_blob_json_typed(blobs):
 def test_blob_keys_histogram(blobs):
     out = {r["key"]: r["n_rows"] for r in blob.json_keys_histogram(blobs, ["b1", "b2"]).collect()}
     assert out == {"k": 2, "nested": 1, "other": 1}
+
+
+def test_gaps_detects_silence_and_collapses_dups(spark):
+    from zestdb_spark.operators import resample
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 0, 2.0), ("a", 500, 1.0), ("a", 5000, 1.0),
+         ("b", 0, 1.0)],
+        "series_id string, timestamp long, value double",
+    )
+    rows = [
+        (r["series_id"], r["gap_start_ms"], r["gap_end_ms"], r["gap_ms"])
+        for r in resample.gaps(df, 1000).collect()
+    ]
+    # only the 500→5000 silence exceeds 1000 ms; duplicate t=0 rows pair
+    # at gap 0 and vanish; b's single observation opens no gap
+    assert rows == [("a", 500, 5000, 4500)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold_ms"):
+        resample.gaps(df, 0)

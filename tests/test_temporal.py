@@ -241,3 +241,43 @@ def test_moving_stats_null_value_orders_last(spark):
     )]
     # frames: [5.0] → 5.0; [5.0, NULL] → 5/2; [NULL, 7.0] → 7/2
     assert avgs == [5.0, 2.5, 3.5]
+
+
+def test_moving_stats_time_range_frame(spark):
+    """Time frames follow the clock: [t−w, t] inclusive; duplicate
+    timestamps share one frame (tie-insensitive, unlike row frames)."""
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1000, 2.0), ("a", 1000, 4.0), ("a", 2000, 8.0)],
+        "series_id string, timestamp long, value double",
+    )
+    out = temporal.moving_stats_time(df, 1000)
+    rows = sorted(
+        [(r["timestamp"], r["value"], r["mov_avg"], r["mov_n"]) for r in out.collect()]
+    )
+    # t=0: frame {1.0}; t=1000 (both rows): frame {1.0,2.0,4.0} → 7/3;
+    # t=2000: frame {2.0,4.0,8.0} (0 ms row fell out) → 14/3
+    assert rows[0] == (0, 1.0, 1.0, 1)
+    assert rows[1][2] == rows[2][2] == 2.333333 and rows[1][3] == 3
+    assert rows[3] == (2000, 8.0, 4.666666, 3)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_ms"):
+        temporal.moving_stats_time(df, 0)
+
+
+def test_series_delta_first_row_and_dup_ts(spark):
+    df = spark.createDataFrame(
+        [("a", 1000, 3.0), ("a", 1000, 5.0), ("a", 3000, 6.0), ("b", 0, 9.0)],
+        "series_id string, timestamp long, value double",
+    )
+    rows = sorted(
+        [(r["series_id"], r["timestamp"], r["value"], r["dt_ms"], r["dv"],
+          r["rate_per_s"]) for r in temporal.series_delta(df).collect()]
+    )
+    # first row of each series: all NULL deltas
+    assert rows[0][3:] == (None, None, None)          # (a,1000,3.0)
+    # duplicate timestamp: dt 0, dv from the tie order, NULL rate
+    assert rows[1][3:] == (0, 2.0, None)              # (a,1000,5.0)
+    # normal step: 1.0 over 2 s → 0.5/s
+    assert rows[2][3:] == (2000, 1.0, 0.5)            # (a,3000,6.0)
+    assert rows[3][3:] == (None, None, None)          # (b,0,9.0)

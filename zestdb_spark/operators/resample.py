@@ -95,3 +95,35 @@ def distinct_rollup(
         else F.count_distinct(F.col(distinct_col))
     )
     return df.groupBy(*list(group_cols)).agg(agg.alias("n_distinct"))
+
+
+def gaps(
+    df: DataFrame,
+    threshold_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """(*by, gap_start_ms, gap_end_ms, gap_ms): intervals where a
+    series went silent — successive DISTINCT observation times more
+    than ``threshold_ms`` apart. The monitoring question LOCF answers
+    implicitly ("carry the value") made explicit ("show me WHERE data
+    is missing"); run it before trusting any gap-filled rollup.
+
+    Deterministic with NO tie-break convention: lead(t) over ORDER BY t
+    projects only functions of the sorted timestamp MULTISET — whatever
+    intra-tie order the engine picks, row i sees the (i+1)-th smallest
+    t. Duplicate timestamps pair at gap 0 and are filtered, so the
+    output equals gaps over the distinct observation times WITHOUT
+    paying a distinct (which would key its exchange on (series, t) and
+    force a second exchange for the window). ONE exchange on the series
+    key; a series' final observation opens no gap (lead NULL,
+    filtered)."""
+    if threshold_ms < 1:
+        raise ValueError(f"gaps: threshold_ms must be ≥ 1, got {threshold_ms}")
+    d = df.select(*by, F.col(on).cast("long").alias("gap_start_ms"))
+    w = Window.partitionBy(*by).orderBy("gap_start_ms")
+    return (
+        d.withColumn("gap_end_ms", F.lead("gap_start_ms").over(w))
+        .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
+        .filter(F.col("gap_ms") > threshold_ms)
+    )

@@ -285,3 +285,81 @@ def rollup_quantiles(
         for p in probs
     ]
     return df.groupBy(*by, bucket).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+def moving_stats_time(
+    df: DataFrame,
+    window_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """(*by, timestamp, value, mov_avg, mov_min, mov_max, mov_n):
+    per-series trailing TIME-window statistics over [t−window_ms, t] —
+    the "average over the last hour" complement to ``moving_stats``'s
+    row frames (a row frame follows reading cadence; a time frame
+    follows the clock, which is what alert thresholds are written
+    against).
+
+    RANGE frames are tie-INSENSITIVE: every row at the same timestamp
+    gets the identical frame whatever the intra-tie order, so no
+    tie-break convention is needed — the result is deterministic by
+    construction in any engine. ONE exchange on the series key; frame
+    state is bounded by the rows inside window_ms. mov_avg divides the
+    decimal-exact sum by the ROW count of the frame (NULL values count
+    as rows, like moving_stats); at a bucketized store the exchange
+    disappears like every per-series window."""
+    if window_ms < 1:
+        raise ValueError(f"moving_stats_time: window_ms must be ≥ 1, got {window_ms}")
+    from zestdb_spark.functions.dedup import q6
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).cast("long"))
+        .rangeBetween(-window_ms, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    c = F.count(F.lit(1)).over(w)
+    return df.select(
+        *by,
+        on,
+        "value",
+        q6(s / c).alias("mov_avg"),
+        F.min("value").over(w).alias("mov_min"),
+        F.max("value").over(w).alias("mov_max"),
+        c.alias("mov_n"),
+    )
+
+
+def series_delta(
+    df: DataFrame,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+) -> DataFrame:
+    """(*by, timestamp, value, dt_ms, dv, rate_per_s): first
+    difference and rate of change per series — the derivative every
+    monitoring query starts from (throughput from counters, slope from
+    gauges). First row of each series has NULL deltas; duplicate
+    timestamps yield dt_ms = 0 and a NULL rate (never a division
+    blow-up).
+
+    Order is the engine total order (timestamp, then value, NULLS
+    LAST — the T1 tie-break, matching the SQL oracle). dv and
+    rate_per_s are q6-floored so both engines agree bit-for-bit. ONE
+    exchange on the series key."""
+    from zestdb_spark.functions.dedup import q6
+
+    w = Window.partitionBy(*by).orderBy(
+        F.col(on).asc_nulls_last(), F.col("value").asc_nulls_last()
+    )
+    pt = F.lag(F.col(on).cast("long")).over(w)
+    pv = F.lag("value").over(w)
+    dt = F.col(on).cast("long") - pt
+    return df.select(
+        *by,
+        on,
+        "value",
+        dt.alias("dt_ms"),
+        q6(F.col("value") - pv).alias("dv"),
+        F.when(dt > 0, q6((F.col("value") - pv) / dt * F.lit(1000.0)))
+        .alias("rate_per_s"),
+    )
