@@ -1052,6 +1052,25 @@ _JACCARD_SQL = f"""
   WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.8
 """
 
+#: transitive closure of the exact-Jaccard ≥ 0.5 near-dup relation —
+#: shared by the dedup_clusters and dedup_keep oracles so the pair
+#: threshold / quantization / closure shape can never drift apart
+#: (must follow WITH RECURSIVE in the consuming statement)
+_CLUSTER_CLOSURE_CTE = f"""{_SHINGLE_CTE},
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+"""
+
 _EMB_NORM_CTE = """
   e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
@@ -1267,37 +1286,14 @@ _EXT_SQL: dict[str, str] = {
     # 32-band capture curve makes LSH misses ≤ 1e-4 there and none occur
     # in this corpus — verified), closed transitively via recursive CTE
     "dedup_clusters": f"""
-      WITH RECURSIVE {_SHINGLE_CTE},
-      jp AS (
-        SELECT id_a, id_b FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach(id, lbl) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      WITH RECURSIVE {_CLUSTER_CLOSURE_CTE}
+      SELECT doc_id, cluster_id FROM cl
     """,
     # same cluster closure as dedup_clusters, then the survivor pick:
     # highest n_chars per cluster, ties to the smallest doc_id;
     # singletons (docs with no near-dup) survive as their own cluster
     "dedup_keep": f"""
-      WITH RECURSIVE {_SHINGLE_CTE},
-      jp AS (
-        SELECT id_a, id_b FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE floor(inter::DOUBLE / (sa.n + sb.n - inter) * 1000000.0) / 1000000.0 >= 0.5),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach(id, lbl) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-      cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      WITH RECURSIVE {_CLUSTER_CLOSURE_CTE},
       lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
                      d.n_chars
               FROM documents d LEFT JOIN cl USING (doc_id)),

@@ -154,3 +154,16 @@ def test_keep_canonical_survivor_and_singletons(spark):
     # quality tie between 2 and 3 at 99 → smallest id wins
     assert out[1]["doc_id"] == 2 and out[1]["n_members"] == 3
     assert out[7]["doc_id"] == 7 and out[7]["n_members"] == 1
+
+
+def test_keep_canonical_refuses_non_integral_ids(spark):
+    """A string id would cast to NULL, the join would match nothing,
+    and the whole corpus would collapse into ONE NULL-cluster survivor
+    — the operator must refuse instead."""
+    import pytest as _pt
+    from zestdb_spark.functions import dedup
+
+    docs = spark.createDataFrame([("a", 5)], "doc_id string, n_chars long")
+    clusters = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    with _pt.raises(TypeError, match="integral id"):
+        dedup.keep_canonical(docs, clusters)

@@ -281,3 +281,22 @@ def test_series_delta_first_row_and_dup_ts(spark):
     # normal step: 1.0 over 2 s → 0.5/s
     assert rows[2][3:] == (2000, 1.0, 0.5)            # (a,3000,6.0)
     assert rows[3][3:] == (None, None, None)          # (b,0,9.0)
+
+
+def test_millisecond_operators_refuse_timestamp_columns(spark):
+    """A TimestampType time column would cast('long') to epoch SECONDS
+    — every *_ms parameter silently off by 1000× — so the ms-unit
+    operators must raise instead of producing plausible wrong numbers."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from zestdb_spark.operators import resample
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "series_id string, timestamp long, value double"
+    ).select("series_id", F.timestamp_millis("timestamp").alias("timestamp"), "value")
+    with _pt.raises(TypeError, match="epoch-milliseconds"):
+        temporal.moving_stats_time(df, 1000)
+    with _pt.raises(TypeError, match="epoch-milliseconds"):
+        temporal.series_delta(df)
+    with _pt.raises(TypeError, match="epoch-milliseconds"):
+        resample.gaps(df, 1000)

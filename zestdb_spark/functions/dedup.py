@@ -726,6 +726,17 @@ def keep_canonical(
     see jaccard_pairs for the family rationale)."""
     from pyspark.sql import Window
 
+    # the cluster family keys on long ids (dup_clusters casts its edge
+    # ends); a non-integral id would cast to NULL here, silently turn
+    # the left join into no-matches, and collapse the whole corpus into
+    # ONE cluster_id=NULL survivor — refuse loudly instead
+    id_dtype = dict(docs.dtypes).get(id_col)
+    if id_dtype not in {"bigint", "int", "smallint", "tinyint"}:
+        raise TypeError(
+            f"keep_canonical: {id_col!r} must be an integral id column "
+            f"(got {id_dtype}) — map string ids to longs (e.g. a 60-bit "
+            f"md5 prefix) before clustering"
+        )
     lab = clusters.select(
         F.col("doc_id").alias("_kid"), F.col("cluster_id").alias("_kcl")
     )

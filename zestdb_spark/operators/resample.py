@@ -120,6 +120,9 @@ def gaps(
     filtered)."""
     if threshold_ms < 1:
         raise ValueError(f"gaps: threshold_ms must be ≥ 1, got {threshold_ms}")
+    from zestdb_spark.operators.temporal import _require_epoch_ms
+
+    _require_epoch_ms(df, on, "gaps")
     d = df.select(*by, F.col(on).cast("long").alias("gap_start_ms"))
     w = Window.partitionBy(*by).orderBy("gap_start_ms")
     return (

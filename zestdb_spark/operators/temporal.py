@@ -287,6 +287,24 @@ def rollup_quantiles(
     return df.groupBy(*by, bucket).agg(F.count(F.lit(1)).alias("n"), *aggs)
 
 
+#: Spark dtypes that already ARE epoch-ms integers (the engine's
+#: canonical time representation, schema.py). A TimestampType would
+#: cast('long') to epoch SECONDS — every *_ms parameter silently off
+#: by 1000× — so the millisecond operators refuse it loudly instead.
+_EPOCH_MS_DTYPES = {"bigint", "int", "smallint", "tinyint"}
+
+
+def _require_epoch_ms(df: DataFrame, on: str, op: str) -> None:
+    dtype = dict(df.dtypes).get(on)
+    if dtype not in _EPOCH_MS_DTYPES:
+        raise TypeError(
+            f"{op}: column {on!r} must be integral epoch-milliseconds "
+            f"(got {dtype}); a timestamp column would cast to SECONDS and "
+            f"misread every millisecond parameter by 1000× — convert with "
+            f"(unix_micros(col) / 1000) first"
+        )
+
+
 def moving_stats_time(
     df: DataFrame,
     window_ms: int,
@@ -310,6 +328,7 @@ def moving_stats_time(
     disappears like every per-series window."""
     if window_ms < 1:
         raise ValueError(f"moving_stats_time: window_ms must be ≥ 1, got {window_ms}")
+    _require_epoch_ms(df, on, "moving_stats_time")
     from zestdb_spark.functions.dedup import q6
 
     w = (
@@ -346,6 +365,7 @@ def series_delta(
     LAST — the T1 tie-break, matching the SQL oracle). dv and
     rate_per_s are q6-floored so both engines agree bit-for-bit. ONE
     exchange on the series key."""
+    _require_epoch_ms(df, on, "series_delta")
     from zestdb_spark.functions.dedup import q6
 
     w = Window.partitionBy(*by).orderBy(
