@@ -2467,10 +2467,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Their four slots grade the corpus_ops family (round-6 addition):
 # stratified sampling, mixture stats, tf-idf, decontamination.
 GRADED_WINDOW: list[str] = [
-    # §2 read families over the events mapping (T4 T5 T3 P3 P4 P1 P2 A2-A7 S3)
-    "ts_latest_multi", "ts_earliest_multi", "ts_first_n_multi",
+    # §2 read families over the events mapping (T4 T3 P3 P4 P1 A2-A7 S3).
+    # Round-7 swap: ts_earliest_multi (T5 — symmetric to graded T4) and
+    # filter_contains (P2 — sibling of graded P1) demoted to the tail so
+    # the KV delete (D3) and observation-sink (S8/ST1) round trips gain
+    # DIRECT driver evidence — the last two §2 items whose grading was
+    # indirect. Both demoted rows stay oracle-exact in selfcheck.
+    "ts_latest_multi", "kv_del_roundtrip", "ts_first_n_multi",
     "ts_since", "ts_range",
-    "filter_equals", "filter_contains",
+    "filter_equals", "observe_roundtrip",
     # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
     # agg family keeps FIVE graded rows: count, mean, sd, li_range_sum,
     # li_range_median) to give the two newest first-class extension

@@ -179,3 +179,101 @@ def test_kv_upsert_rewrites_only_touched_namespace(spark, tmp_path):
             assert after.get(rel) == sha, f"untouched namespace rewritten: {rel}"
     assert json.loads(eng.get("/kv/ns1/count")) == {"count": 2}
     assert json.loads(eng.get("/kv/ns2/count")) == {"count": 1}
+
+
+def test_ts_delete_torn_write_reads_old_then_converges(spark, tmp_path, monkeypatch):
+    """Torn-write contract for the partition-rewrite delete (the parquet
+    emulation of a table-format transactional DELETE — storage.py
+    documents the Delta swap): a rewrite killed mid-flight must leave
+    the table reading fully OLD (the survivor staging dir is a .tmp
+    sibling, invisible to reads), and re-issuing the same delete after
+    the crash must converge to the NEW state — never a mixed or
+    part-written partition."""
+    import os
+
+    from zestdb_spark.storage import ZestStore
+
+    root = str(tmp_path / "torn")
+    eng = ZestEngine(spark, root)
+    day = 86_400_000
+    for d in range(3):
+        eng.post(f"/ts/a/at/{d * day + 500}", {"value": float(d)})
+
+    before = _file_states(os.path.join(root, "ts_numeric"))
+
+    real_promote = ZestStore._promote_partitions.__func__
+
+    def crash(cls, tmp, real):
+        raise RuntimeError("simulated crash before promotion")
+
+    monkeypatch.setattr(ZestStore, "_promote_partitions", classmethod(crash))
+    try:
+        eng.delete(f"/ts/a/range/{day}/{2 * day - 1}")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(
+        ZestStore, "_promote_partitions", classmethod(real_promote)
+    )
+
+    # fully OLD: every pre-delete data file still present byte-for-byte
+    after_crash = {
+        rel: sha
+        for rel, sha in _file_states(os.path.join(root, "ts_numeric")).items()
+    }
+    for rel, sha in before.items():
+        assert after_crash.get(rel) == sha, f"torn partition after crash: {rel}"
+    assert json.loads(eng.get("/ts/a/length")) == {"length": 3}
+
+    # re-issue: converges to the post-delete state
+    eng.delete(f"/ts/a/range/{day}/{2 * day - 1}")
+    assert json.loads(eng.get("/ts/a/length")) == {"length": 2}
+    rows = sorted(r.timestamp for r in eng.store.load("ts_numeric").collect())
+    assert rows == [500, 2 * day + 500]
+
+
+def test_ts_delete_crash_after_promotion_is_partitionwise_consistent(
+    spark, tmp_path, monkeypatch
+):
+    """The other crash window: promotion completed but the empty-leaf
+    sweep didn't run. Each partition must read fully old or fully new
+    (here: the surviving-row partition is NEW, the fully-emptied one
+    still OLD), and re-running the delete finishes the job."""
+    import os
+    import shutil as _shutil
+
+    root = str(tmp_path / "torn2")
+    eng = ZestEngine(spark, root)
+    day = 86_400_000
+    # bucket 0: two rows, one survives the delete; bucket 1: one row,
+    # fully deleted (no survivor leaf → removed only by the sweep)
+    eng.post("/ts/a/at/100", {"value": 0.0, "k": "x"})
+    eng.post("/ts/a/at/200", {"value": 1.0, "k": "y"})
+    eng.post(f"/ts/a/at/{day + 100}", {"value": 2.0, "k": "y"})
+
+    calls = {"n": 0}
+    real_rmtree = _shutil.rmtree
+
+    def crash_rmtree(path, *a, **kw):
+        # promotion itself rmtrees the replaced bucket-0 leaf; ONLY the
+        # post-promotion sweep touches the fully-emptied bucket 1
+        if "time_bucket=1" in str(path):
+            raise RuntimeError("simulated crash during empty-leaf sweep")
+        return real_rmtree(path, *a, **kw)
+
+    import zestdb_spark.storage as storage_mod
+
+    monkeypatch.setattr(storage_mod.shutil, "rmtree", crash_rmtree)
+    try:
+        eng.delete("/ts/a/since/0/filter/k/equals/y")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(storage_mod.shutil, "rmtree", real_rmtree)
+
+    # bucket 0 reads NEW (survivor only), bucket 1 still OLD — each
+    # partition is consistent; the delete is simply not finished yet
+    by_ts = {r.timestamp: r.value for r in eng.store.load("ts_numeric").collect()}
+    assert by_ts[100] == 0.0 and 200 not in by_ts
+
+    eng.delete("/ts/a/since/0/filter/k/equals/y")  # idempotent re-run
+    rows = [(r.timestamp, r.value) for r in eng.store.load("ts_numeric").collect()]
+    assert rows == [(100, 0.0)]

@@ -85,6 +85,21 @@ def test_rollup_aggregates_map_side(spark, qs):
     assert plan.count("HashAggregate") >= 2
 
 
+@pytest.mark.parametrize(
+    "q",
+    ["pipe_clean_corpus", "ev_retention", "an_mad", "dedup_minhash", "dedup_cross"],
+)
+def test_no_forced_broadcast_on_data_dependent_sets(spark, qs, q):
+    # These joins' small sides grow with the data (dup lists, per-user
+    # cohorts, per-series stats) — a hint-forced broadcast bypasses
+    # Spark's size safety net and OOMs at crawl scale. The logical plan
+    # must carry NO ResolvedHint; AQE still broadcasts at runtime when
+    # the set is actually small (that shows up physically, which is
+    # fine and desired — this pins the absence of the FORCED hint).
+    analyzed = qs[q](spark, SF)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
 def test_unigram_broadcasts_vocab(spark, qs):
     plan = _plan(qs["text_unigram"](spark, SF))
     # the count table and the 1-row total both arrive by broadcast —

@@ -32,7 +32,7 @@ signatures), so only determinism matters and the faster hash wins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60-bit md5-prefix hash — identical in Spark and DuckDB (see module doc)
@@ -392,8 +392,13 @@ def minhash_lsh_pairs(
     # stats also let AQE pick broadcast for the pair joins whenever the
     # candidate set is small enough, with a safe shuffle-join fallback
     # when it isn't.
+    # NO broadcast hint on cand_docs: candidate count grows with the
+    # duplicate rate (30-80% of a real crawl), so a forced broadcast is
+    # a 100 TB OOM. AQE sees the persisted candidates' true size and
+    # picks broadcast itself whenever the set IS small — same local
+    # plan, with a safe shuffle-join degrade when it isn't.
     arr = _persist_bounded(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi").select(
+        docs.join(cand_docs, "doc_id", "left_semi").select(
             "doc_id", _shingle_array(k).alias("sh")
         )
     )
@@ -457,16 +462,20 @@ def cross_lsh_pairs(
         .select("new_id", "ref_id")
         .distinct()
     )
-    # exact verification ∝ candidates, one slim semi-join per corpus
+    # exact verification ∝ candidates, one slim semi-join per corpus.
+    # No broadcast hints: the candidate id lists scale with the
+    # duplicate rate, so the size decision belongs to AQE (candidates
+    # is persisted — stats are exact), not a forced hint that OOMs on
+    # a duplicate-heavy crawl.
     new_arr = _persist_bounded(
         new_docs.join(
-            F.broadcast(candidates.select(F.col("new_id").alias("doc_id")).distinct()),
+            candidates.select(F.col("new_id").alias("doc_id")).distinct(),
             "doc_id", "left_semi",
         ).select(F.col("doc_id").alias("new_id"), _shingle_array(k).alias("sa"))
     )
     ref_arr = _persist_bounded(
         ref_docs.join(
-            F.broadcast(candidates.select(F.col("ref_id").alias("doc_id")).distinct()),
+            candidates.select(F.col("ref_id").alias("doc_id")).distinct(),
             "doc_id", "left_semi",
         ).select(F.col("doc_id").alias("ref_id"), _shingle_array(k).alias("sb"))
     )
@@ -632,73 +641,101 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     so results are deterministic and a "keep the canonical" filter is
     ``doc_id == cluster_id``.
 
-    Spark-iterative min-label propagation: each round joins labels
-    across edges and takes the per-node min — the data stays
-    distributed; only the converged? bit reaches the driver. Rounds
-    needed = graph diameter, which for near-dup graphs is tiny (dup
-    clusters are cliques-ish); ``max_iters`` is a guard, not a budget.
-    At extreme scale swap the inner step for the large-star/small-star
-    variant (halves diameter per round) — same loop shape.
+    Alternating large-star / small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the web-crawl-scale
+    CC algorithm):
+      large-star(u): every neighbor v > u rewires to m = min(Γ(u)∪{u});
+      small-star(u): every neighbor v < u (and u itself) rewires to
+                     m⁻ = min of u's SMALLER neighborhood.
+    Each round is two window-min passes + distinct over the live edge
+    set; edges only ever point high→low, so the set contracts toward
+    stars centered at each component's minimum in O(log² n) rounds —
+    versus diameter rounds for plain min-label propagation. On
+    near-dup graphs (cliques-ish, tiny diameter) both converge in a
+    handful of rounds, but a single crawl-scale long-chain component
+    no longer dictates the round count. The data stays distributed;
+    only the converged? probe reaches the driver. ``max_iters`` is a
+    guard, not a budget.
+
+    Convergence is an EXACT edge-set fixpoint test (count equality +
+    one-sided exceptAll over the already-distinct sets), not a
+    heuristic checksum: stars are fixpoints of both operations, so
+    equality is the termination proof itself.
 
     Only docs that appear in some pair are labeled (singletons are
     their own trivial cluster and never enter the edge list).
     """
-    from pyspark import StorageLevel
 
-    edges = pairs.select(
-        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # symmetrize, then per node u: m = min(neighbors ∪ {u});
+        # every LARGER neighbor rewires to m. Output edges (child,
+        # center) always satisfy child > center.
+        sym = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w), F.col("u"))
+        return (
+            sym.select(F.col("v").alias("child"), m.alias("center"), "u")
+            .filter(F.col("child") > F.col("u"))
+            .select(F.col("child").alias("u"), F.col("center").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # per node u over its SMALLER neighbors N⁻: m = min(N⁻); each
+        # v ∈ N⁻ and u itself rewire to m (self-loops dropped by the
+        # child > center filter — m is the partition min by definition)
+        sym = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lower = sym.filter(F.col("v") < F.col("u"))
+        w = Window.partitionBy("u")
+        m = F.min("v").over(w)
+        rewired = lower.select(
+            F.explode(F.array(F.col("v"), F.col("u"))).alias("child"),
+            m.alias("center"),
+        )
+        return (
+            rewired.filter(F.col("child") > F.col("center"))
+            .select(F.col("child").alias("u"), F.col("center").alias("v"))
+            .distinct()
+        )
+
+    # Eager localCheckpoint per generation, not persist(): each star
+    # operator references its input FOUR times (two symmetrizations of
+    # a composition), so an un-truncated logical plan grows ~4× per
+    # round — by round 6 the driver OOMs building the plan STRING
+    # alone, long before any data pressure. Checkpointing both
+    # materializes the generation and truncates lineage to a flat
+    # LogicalRDD, keeping every round's plan constant-size. Superseded
+    # generations are cached blocks the ContextCleaner reclaims once
+    # unreferenced — and they shrink every round as the edge set
+    # contracts toward stars.
+    e = (
+        pairs.select(
+            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("u"),
+            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # The loop manages its caches BY HAND, outside _persist_bounded's
-    # bounded registry: per-round label persists would otherwise evict
-    # the edge cache from the registry mid-loop, and every later round
-    # would silently recompute the whole upstream candidate pipeline
-    # from raw docs (measured 25s → 6s at sf0.01 for the LSH-pairs
-    # input). Superseded label generations are unpersisted explicitly
-    # the moment their successor is materialized.
-    e = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    labels = e.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    # convergence probe: labels only ever DECREASE under min-propagation,
-    # so the label sum strictly decreases until the fixpoint — one cheap
-    # agg per round instead of a join-and-diff
-    prev_sum = None
-    prev_cached: DataFrame | None = None
-    try:
-        for _ in range(max_iters):
-            nbr = e.join(labels, e.dst == labels.id).select(
-                F.col("src").alias("id"), F.col("lbl")
-            )
-            labels = (
-                labels.unionAll(nbr)
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            # the full-table agg materializes every partition of the new
-            # generation, so the predecessor is safe to drop afterwards.
-            # DECIMAL(38,0) sum: with ~1e10 long doc_ids an int64 sum
-            # of labels overflows (ANSI: ArithmeticException mid-loop;
-            # legacy: silent wrap breaks the strictly-decreasing probe)
-            (row,) = labels.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-            ).collect()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = labels
-            if row["s"] == prev_sum:
-                break
-            prev_sum = row["s"]
-    finally:
-        # hand the survivors to the bounded registry so later operator
-        # calls eventually reclaim them — ALSO on a mid-loop exception,
-        # where the live generation would otherwise leak for the session
-        _PERSISTED.append(e)
-        if prev_cached is not None:
-            _PERSISTED.append(prev_cached)
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    cnt = e.count()
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt_cnt = nxt.count()
+        # exact fixpoint: both sets are distinct-ed, so equal count
+        # + empty one-sided difference ⇒ set equality ⇒ stars
+        done = nxt_cnt == cnt and nxt.exceptAll(e).isEmpty()
+        e, cnt = nxt, nxt_cnt
+        if done:
+            break
+    # at the star fixpoint every non-center node has exactly one edge
+    # (child → component min); centers label themselves
+    children = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    centers = (
+        e.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
     )
+    return children.unionAll(centers)
 
 
 def keep_canonical(

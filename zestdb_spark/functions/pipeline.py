@@ -16,8 +16,10 @@ predicate on the document scan (not a semi-join back onto docs), and
 the final annotation is one projection computing n_tokens/score/lang
 together (an earlier stats⋈lang formulation scanned the survivors
 twice and shuffled both sides on doc_id — measured ~25% of pipeline
-time). Composition adds one anti-join for the drop list
-(broadcast-able: pair-count sized, ≪ corpus size).
+time). Composition adds one anti-join for the drop list — with NO
+forced broadcast: on a real crawl 30-80% of docs are near-dups, so
+the doomed list is corpus-scale; AQE broadcasts it when it is in
+fact small and shuffle-joins when it isn't.
 """
 
 from __future__ import annotations
@@ -50,7 +52,10 @@ def clean_corpus(
     # stage 2: LSH near-dup prune (the scale path — never all-pairs)
     pairs = dedup.minhash_lsh_pairs(gated, k, 64, 16, jaccard_threshold)
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = gated.join(F.broadcast(doomed), "doc_id", "left_anti")
+    # no broadcast hint — the doomed list is duplicate-rate sized
+    # (corpus-scale on a dup-heavy crawl); AQE decides from the
+    # runtime shuffle stats of the distinct above
+    kept = gated.join(doomed, "doc_id", "left_anti")
 
     # stage 3: annotate survivors in ONE projection (no stats⋈lang
     # join); the argmax tree is textstats.lang_pred_expr — one

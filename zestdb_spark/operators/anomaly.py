@@ -88,11 +88,14 @@ def mad_outliers(
     Exact medians (the A6 contract — percentile interpolation matches
     DuckDB quantile_cont bit-for-bit), computed as two grouped
     aggregates joined back on the key: medians aren't window-able in
-    either engine, and the per-key stats table is key-sized, so the
-    join is a broadcast at any realistic key count."""
+    either engine. The stats joins carry NO broadcast hint — the
+    table is key-cardinality sized, which a forced hint would assume
+    bounded; AQE broadcasts it at runtime when the aggregate output
+    is in fact small and shuffle-joins on the series key when a
+    high-cardinality `by` makes it large."""
     med = df.groupBy(*by).agg(F.median(value).alias("_med"))
     mad = (
-        df.join(F.broadcast(med), list(by))
+        df.join(med, list(by))
         .groupBy(*by)
         .agg(F.median(F.abs(F.col(value) - F.col("_med"))).alias("_mad"))
     )
@@ -102,7 +105,7 @@ def mad_outliers(
     )
     score = F.when(F.col("_mad") > 0, score)
     return (
-        df.join(F.broadcast(stats), list(by))
+        df.join(stats, list(by))
         .select(
             *by,
             "timestamp",

@@ -125,11 +125,15 @@ def retention_cohorts(
     correct for negative epochs too).
 
     Shape: per-user min-ts aggregate (one shuffle on the user key),
-    broadcast-join the user→cohort table back onto events (user-sized
-    ≪ events), then one distinct + rollup on (cohort, period) — the
-    distinct is the only corpus-keyed exchange and its key is three
-    ints. At 100 TB the user→cohort table is the thing to persist;
-    each day's increment joins against it and appends matrix deltas.
+    join the user→cohort table back onto events, then one distinct +
+    rollup on (cohort, period). The cohort join carries NO broadcast
+    hint: the table is per-user (billions of rows at 100 TB), so the
+    broadcast-vs-shuffle decision belongs to AQE, which sees the real
+    size of the aggregate's shuffle output — small event logs still
+    get a runtime broadcast, planet-scale ones degrade safely to a
+    shuffle join on user_id. At 100 TB the user→cohort table is the
+    thing to persist; each day's increment joins against it and
+    appends matrix deltas.
     """
     if bucket_ms <= 0:
         raise ValueError(
@@ -147,7 +151,7 @@ def retention_cohorts(
     )
     hits = (
         events.select(F.col(user).alias("user_id"), bucket.alias("_b"))
-        .join(F.broadcast(first), "user_id")
+        .join(first, "user_id")
         .select(
             "user_id",
             "cohort_ms",

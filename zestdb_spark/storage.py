@@ -473,14 +473,30 @@ class ZestStore:
         tmp = self._path(table) + ".tmp"
         survivors.write.mode("overwrite").partitionBy("series_id", "time_bucket").parquet(tmp)
 
+        # Promote the survivor leaves FIRST, then drop affected leaves
+        # the survivors did NOT cover (every row deleted) — the same
+        # ordering as _rewrite_kv_namespace. Torn-window contract
+        # (pinned by tests/test_durability.py): a crash before
+        # promotion leaves the table fully OLD (the .tmp sibling is
+        # invisible to reads); promotion itself swaps whole leaf dirs,
+        # so each (series, bucket) partition reads fully old or fully
+        # new, never a mix of files; a crash between promotion and the
+        # empty-leaf sweep leaves fully-emptied partitions still
+        # holding their old rows — re-running the same delete converges
+        # (delete is idempotent). Rows are never part-written.
         real = self._path(table)
+        promoted = {
+            (series, int(bucket))
+            for series, sdir in self._part_dirs(tmp, "series_id")
+            for bucket, _ in self._part_dirs(sdir, "time_bucket")
+        }
+        self._promote_partitions(tmp, real)
         for series, series_dir in self._part_dirs(real, "series_id"):
             for bucket, bucket_dir in self._part_dirs(series_dir, "time_bucket"):
-                if affected(series, int(bucket)):
+                if affected(series, int(bucket)) and (series, int(bucket)) not in promoted:
                     shutil.rmtree(bucket_dir)
             if not any(self._part_dirs(series_dir, "time_bucket")):
                 shutil.rmtree(series_dir)
-        self._promote_partitions(tmp, real)
         self._log_write(table, None)
 
     def compact(self, table: str, target_files: int = 1) -> int:
