@@ -689,6 +689,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), "value", 0.0, 500.0, 20
         )
 
+    def histogram_eq_events(spark, sf_dir):
+        from zestdb_spark.functions.profile import histogram_equi_depth
+
+        return histogram_equi_depth(
+            fixtures.ts_numeric_from_events(spark, sf_dir), "value", 8
+        )
+
     def retention_events(spark, sf_dir):
         from zestdb_spark.operators import funnel as fl
 
@@ -977,6 +984,8 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_profile": profile_events,
         # fixed-width value histogram with explicit under/overflow bins
         "tbl_histogram": histogram_events,
+        # equi-depth histogram: exact percentile cuts, observed edges
+        "tbl_histogram_eq": histogram_eq_events,
         # exact heavy hitters (deterministic tie-break) — the batch
         # truth the Count-Min sketch approximates
         "tbl_topk_values": topk_partkeys,
@@ -1765,7 +1774,7 @@ _EXT_SQL: dict[str, str] = {
       WITH h AS (
         SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h
-        FROM lineitem),
+        FROM lineitem WHERE l_partkey IS NOT NULL),
       r AS (
         SELECT h >> 48 AS register,
                max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
@@ -1800,7 +1809,7 @@ _EXT_SQL: dict[str, str] = {
       WITH h AS (
         SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
                              AS BIGINT) AS h
-        FROM lineitem),
+        FROM lineitem WHERE l_partkey IS NOT NULL),
       m AS (SELECT h FROM h ORDER BY h LIMIT 256),
       a AS (SELECT count(*) AS n_min, max(h) AS hk FROM m)
       SELECT CAST(256 AS INTEGER) AS k,
@@ -2043,6 +2052,28 @@ _EXT_SQL: dict[str, str] = {
              count(*) AS n
       FROM b GROUP BY 1
     """,
+    # equi-depth histogram: cuts = q6-floored exact percentiles
+    # (quantile_cont ≡ Spark percentile, the A6 contract); bucket =
+    # #cuts ≤ x; edges = observed per-bucket min/max, q6-floored
+    "tbl_histogram_eq": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      vals AS (
+        SELECT CAST(value AS DOUBLE) AS x FROM ts WHERE value IS NOT NULL),
+      stats AS (
+        SELECT list_transform(
+                 quantile_cont(x, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                 c -> floor(c * 1000000.0) / 1000000.0) AS cuts
+        FROM vals),
+      b AS (
+        SELECT v.x,
+               CAST(len(list_filter(s.cuts, c -> v.x >= c)) AS INTEGER) AS bucket
+        FROM vals v CROSS JOIN stats s)
+      SELECT bucket,
+             floor(min(x) * 1000000.0) / 1000000.0 AS lo_edge,
+             floor(max(x) * 1000000.0) / 1000000.0 AS hi_edge,
+             count(*) AS n
+      FROM b GROUP BY 1
+    """,
     # ordered funnel: greedy-earliest per step, strict order, whole
     # run within 7 d of the user's first 'view'
     "ev_funnel": """
@@ -2111,7 +2142,7 @@ _EXT_SQL: dict[str, str] = {
       WITH h AS (
         SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       r AS (
         SELECT h >> 48 AS register,
                max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
@@ -2146,7 +2177,7 @@ _EXT_SQL: dict[str, str] = {
         SELECT l_returnflag AS flag,
                CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h
-        FROM lineitem),
+        FROM lineitem WHERE l_partkey IS NOT NULL),
       r AS (
         SELECT flag, h >> 48 AS register,
                max(49 - (CASE WHEN (h & ((CAST(1 AS BIGINT) << 48) - 1)) = 0
@@ -2183,7 +2214,7 @@ _EXT_SQL: dict[str, str] = {
         SELECT CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
                                         || CAST(l_partkey AS VARCHAR)), 1, 15))
                     AS BIGINT) % 65536 AS bit
-        FROM lineitem, ds),
+        FROM lineitem, ds WHERE l_partkey IS NOT NULL),
       w AS (
         SELECT bit // 60 AS word_idx,
                bit_or(CAST(1 AS BIGINT) << CAST(bit % 60 AS INTEGER)) AS bits
@@ -2213,7 +2244,7 @@ _EXT_SQL: dict[str, str] = {
                CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
                                         || CAST(l_partkey AS VARCHAR)), 1, 15))
                     AS BIGINT) % 1024 AS cell
-        FROM lineitem, ds),
+        FROM lineitem, ds WHERE l_partkey IS NOT NULL),
       sk AS (SELECT d, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
       probes AS (SELECT unnest([1, 500, 99999999]) AS probe),
       pc AS (

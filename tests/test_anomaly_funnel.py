@@ -223,6 +223,47 @@ def test_histogram_inexact_width_keeps_in_range_values_in_range(spark):
     assert rows.get(3) == 1      # only x ≥ hi overflows
 
 
+def test_histogram_equi_depth_balanced_counts(spark):
+    from zestdb_spark.functions.profile import histogram_equi_depth
+
+    # 0..15 → 4 buckets of exactly 4; boundary values (the cut points)
+    # land in the UPPER bucket (bucket = #cuts ≤ x)
+    df = spark.createDataFrame([(float(i),) for i in range(16)], "v double")
+    rows = {r["bucket"]: r for r in histogram_equi_depth(df, "v", 4).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[b]["n"] for b in range(4)] == [4, 4, 4, 4]
+    # observed edges: bucket 0 spans the true min; bucket 3 the true max
+    assert rows[0]["lo_edge"] == 0.0 and rows[3]["hi_edge"] == 15.0
+    # edges never overlap between adjacent buckets
+    for b in range(3):
+        assert rows[b]["hi_edge"] < rows[b + 1]["lo_edge"]
+
+
+def test_histogram_equi_depth_skew_and_sampled_cuts(spark):
+    from zestdb_spark.functions.profile import histogram_equi_depth
+
+    # heavy skew: 90 copies of one value + a thin tail. A fixed-width
+    # histogram puts ~everything in one bin; equi-depth still emits a
+    # hot bucket but every row is counted exactly once
+    rows_in = [(i, 5.0) for i in range(90)] + [(90 + i, float(100 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows_in, "id long, v double")
+    out = histogram_equi_depth(df, "v", 4).collect()
+    assert sum(r["n"] for r in out) == 100
+    # the sampled-cuts scale path: cuts from the md5 sample, assignment
+    # over ALL rows — total count is exact regardless of the sample
+    sampled = histogram_equi_depth(
+        df, "v", 4, sample_key=["id"], rate_bits=2
+    ).collect()
+    assert sum(r["n"] for r in sampled) == 100
+    # NULLs excluded; empty input yields no rows
+    with_null = spark.createDataFrame([(1, None)], "id long, v double")
+    assert histogram_equi_depth(with_null, "v", 4).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="nbins"):
+        histogram_equi_depth(df, "v", 0)
+
+
 def test_pivot_counts_all_null_category_group_is_zero(spark):
     """A group whose col_key values are all NULL gets 0, not NULL —
     matching the SQL oracle's CASE ... ELSE 0 semantics."""

@@ -79,3 +79,35 @@ def test_pack_spans_model(spark, rows, s, bucket):
             pos += take
         off += n
     assert got == sorted(expected)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=(1 << 62)),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    s=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_pack_spans_adversarial_sparse_ids(spark, ids, s):
+    """Doc ids sparse across the full int64 range (far past 2^53, where
+    double math would corrupt bucketing and offsets): the packed spans
+    must still match the exact Python model at the default bucket —
+    the level-2 prefix sum sees one subtotal row per distinct
+    doc_id div 4096, however far apart the ids are."""
+    rows = [(i, "a b c"[: 2 * ((i % 3) + 1) - 1]) for i in ids]
+    got = sorted(tuple(r) for r in packing.pack_spans(_df(spark, rows), s).collect())
+    expected = []
+    off = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split(" "))
+        pos = 0
+        while pos < n:
+            block = (off + pos) // s
+            take = min(n - pos, (block + 1) * s - (off + pos))
+            expected.append((block, doc_id, pos, (off + pos) % s, take))
+            pos += take
+        off += n
+    assert got == sorted(expected)

@@ -307,3 +307,55 @@ def test_bloom_validation():
         sketches.bloom_build(None, "v", m_bits=10)
     with pytest.raises(ValueError, match="at least one"):
         sketches.bloom_merge()
+
+
+def test_fast_hash_variant_contract(spark):
+    """portable=False (masked xxhash64 — the 100 TB fast path) must
+    differ from the md5 path ONLY in the hash: registers obey the same
+    structural bounds the estimate arithmetic assumes (60-bit domain,
+    p-bit register, rho in [1, width+1]), and both estimates land
+    within HLL standard error of the true distinct count. Referenced
+    from BASELINE.md's measured fast-path table."""
+    n, p = 5000, 12
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    regs = sketches.hll_registers(df, "v", p, portable=False).collect()
+    width = 60 - p
+    assert all(0 <= r["register"] < (1 << p) for r in regs)
+    assert all(1 <= r["max_rho"] <= width + 1 for r in regs)
+
+    import math
+
+    tol = 5 * 1.04 / math.sqrt(1 << p) * n  # 5σ of HLL standard error
+    for portable in (True, False):
+        est = sketches.hll_distinct(df, "v", p, portable=portable).collect()[0][
+            "estimate"
+        ]
+        assert abs(est - n) < tol, (portable, est)
+    # KMV: fewer than k distinct hashes ⇒ exact in BOTH variants
+    small = spark.range(0, 100).select(F.col("id").alias("v"))
+    for portable in (True, False):
+        row = sketches.kmv_distinct(small, "v", k=256, portable=portable).collect()[0]
+        assert row["n_min"] == 100 and row["estimate"] == 100.0
+
+
+def test_sketches_ignore_nulls(spark):
+    """NULLs are not values: the sketched estimate must equal the
+    sketch of the non-null rows (previously a NULL emitted a NULL
+    register/cell/bit row that drifted hll_estimate's n_present)."""
+    vals = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)] * 50, "v int"
+    )
+    clean = vals.filter(F.col("v").isNotNull())
+    with_null = sketches.hll_distinct(vals, "v").collect()[0]
+    without = sketches.hll_distinct(clean, "v").collect()[0]
+    assert tuple(with_null) == tuple(without)
+    assert sorted(map(tuple, sketches.cm_sketch(vals, "v").collect())) == sorted(
+        map(tuple, sketches.cm_sketch(clean, "v").collect())
+    )
+    assert sorted(map(tuple, sketches.bloom_build(vals, "v").collect())) == sorted(
+        map(tuple, sketches.bloom_build(clean, "v").collect())
+    )
+    # NULL never occupies a min-k slot: < k distinct non-nulls ⇒ exact
+    small = spark.createDataFrame([(i,) for i in range(100)] + [(None,)] * 20, "v int")
+    row = sketches.kmv_distinct(small, "v").collect()[0]
+    assert row["n_min"] == 100 and row["estimate"] == 100.0

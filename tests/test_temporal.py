@@ -300,3 +300,47 @@ def test_millisecond_operators_refuse_timestamp_columns(spark):
         temporal.series_delta(df)
     with _pt.raises(TypeError, match="epoch-milliseconds"):
         resample.gaps(df, 1000)
+
+
+def test_interval_join_rejects_corrupt_span(spark):
+    """One interval with end in the far future must fail LOUDLY at the
+    span guard, not OOM building a multi-million-element bucket
+    array."""
+    import pytest as _pt
+
+    from zestdb_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame([(1, 1000)], "pid long, timestamp long")
+    bad = spark.createDataFrame(
+        [(1, 0, 10**15)], "iid long, start_ms long, end_ms long"
+    )
+    with _pt.raises(Exception, match="interval_join"):
+        interval_join(pts, bad, bucket_ms=3_600_000, max_span_buckets=1000).collect()
+    # a compliant interval still joins (guard is per-row, not global)
+    ok = spark.createDataFrame(
+        [(2, 0, 3_600_000)], "iid long, start_ms long, end_ms long"
+    )
+    rows = interval_join(pts, ok, bucket_ms=3_600_000).collect()
+    assert [(r["pid"], r["iid"]) for r in rows] == [(1, 2)]
+
+
+def test_renamed_columns_supported(spark):
+    """The configurable-looking signatures must actually work with
+    non-canonical column names (previously 'timestamp'/'value' were
+    hard-coded in the projection)."""
+    from zestdb_spark.operators import temporal
+    from zestdb_spark.operators.anomaly import mad_outliers, zscore_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 3000, 50.0)],
+        "sensor string, t long, reading double",
+    )
+    z = zscore_outliers(df, value="reading", by=("sensor",), on="t")
+    assert set(z.columns) == {"sensor", "t", "reading", "z", "is_outlier"}
+    m = mad_outliers(df, value="reading", by=("sensor",), on="t")
+    assert set(m.columns) == {"sensor", "t", "reading", "score", "is_outlier"}
+    mv = temporal.moving_stats(df, 2, on="t", by=("sensor",), value="reading")
+    assert {"mov_avg", "reading", "t"} <= set(mv.columns)
+    assert mv.count() == 3
+    sd = temporal.series_delta(df, on="t", by=("sensor",), value="reading")
+    assert {"dt_ms", "dv", "rate_per_s"} <= set(sd.columns)

@@ -146,6 +146,13 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(k)
     )
+    # Global (partition-less) window — INTENTIONAL and safe: the input
+    # is the limit(k) above, ≤ k rows on one task. Spark's WindowExec
+    # logs a blanket "No Partition Defined" WARN for any empty spec
+    # (a constant partition key doesn't help — the optimizer
+    # constant-folds it back to empty), so session.py/harden_session
+    # quiets that one logger; real global-window regressions are
+    # caught by the plan-contract tests instead.
     w = Window.orderBy(F.desc("freq"), F.asc("tok"))
     return counts.withColumn("rnk", F.row_number().over(w))
 
@@ -384,6 +391,8 @@ def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(top_k)
     )
+    # global window over the ≤ top_k rows — intentional; the blanket
+    # WindowExec WARN is quieted in harden_session (see vocab_topk)
     w = Window.orderBy(F.desc("freq"), F.asc("pair"))
     return counts.withColumn("rnk", F.row_number().over(w))
 

@@ -73,6 +73,17 @@ def pack_spans(
 
     Token offsets are 0-based: ``doc_tok_start`` indexes into the
     doc's own token array, ``block_tok_start`` into the block.
+
+    Scale bound: the second prefix-sum level is a single-task window
+    over the bucket subtotals — ceil(max_doc_id / bucket) rows of two
+    longs. At the default bucket=4096 that is one task over ~2.4 M
+    rows per 10^10 of doc-id space: fine past 10^10 documents, and
+    the knob is ``bucket`` — size it so max_doc_id/bucket stays below
+    ~10^7 (a third level would only be needed past ~10^11 of doc-id
+    space WITH a bucket too small to raise, which doesn't occur:
+    bucket can always grow, it only trades level-1 window width).
+    Doc ids may be sparse and arbitrarily large (int64) — offsets use
+    integer div throughout, exact past 2^53 (property-tested).
     """
     s = int(seq_len)
     counts = docs.select(
@@ -85,6 +96,11 @@ def pack_spans(
 
     # two-level exclusive prefix sum of n in doc_id order
     subtotals = counts.groupBy("b").agg(F.sum("n").alias("bn"))
+    # global (partition-less) window — intentional: the single task is
+    # the documented level-2 bound above. WindowExec's blanket
+    # "No Partition Defined" WARN is quieted in harden_session (a
+    # constant partition key can't silence it — the optimizer folds it
+    # back to an empty spec; see corpus_ops.vocab_topk)
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     bases = subtotals.select(
         "b", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("base")

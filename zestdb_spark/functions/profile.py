@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "histogram", "top_k_values"]
+__all__ = ["profile", "histogram", "histogram_equi_depth", "top_k_values"]
 
 #: exact dtype names (plus parameterized decimal) — prefix matching
 #: would misclassify 'interval day to second' as numeric via 'int'
@@ -146,6 +146,80 @@ def histogram(
             (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
             (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
             "n",
+        )
+    )
+
+
+def histogram_equi_depth(
+    df: DataFrame,
+    col: str,
+    nbins: int = 10,
+    sample_key: Sequence[str] | None = None,
+    rate_bits: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """(bucket, lo_edge, hi_edge, n): EQUI-DEPTH histogram — nbins
+    buckets holding ~equal row counts, the complement of the
+    fixed-width ``histogram`` for skewed columns (one hot value no
+    longer swallows 19 empty bins). Cut points are the i/nbins
+    percentiles; bucket(x) = #cuts ≤ x, so boundary values land in the
+    upper bucket deterministically. lo_edge/hi_edge are the OBSERVED
+    per-bucket min/max (empty buckets are omitted, like the fixed-width
+    groupBy); NULLs are excluded (they are n_null in ``profile``).
+
+    Scale posture: with ``sample_key=None`` the cuts are EXACT
+    percentiles (the A6 interpolation contract — DuckDB quantile_cont
+    replays them bit-for-bit), whose aggregation buffer holds every
+    value: fine at API/fixture scale, not at 100 TB. There, pass
+    ``sample_key`` (a row-unique key) — the cuts come from the same
+    fixed 2^−rate_bits md5 Bernoulli sample as
+    ``sketches.sampled_quantiles`` (bounded buffer, still
+    engine-replayable, rank error O(1/√sample)); bucket ASSIGNMENT is
+    always over all rows either way. The assignment join is a 1-row
+    broadcast (bounded by construction: nbins−1 doubles), and the
+    final rollup is a map-side-combinable groupBy on an int key with
+    ≤ nbins distinct values."""
+    if nbins < 1:
+        raise ValueError(f"histogram_equi_depth: nbins must be ≥ 1, got {nbins}")
+    from zestdb_spark.functions.dedup import q6
+
+    x = F.col(col).cast("double")
+    vals = df.filter(x.isNotNull()).select(x.alias("_x"))
+    src = vals
+    if sample_key is not None:
+        from zestdb_spark.functions.sketches import _HASH_BITS, _h60
+
+        if not 0 <= rate_bits <= 40:
+            raise ValueError(
+                f"histogram_equi_depth: rate_bits must be in [0, 40], got {rate_bits}"
+            )
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sample_key])
+        src = (
+            df.filter(x.isNotNull())
+            .filter(_h60(key, portable) < F.lit(1 << (_HASH_BITS - rate_bits)))
+            .select(x.alias("_x"))
+        )
+    fracs = [i / nbins for i in range(1, nbins)]
+    cuts = (
+        F.transform(
+            F.percentile(F.col("_x"), F.array(*[F.lit(f) for f in fracs])),
+            q6,
+        )
+        if fracs
+        else F.array().cast("array<double>")
+    )
+    stats = src.agg(cuts.alias("_cuts"))
+    # an empty sample yields NULL cuts — degrade to one bucket rather
+    # than a NULL bucket key (raise rate_bits responsibly instead)
+    safe_cuts = F.coalesce(F.col("_cuts"), F.array().cast("array<double>"))
+    bucket = F.size(F.filter(safe_cuts, lambda c: F.col("_x") >= c))
+    return (
+        vals.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            q6(F.min("_x")).alias("lo_edge"),
+            q6(F.max("_x")).alias("hi_edge"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
 

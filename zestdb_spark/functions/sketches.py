@@ -103,8 +103,15 @@ def hll_registers(
     bitlen = F.when(w == 0, F.lit(0)).otherwise(
         F.length(F.conv(w.cast("string"), 10, 2))
     )
+    # NULLs are IGNORED (standard distinct-count semantics — NULL is
+    # not a value): unfiltered, md5(NULL) → a NULL register row that
+    # hll_estimate would count in n_present while adding nothing to
+    # s_present, silently drifting the estimate. Stateless filter —
+    # streaming-safe (test_streaming_sketches still pins streamed ==
+    # batch).
     return (
-        df.select(
+        df.filter(F.col(col).isNotNull())
+        .select(
             *by,
             F.shiftright(h, width).alias("register"),
             (F.lit(width + 1) - bitlen).alias("rho"),
@@ -199,8 +206,11 @@ def kmv_distinct(
     bottom-k per shard and re-rank (same TakeOrdered shape) at read."""
     if k < 2:
         raise ValueError(f"kmv_distinct: k must be ≥ 2, got {k}")
+    # NULLs ignored like hll_registers — an unfiltered NULL hashes to
+    # a NULL h that sorts FIRST ascending and would occupy a min-k slot
     mins = (
-        df.select(_h60(F.col(col).cast("string"), portable).alias("h"))
+        df.filter(F.col(col).isNotNull())
+        .select(_h60(F.col(col).cast("string"), portable).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -321,8 +331,11 @@ def cm_sketch(
         raise ValueError(
             f"cm_sketch: need depth ≥ 1 and width ≥ 2, got {depth}×{width}"
         )
+    # NULLs ignored (they would hash to NULL cells — not a countable
+    # value in any standard CM formulation)
     return (
-        df.select(F.explode(_cm_cells(F.col(col), depth, width, portable)).alias("dc"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(_cm_cells(F.col(col), depth, width, portable)).alias("dc"))
         .select("dc.d", "dc.cell")
         .groupBy("d", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -352,7 +365,13 @@ def cm_estimate(
     sketch is ≤ d·width rows → broadcast; the probe is therefore one
     map-side join per depth row, no shuffle on the (possibly large)
     items side beyond its own rollup. Absent cells count 0 (the item
-    was never seen, or its cells were — min handles both)."""
+    was never seen, or its cells were — min handles both).
+
+    ``items`` must be ROW-DISTINCT: the final rollup groups by every
+    items column, so duplicate probe rows collapse to one output row —
+    a caller joining estimates back by position would misalign. Probe a
+    multiset by attaching a row key first (monotonically_increasing_id)
+    and dropping it after."""
     probes = items.select(
         *items.columns,
         F.explode(_cm_cells(F.col(col), depth, width, portable)).alias("dc"),
@@ -405,8 +424,12 @@ def bloom_build(
             f"bloom_build: need m_bits ≥ {_BLOOM_WORD} and k ≥ 1, got {m_bits}, {k}"
         )
     pos = F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit")
+    # NULLs ignored — a NULL sets no bits (it is not a member; probing
+    # NULL returns maybe_contains from k NULL positions, see
+    # bloom_probe)
     return (
-        df.select(pos)
+        df.filter(F.col(col).isNotNull())
+        .select(pos)
         .select(*_bloom_word_mask())
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
@@ -442,7 +465,11 @@ def bloom_probe(
     DEFINITELY absent (the pruning guarantee), true means present up
     to the false-positive rate. The word table is ≤ m_bits/60 rows →
     broadcast; the probe is a map-side join + per-item bool_and, so
-    the (possibly huge) items side never shuffles its payload."""
+    the (possibly huge) items side never shuffles its payload.
+
+    ``items`` must be ROW-DISTINCT (same contract as ``cm_estimate``:
+    the per-item rollup groups by every items column, collapsing
+    duplicate probe rows); attach a row key to probe a multiset."""
     probes = items.select(
         *items.columns,
         F.explode(_bloom_positions(F.col(col), m_bits, k, portable)).alias("bit"),

@@ -46,6 +46,23 @@ def harden_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Quiet WindowExec's blanket "No Partition Defined" WARN: the only
+    # partition-less windows in the package run over ≤ k rows by
+    # construction (vocab_topk / bpe_pair_stats rank a limit(k) frame;
+    # pack_spans' level-2 prefix sum is the documented bucket-subtotal
+    # bound) — the WARN would flood every bench/driver log with false
+    # alarms. A constant partition key cannot silence it (Catalyst
+    # folds it back to an empty spec). Real global-window regressions
+    # are pinned by tests/test_plan_contracts.py shuffle counts.
+    # Best-effort: log4j2 internals may differ across Spark builds.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
 
 

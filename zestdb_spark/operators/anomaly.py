@@ -33,6 +33,7 @@ def zscore_outliers(
     value: str = "value",
     by: Sequence[str] = ("series_id",),
     threshold: float = 3.0,
+    on: str = "timestamp",
 ) -> DataFrame:
     """(*by, timestamp, value, z, is_outlier): each row scored against
     its own series' mean and SAMPLE sd (the A7 contract). Keys with
@@ -66,7 +67,7 @@ def zscore_outliers(
     z = F.when((n > 1) & (var > 0), z)
     return df.select(
         *by,
-        "timestamp",
+        on,
         value,
         z.alias("z"),
         F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias("is_outlier"),
@@ -78,6 +79,7 @@ def mad_outliers(
     value: str = "value",
     by: Sequence[str] = ("series_id",),
     threshold: float = 3.5,
+    on: str = "timestamp",
 ) -> DataFrame:
     """(*by, timestamp, value, score, is_outlier): robust outliers via
     the modified z-score 0.6745·|v − median| / MAD (Iglewicz & Hoaglin
@@ -108,7 +110,7 @@ def mad_outliers(
         df.join(stats, list(by))
         .select(
             *by,
-            "timestamp",
+            on,
             value,
             score.alias("score"),
             F.coalesce(score > F.lit(threshold), F.lit(False)).alias("is_outlier"),

@@ -35,6 +35,7 @@ def interval_join(
     start: str = "start_ms",
     end: str = "end_ms",
     bucket_ms: int = 3_600_000,
+    max_span_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Inner join of every point to every containing interval
     (``start <= on <= end``, both ends inclusive — the P3/P4
@@ -44,9 +45,22 @@ def interval_join(
 
     Floor bucketing via pmod (pre-1970 correct); intervals with
     end < start produce no rows (empty sequence), matching the
-    zero-match semantics of the predicate itself."""
+    zero-match semantics of the predicate itself.
+
+    ``max_span_buckets`` bounds the per-interval fan-out: ONE corrupt
+    interval (end in the year 99999) would otherwise build a
+    multi-million-element bucket array and OOM deep inside the explode
+    — instead the task fails loudly with the offending span (checked
+    row-by-row inside the same expression, no extra validation job).
+    Raise the cap only with a bucket_ms sized to the span
+    distribution; a span of a million buckets usually means the wrong
+    bucket_ms, not a real interval."""
     if bucket_ms <= 0:
         raise ValueError(f"interval_join: bucket_ms must be positive, got {bucket_ms}")
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"interval_join: max_span_buckets must be ≥ 1, got {max_span_buckets}"
+        )
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(
@@ -62,16 +76,36 @@ def interval_join(
     t = F.col(on)
     p = points.withColumn("_b", t - F.pmod(t, F.lit(bucket_ms)))
     s, e = F.col(start), F.col(end)
+    lo = s - F.pmod(s, F.lit(bucket_ms))
+    hi = e - F.pmod(e, F.lit(bucket_ms))
+    # span check INSIDE the branch expression (raise_error is NullType,
+    # coercible into the array branch type) — it cannot be pruned away
+    # and costs nothing per row beyond the comparison
+    too_wide = (hi - lo) / F.lit(bucket_ms) >= F.lit(max_span_buckets)
     iv = intervals.withColumn(
         "_b",
         F.explode(
             F.when(
                 e >= s,
-                F.sequence(
-                    s - F.pmod(s, F.lit(bucket_ms)),
-                    e - F.pmod(e, F.lit(bucket_ms)),
-                    F.lit(bucket_ms),
-                ),
+                F.when(
+                    too_wide,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "interval_join: interval spans ≥ "
+                                f"{max_span_buckets} buckets of {bucket_ms} ms "
+                                "(start="
+                            ),
+                            s.cast("string"),
+                            F.lit(", end="),
+                            e.cast("string"),
+                            F.lit(
+                                ") — corrupt interval, or bucket_ms far too "
+                                "small; see max_span_buckets"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.sequence(lo, hi, F.lit(bucket_ms))),
             ).otherwise(F.array().cast("array<long>"))
         ),
     )

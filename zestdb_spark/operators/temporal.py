@@ -169,6 +169,7 @@ def moving_stats(
     n: int,
     on: str = "timestamp",
     by: Sequence[str] = ("series_id",),
+    value: str = "value",
 ) -> DataFrame:
     """(*by, timestamp, value, mov_avg, mov_min, mov_max): per-series
     trailing-window statistics over the last ``n`` rows (current row
@@ -193,18 +194,18 @@ def moving_stats(
         # the SQL oracle's ORDER BY ... ASC is NULLS LAST — a NULL value
         # at a duplicate timestamp would silently shift every trailing
         # frame between the engines.
-        .orderBy(F.col(on).asc_nulls_last(), F.col("value").asc_nulls_last())
+        .orderBy(F.col(on).asc_nulls_last(), F.col(value).asc_nulls_last())
         .rowsBetween(-(n - 1), 0)
     )
-    s = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    s = F.sum(F.col(value).cast("decimal(38,6)")).over(w).cast("double")
     c = F.count(F.lit(1)).over(w)
     return df.select(
         *by,
         on,
-        "value",
+        value,
         q6(s / c).alias("mov_avg"),
-        F.min("value").over(w).alias("mov_min"),
-        F.max("value").over(w).alias("mov_max"),
+        F.min(value).over(w).alias("mov_min"),
+        F.max(value).over(w).alias("mov_max"),
     )
 
 
@@ -310,6 +311,7 @@ def moving_stats_time(
     window_ms: int,
     on: str = "timestamp",
     by: Sequence[str] = ("series_id",),
+    value: str = "value",
 ) -> DataFrame:
     """(*by, timestamp, value, mov_avg, mov_min, mov_max, mov_n):
     per-series trailing TIME-window statistics over [t−window_ms, t] —
@@ -336,15 +338,15 @@ def moving_stats_time(
         .orderBy(F.col(on).cast("long"))
         .rangeBetween(-window_ms, 0)
     )
-    s = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    s = F.sum(F.col(value).cast("decimal(38,6)")).over(w).cast("double")
     c = F.count(F.lit(1)).over(w)
     return df.select(
         *by,
         on,
-        "value",
+        value,
         q6(s / c).alias("mov_avg"),
-        F.min("value").over(w).alias("mov_min"),
-        F.max("value").over(w).alias("mov_max"),
+        F.min(value).over(w).alias("mov_min"),
+        F.max(value).over(w).alias("mov_max"),
         c.alias("mov_n"),
     )
 
@@ -353,6 +355,7 @@ def series_delta(
     df: DataFrame,
     on: str = "timestamp",
     by: Sequence[str] = ("series_id",),
+    value: str = "value",
 ) -> DataFrame:
     """(*by, timestamp, value, dt_ms, dv, rate_per_s): first
     difference and rate of change per series — the derivative every
@@ -369,17 +372,17 @@ def series_delta(
     from zestdb_spark.functions.dedup import q6
 
     w = Window.partitionBy(*by).orderBy(
-        F.col(on).asc_nulls_last(), F.col("value").asc_nulls_last()
+        F.col(on).asc_nulls_last(), F.col(value).asc_nulls_last()
     )
     pt = F.lag(F.col(on).cast("long")).over(w)
-    pv = F.lag("value").over(w)
+    pv = F.lag(value).over(w)
     dt = F.col(on).cast("long") - pt
     return df.select(
         *by,
         on,
-        "value",
+        value,
         dt.alias("dt_ms"),
-        q6(F.col("value") - pv).alias("dv"),
-        F.when(dt > 0, q6((F.col("value") - pv) / dt * F.lit(1000.0)))
+        q6(F.col(value) - pv).alias("dv"),
+        F.when(dt > 0, q6((F.col(value) - pv) / dt * F.lit(1000.0)))
         .alias("rate_per_s"),
     )
