@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "ev_funnel",
     "ev_retention",
     "dedup_cross",
+    # round-7 additions: the star-CC dedup pipeline (pairs → connected
+    # components → canonical survivor) and the equi-depth histogram
+    "dedup_keep",
+    "tbl_histogram_eq",
 ]
 
 
