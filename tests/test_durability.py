@@ -277,3 +277,42 @@ def test_ts_delete_crash_after_promotion_is_partitionwise_consistent(
     eng.delete("/ts/a/since/0/filter/k/equals/y")  # idempotent re-run
     rows = [(r.timestamp, r.value) for r in eng.store.load("ts_numeric").collect()]
     assert rows == [(100, 0.0)]
+
+
+def test_rewrite_lock_busy_and_stale_reclaim(spark, tmp_path):
+    """Two concurrent rewriters of the same table must serialize: a
+    held lock (live pid) makes the second writer fail LOUDLY with
+    StoreBusy (CoAP 163) after its wait budget, while a lockfile left
+    by a CRASHED rewriter (dead pid) is reclaimed so one crash can't
+    wedge the table forever."""
+    import os
+
+    from zestdb_spark.errors import StoreBusy
+
+    root = str(tmp_path / "locks")
+    eng = ZestEngine(spark, root)
+    eng.post("/kv/ns/k", {"v": 1})
+
+    lock = os.path.join(root, ".lock_kv_json")
+    # held by a live process (pid 1 always exists)
+    with open(lock, "w") as f:
+        f.write("1")
+    import pytest as _pt
+
+    with _pt.raises(StoreBusy, match="kv_json"):
+        with eng.store._rewrite_lock("kv_json", wait_s=0.3):
+            pass
+
+    # stale: dead pid → reclaimed, lock acquired, op proceeds
+    with open(lock, "w") as f:
+        f.write("999999999")
+    eng.post("/kv/ns/k", {"v": 2})  # takes + releases the lock
+    assert not os.path.exists(lock)
+    assert json.loads(eng.get("/kv/ns/k")) == {"v": 2}
+
+    # the lock is scoped per table: a busy kv_json doesn't block ts
+    with open(lock, "w") as f:
+        f.write("1")
+    eng.post("/ts/a/at/1000", {"value": 1.0})  # append path — no lock
+    eng.delete("/ts/a/since/0")  # ts_numeric lock, independent
+    os.unlink(lock)

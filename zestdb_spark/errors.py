@@ -42,3 +42,16 @@ class ObserverExpired(ZestError):
     """CoAP 163 — observer registration past max-age (src/observe.re:96-113)."""
 
     code = 163
+
+
+class StoreBusy(ZestError):
+    """CoAP 163 Service Unavailable — another writer holds a table's
+    rewrite lock past the wait deadline. The reference serializes ALL
+    writes through one server loop over a transactional Irmin store
+    (src/server.re:1075-1084, src/timeseries/shard.re:9-11); the
+    parquet emulation serializes only the REWRITE paths (delete /
+    upsert / compact — plain appends commute and need no lock) via an
+    advisory per-table lockfile. Retry after the holder finishes, or
+    move to Delta/Iceberg for real concurrent-writer coordination."""
+
+    code = 163

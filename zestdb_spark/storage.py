@@ -25,6 +25,7 @@ at most one string tag → BadRequest (CoAP 128) otherwise
 
 from __future__ import annotations
 
+import contextlib
 import json
 import numbers
 import os
@@ -37,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zestdb_spark import schema as S
-from zestdb_spark.errors import BadRequest
+from zestdb_spark.errors import BadRequest, StoreBusy
 
 #: ms per day — time_bucket = timestamp div this (daily partitions)
 _DAY_MS = 86_400_000
@@ -106,6 +107,56 @@ class ZestStore:
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    @contextlib.contextmanager
+    def _rewrite_lock(self, table: str, wait_s: float = 30.0):
+        """Advisory per-table writer lock for the REWRITE paths (delete
+        / upsert / compact — appends commute and take no lock). The
+        reference serializes every write through one server loop over a
+        transactional store (src/server.re:1075-1084); this is the
+        single-node emulation of that serialization: O_EXCL lockfile
+        creation (atomic on POSIX), pid recorded for stale-holder
+        reclaim (a crashed rewriter must not wedge the table forever),
+        StoreBusy (CoAP 163) after ``wait_s``. Cross-NODE writers need
+        a real table format (Delta/Iceberg optimistic commit) — this
+        lock is scoped to one host's filesystem, like the store itself.
+        """
+        path = os.path.join(self.root, f".lock_{table}")
+        deadline = time.monotonic() + wait_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    pid = int(open(path).read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                stale = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)  # signal 0: existence probe only
+                    except ProcessLookupError:
+                        stale = True
+                    except PermissionError:
+                        pass  # alive, owned by someone else
+                if stale:
+                    with contextlib.suppress(OSError):
+                        os.unlink(path)
+                    continue
+                if time.monotonic() > deadline:
+                    raise StoreBusy(
+                        f"table {table!r} is being rewritten by pid {pid or '?'} "
+                        f"(lock {path}); retry when it finishes"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(path)
 
     def _exists(self, table: str) -> bool:
         p = self._path(table)
@@ -388,8 +439,12 @@ class ZestStore:
         from zestdb_spark.operators import kv as kv_ops
 
         updates = self.spark.createDataFrame([(id_, key, value)], _TABLES[table])
-        ns = self.load(table).filter(F.col("id") == id_)
-        self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
+        # the lock spans the read-modify-write: the namespace load is
+        # lazy and executes inside the tmp write, so serializing only
+        # the swap would still let two upserts read the same base state
+        with self._rewrite_lock(table):
+            ns = self.load(table).filter(F.col("id") == id_)
+            self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
         self._log_write(table, 1)
 
     def kv_ingest_bulk(self, kind: str, rows: DataFrame) -> None:
@@ -410,9 +465,10 @@ class ZestStore:
         sel = rows.select(
             *[F.col(f.name).cast(f.dataType) for f in _TABLES[table].fields]
         )
-        tmp = self._path(table) + ".tmp"
-        sel.write.mode("overwrite").partitionBy("id").parquet(tmp)
-        self._promote_partitions(tmp, self._path(table))
+        with self._rewrite_lock(table):
+            tmp = self._path(table) + ".tmp"
+            sel.write.mode("overwrite").partitionBy("id").parquet(tmp)
+            self._promote_partitions(tmp, self._path(table))
         self._log_write(table, None)
 
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
@@ -422,15 +478,20 @@ class ZestStore:
         table = f"kv_{kind}"
         if not self._exists(table):
             return
-        ns = self.load(table).filter(F.col("id") == id_)
-        self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
+        with self._rewrite_lock(table):
+            ns = self.load(table).filter(F.col("id") == id_)
+            self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
         self._log_write(table, None)
 
     def catalog_upsert(self, item: dict) -> None:
         """S5/M2: validate + upsert by href (src/hc.re:43-51)."""
         from zestdb_spark.operators import catalog as cat_ops
 
-        self._overwrite("catalog_items", cat_ops.upsert_item(self.load("catalog_items"), item))
+        with self._rewrite_lock("catalog_items"):
+            self._overwrite(
+                "catalog_items",
+                cat_ops.upsert_item(self.load("catalog_items"), item),
+            )
         self._log_write("catalog_items", 1)
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
@@ -467,6 +528,13 @@ class ZestStore:
         if to_bucket is not None:
             part_cond = part_cond & (F.col("time_bucket") <= F.lit(to_bucket))
 
+        with self._rewrite_lock(table):
+            self._ts_delete_rewrite(table, plan, compat_collateral, part_cond, affected)
+        self._log_write(table, None)
+
+    def _ts_delete_rewrite(self, table, plan, compat_collateral, part_cond, affected):
+        from zestdb_spark.operators import ts_delete as del_ops
+
         full = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
         survivors = del_ops.delete_plan(full.filter(part_cond), plan, compat_collateral)
 
@@ -497,7 +565,6 @@ class ZestStore:
                     shutil.rmtree(bucket_dir)
             if not any(self._part_dirs(series_dir, "time_bucket")):
                 shutil.rmtree(series_dir)
-        self._log_write(table, None)
 
     def compact(self, table: str, target_files: int = 1) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
@@ -537,42 +604,43 @@ class ZestStore:
         # recovery is just promoting it back into the table.
         tmp = os.path.join(self.root, f".compact_tmp_{table}")
         old_root = os.path.join(self.root, f".compact_old_{table}")
-        if os.path.isdir(old_root):
-            # a previous compact() crashed mid-swap: restore its rows
-            # FIRST (worst case the leaf exists too and gets replaced
-            # by the identical-row uncompacted copy — rows never lost)
-            self._promote_partitions(old_root, real)
-        shutil.rmtree(tmp, ignore_errors=True)
+        with self._rewrite_lock(table):
+            if os.path.isdir(old_root):
+                # a previous compact() crashed mid-swap: restore its rows
+                # FIRST (worst case the leaf exists too and gets replaced
+                # by the identical-row uncompacted copy — rows never lost)
+                self._promote_partitions(old_root, real)
+            shutil.rmtree(tmp, ignore_errors=True)
 
-        done = 0
-        for series, series_dir in self._part_dirs(real, "series_id"):
-            for bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
-                files = [
-                    f
-                    for f in os.listdir(leaf)
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                ]
-                if len(files) <= target_files:
-                    continue
-                (
-                    self.spark.read.schema(leaf_schema)
-                    .parquet(leaf)
-                    .coalesce(target_files)
-                    .write.mode("overwrite")
-                    .parquet(tmp)
-                )
-                old_leaf = os.path.join(
-                    old_root, os.path.basename(series_dir), os.path.basename(leaf)
-                )
-                os.makedirs(os.path.dirname(old_leaf), exist_ok=True)
-                # two atomic renames; a crash in between leaves the rows
-                # intact under .compact_old_* and the NEXT compact()
-                # promotes them back — no window loses data
-                os.rename(leaf, old_leaf)
-                os.rename(tmp, leaf)
-                shutil.rmtree(old_leaf)
-                done += 1
-        shutil.rmtree(old_root, ignore_errors=True)
+            done = 0
+            for series, series_dir in self._part_dirs(real, "series_id"):
+                for bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
+                    files = [
+                        f
+                        for f in os.listdir(leaf)
+                        if f.endswith(".parquet") and not f.startswith(("_", "."))
+                    ]
+                    if len(files) <= target_files:
+                        continue
+                    (
+                        self.spark.read.schema(leaf_schema)
+                        .parquet(leaf)
+                        .coalesce(target_files)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
+                    )
+                    old_leaf = os.path.join(
+                        old_root, os.path.basename(series_dir), os.path.basename(leaf)
+                    )
+                    os.makedirs(os.path.dirname(old_leaf), exist_ok=True)
+                    # two atomic renames; a crash in between leaves the
+                    # rows intact under .compact_old_* and the NEXT
+                    # compact() promotes them back — no window loses data
+                    os.rename(leaf, old_leaf)
+                    os.rename(tmp, leaf)
+                    shutil.rmtree(old_leaf)
+                    done += 1
+            shutil.rmtree(old_root, ignore_errors=True)
         return done
 
     def audit_append(self, record: tuple) -> None:
