@@ -1,0 +1,177 @@
+"""ZMTP transport tests: the reference's REP + ROUTER sockets served
+over real TCP (loopback), driven by byte-faithful REQ/DEALER clients.
+
+Covers: greeting/READY handshake, socket-type compatibility rejection,
+short and long (>255 B) frame paths, REP envelope echo, request
+dispatch into a real ZestEngine through ZestFrameServer, poisoned
+frames not killing the loop, and the observe notification fan-out over
+ROUTER/DEALER keyed by uuid identity (src/server.re:778-793,
+src/protocol/zest.re:217-264)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pytest
+
+from zestdb_spark import protocol
+from zestdb_spark.api import ZestEngine
+from zestdb_spark.transport import (
+    TransportError,
+    ZestDealerClient,
+    ZestRepServer,
+    ZestReqClient,
+    ZestRouterServer,
+    ZestServer,
+    _Conn,
+    _greeting,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    return ZestEngine(spark, str(tmp_path_factory.mktemp("transport_store")))
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = ZestServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def test_echo_rep_roundtrip_short_and_long():
+    """Framing layer alone: a REP server echoing bytes, exercised with
+    a short (1-octet-length) and a long (8-octet-length) frame."""
+    srv = ZestRepServer(lambda b: b[::-1]).start()
+    try:
+        cli = ZestReqClient(srv.endpoint)
+        assert cli.request(b"abc") == b"cba"
+        big = bytes(range(256)) * 64  # 16 KiB → LONG flag both ways
+        assert cli.request(big) == big[::-1]
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_rep_rejects_incompatible_socket_type():
+    """A PUB peer must be refused by a REP socket (spec/23 validity)."""
+    srv = ZestRepServer(lambda b: b).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5.0)
+        conn = _Conn(sock, "PUB")  # invalid peer for REP
+        with pytest.raises((TransportError, ConnectionError, OSError)):
+            conn.handshake()
+            # server closes on its side; our next read sees EOF
+            conn.recv_message()
+        conn.close()
+    finally:
+        srv.stop()
+
+
+def test_greeting_rejects_wrong_mechanism():
+    """A CURVE greeting is refused loudly (the documented absence)."""
+    srv = ZestRepServer(lambda b: b).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5.0)
+        sock.sendall(_greeting(mechanism=b"CURVE"))
+        sock.recv(64)  # server's greeting
+        # server must close without completing a handshake
+        sock.settimeout(5.0)
+        rest = b""
+        try:
+            while True:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    break
+                rest += chunk
+        except OSError:
+            pass
+        # no READY command may arrive after our CURVE announcement;
+        # whatever was in flight, the connection ends
+        sock.close()
+    finally:
+        srv.stop()
+
+
+def test_engine_get_post_over_tcp(server, engine):
+    """The reference client flow over a real socket: POST /kv, GET it
+    back, GET /hello — request BYTES in, reference response BYTES out
+    (server.re:1075-1084 loop behind a REP socket)."""
+    cli = ZestReqClient(server.rep.endpoint)
+    try:
+        # POST json → 65 Created
+        resp = protocol.decode(
+            cli.request(protocol.request_post("/kv/tnet/k1", b'{"a": 1}'))
+        )
+        assert resp.code == protocol.ACK_CREATED
+        # GET it back → 69 Content + the stored JSON
+        resp = protocol.decode(cli.request(protocol.request_get("/kv/tnet/k1")))
+        assert resp.code == protocol.ACK_CONTENT
+        assert json.loads(resp.payload.decode()) == {"a": 1}
+        assert struct.unpack(">H", resp.option(protocol.OPT_CONTENT_FORMAT))[0] == 50
+        # /hello → "world" (M3)
+        resp = protocol.decode(cli.request(protocol.request_get("/hello")))
+        assert json.loads(resp.payload.decode()) == "world"
+    finally:
+        cli.close()
+
+
+def test_poisoned_frame_gets_128_and_loop_survives(server):
+    cli = ZestReqClient(server.rep.endpoint)
+    try:
+        resp = protocol.decode(cli.request(b"\x01\x07"))  # truncated header
+        assert resp.code == 128
+        # same connection still serves the next request
+        resp = protocol.decode(cli.request(protocol.request_get("/hello")))
+        assert resp.code == protocol.ACK_CONTENT
+    finally:
+        cli.close()
+
+
+def test_observe_notifications_routed_to_dealer(server, engine):
+    """Observe over the wire: GET+observe returns the uuid; a DEALER
+    connected to the ROUTER socket with that uuid as ZMTP Identity
+    receives each matching write as a zest data-payload frame — the
+    transport-complete version of the reference's notification path."""
+    cli = ZestReqClient(server.rep.endpoint)
+    try:
+        resp = protocol.decode(
+            cli.request(protocol.request_observe("/kv/tnet2/*", mode="data"))
+        )
+        assert resp.code == protocol.ACK_CONTENT
+        oid = resp.payload.decode()
+        assert oid  # the observer uuid
+
+        dealer = ZestDealerClient(server.router.endpoint, identity=oid)
+        try:
+            # the dealer's READY has returned client-side; give the
+            # server's conn thread a beat to register the identity (the
+            # server also retries unpushed messages on the next request,
+            # so this is belt-and-braces for a deterministic test)
+            import time
+
+            time.sleep(0.3)
+            resp = protocol.decode(
+                cli.request(protocol.request_post("/kv/tnet2/x", b'{"v": 7}'))
+            )
+            assert resp.code == protocol.ACK_CREATED
+            note = protocol.decode(dealer.recv(timeout_s=10.0))
+            assert note.code == protocol.ACK_CONTENT
+            msg = json.loads(note.payload.decode())
+            assert msg["path"] == "/kv/tnet2/x"
+            assert msg["data"] == {"v": 7}
+        finally:
+            dealer.close()
+    finally:
+        cli.close()
+
+
+def test_router_route_unknown_identity_drops():
+    srv = ZestRouterServer().start()
+    try:
+        assert srv.route("nobody-home", b"payload") is False
+    finally:
+        srv.stop()

@@ -18,11 +18,12 @@ content-format option + payload; Observe → header(69) + content-format
 This module implements that format fully in pure Python and dispatches
 decoded frames into :class:`zestdb_spark.api.ZestEngine` — so a
 reference client's REQUEST BYTES produce the reference server's
-RESPONSE BYTES. What is deliberately absent is the socket+crypto layer
-itself (pyzmq/libsodium are not in this environment, and transport is
-out of analytic scope — SURVEY.md §2.12); ``ZestFrameServer.handle``
-is exactly the function you would mount behind a REP socket.
-"""
+RESPONSE BYTES. The socket layer lives in
+:mod:`zestdb_spark.transport`: a pure-stdlib ZMTP 3.0 REP + ROUTER
+server that mounts ``ZestFrameServer.handle`` behind real TCP sockets
+(NULL mechanism; only the CurveZMQ encryption layer is absent —
+libsodium is not in this environment — see transport.py's docstring
+for the seam)."""
 
 from __future__ import annotations
 
