@@ -308,6 +308,59 @@ def _kv_del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("kv_json")
 
 
+def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZMTP transport under the correctness gate: a ZestServer (REP
+    + ROUTER over loopback TCP, zestdb_spark/transport.py) serves a
+    bulk-loaded nation KV mapping; a byte-faithful REQ client then
+    drives the reference client flow OVER THE SOCKET — GET a value
+    back (verified in-flight), DELETE one key, POST a new namespace,
+    and register an observer whose notification must arrive on a
+    DEALER socket with the observer uuid as ZMTP identity
+    (src/server.re:1075-1084 loop, 778-793 fan-out). The returned
+    frame is the surviving KV table; the oracle is the nation
+    complement plus the wire-posted row."""
+    import json as _json
+    import tempfile
+
+    from zestdb_spark import protocol
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.transport import ZestDealerClient, ZestReqClient, ZestServer
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_wire_"))
+    eng.store.set_request_context("POST", "/kv/bulk", "loader", "json")
+    eng.store.kv_ingest_bulk("json", fixtures.kv_json_from_nation(spark, sf_dir))
+    srv = ZestServer(eng).start()
+    try:
+        cli = ZestReqClient(srv.rep.endpoint)
+        # read-your-bulk-writes over the socket, checked in flight
+        got = protocol.decode(cli.request(protocol.request_get("/kv/EUROPE/NATION_13")))
+        if got.payload.decode() != "13":
+            raise RuntimeError(f"wire GET returned {got.payload!r}, expected '13'")
+        # observer registered over the wire; notifications must reach a
+        # DEALER whose identity is the uuid the ack carried
+        ack = protocol.decode(cli.request(protocol.request_observe("/kv/WIRE/*")))
+        dealer = ZestDealerClient(srv.router.endpoint, identity=ack.payload.decode())
+        import time as _time
+
+        _time.sleep(0.2)  # registration race guard; server also retries
+        resp = protocol.decode(cli.request(protocol.request_delete("/kv/ASIA/NATION_12")))
+        if resp.code != protocol.ACK_DELETED:
+            raise RuntimeError(f"wire DELETE acked {resp.code}")
+        resp = protocol.decode(
+            cli.request(protocol.request_post("/kv/WIRE/hello", b'{"via": "zmtp"}'))
+        )
+        if resp.code != protocol.ACK_CREATED:
+            raise RuntimeError(f"wire POST acked {resp.code}")
+        note = _json.loads(protocol.decode(dealer.recv(timeout_s=10.0)).payload)
+        if note["path"] != "/kv/WIRE/hello" or note["data"] != {"via": "zmtp"}:
+            raise RuntimeError(f"unexpected notification {note!r}")
+        dealer.close()
+        cli.close()
+    finally:
+        srv.stop()
+    return eng.store.load("kv_json")
+
+
 def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup DRIVEN AS A STREAM (beyond-
     reference: the reference has no event-time windows at all, SURVEY
@@ -457,6 +510,14 @@ _KV_SQL = {
         f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
         "SELECT * FROM kv WHERE NOT (id = 'ASIA' AND key = 'NATION_12') "
         "AND id <> 'AMERICA'"
+    ),
+    # the ZMTP wire flow: one key deleted and one namespace posted over
+    # a real REQ/REP socket; the JSON literal is json.dumps' rendering
+    "wire_roundtrip": (
+        f"WITH kv AS ({fixtures.KV_JSON_FROM_NATION_SQL}) "
+        "SELECT * FROM kv WHERE NOT (id = 'ASIA' AND key = 'NATION_12') "
+        "UNION ALL SELECT 'WIRE' AS id, 'hello' AS key, "
+        "'{\"via\": \"zmtp\"}' AS value"
     ),
     "kv_text_keys": (
         f"WITH kv AS ({fixtures.KV_TEXT_FROM_SUPPLIER_SQL}) "
@@ -2516,8 +2577,12 @@ GRADED_WINDOW: list[str] = [
     "blob_last_n",
     # lineitem volume mapping (covers last/n, sum, median, length)
     "li_last_n_multi", "li_range_sum", "li_range_median", "li_length",
-    # KV / catalog / the three front-ends
-    "kv_keys", "kv_count", "kv_read", "kv_text_read",
+    # KV / catalog / the three front-ends. Round-7 swap: kv_text_read
+    # (S4 text variant — the family keeps kv_read/kv_keys/kv_count
+    # graded) demoted for wire_roundtrip, so the new ZMTP transport
+    # (REQ/REP + ROUTER/DEALER over TCP, the last missing reference
+    # surface minus Curve crypto) carries DIRECT driver evidence
+    "kv_keys", "kv_count", "kv_read", "wire_roundtrip",
     "catalog_get", "sql_front_end_last_n", "zestql_front_end_sum",
     # write-side provenance + the zest_tail pushdown source (write surface
     # and custom-scan surface, both driver-graded)
@@ -2574,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip
     out["kv_del_roundtrip"] = _kv_del_roundtrip
     out["observe_roundtrip"] = _observe_roundtrip
+    out["wire_roundtrip"] = _wire_roundtrip
     out.update(_ext_queries())
     ordered = {name: out.pop(name) for name in GRADED_WINDOW}
     ordered.update(out)  # long tail of path variants — outside the window
