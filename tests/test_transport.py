@@ -175,3 +175,55 @@ def test_router_route_unknown_identity_drops():
         assert srv.route("nobody-home", b"payload") is False
     finally:
         srv.stop()
+
+
+# ------------------------------------------------------- property/fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    frames=st.lists(
+        st.binary(min_size=0, max_size=600),  # crosses the 255 B LONG line
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_framing_roundtrip_property(frames):
+    """MORE/LONG framing is lossless for any message shape: what one
+    _Conn sends over a socketpair, the peer _Conn receives frame-for-
+    frame (sizes crossing the 1-octet/8-octet length encoding line)."""
+    a, b = socket.socketpair()
+    try:
+        ca, cb = _Conn(a, "DEALER"), _Conn(b, "DEALER")
+        ca.send_message(frames)
+        assert cb.recv_message() == frames
+    finally:
+        a.close()
+        b.close()
+
+
+def test_garbage_bytes_do_not_hang_the_server():
+    """A client that sends non-ZMTP garbage must be disconnected (bad
+    signature/handshake), never serviced and never left hanging."""
+    srv = ZestRepServer(lambda b: b).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5.0)
+        sock.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n" + b"\x00" * 64)
+        sock.settimeout(5.0)
+        # server closes after failing the signature check; we observe
+        # EOF (possibly after its greeting bytes)
+        seen = b""
+        try:
+            while len(seen) < 4096:
+                chunk = sock.recv(1024)
+                if not chunk:
+                    break
+                seen += chunk
+        except OSError:
+            pass
+        sock.close()
+    finally:
+        srv.stop()
