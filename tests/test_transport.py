@@ -227,3 +227,38 @@ def test_garbage_bytes_do_not_hang_the_server():
         sock.close()
     finally:
         srv.stop()
+
+
+def test_staged_greeting_like_libzmq():
+    """libzmq sends its greeting in stages (10-byte signature first,
+    the rest after peer validation); the stream reader must assemble
+    it regardless of TCP chunking."""
+    import time
+
+    srv = ZestRepServer(lambda b: b.upper()).start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5.0)
+        g = _greeting()
+        sock.sendall(g[:10])
+        time.sleep(0.05)
+        sock.sendall(g[10:12])
+        time.sleep(0.05)
+        sock.sendall(g[12:])
+        conn = _Conn(sock, "REQ")
+        # complete the handshake manually from here: read server
+        # greeting, exchange READY, then run one request
+        greet = conn._recv_exact(64)
+        assert greet[:1] == b"\xff" and greet[10] >= 3
+        from zestdb_spark.transport import _encode_metadata
+
+        conn._send_frame(
+            b"\x05READY" + _encode_metadata({"Socket-Type": b"REQ"}), command=True
+        )
+        flags, body = conn._recv_frame()
+        assert flags & 0x04 and body.startswith(b"\x05READY")
+        conn.send_message([b"", b"abc"])
+        frames = conn.recv_message()
+        assert frames == [b"", b"ABC"]
+        conn.close()
+    finally:
+        srv.stop()
