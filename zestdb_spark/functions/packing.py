@@ -21,8 +21,9 @@ Extension beyond the reference surface. Two operators:
        single-partition window — safe because the input is already
        reduced by the bucket factor (control-plane-sized rows, never
        raw docs),
-    4. broadcast-join the bucket bases back and add a within-bucket
-       running sum (window partitioned BY BUCKET — parallel again).
+    4. join the bucket bases back (AQE broadcasts the control-plane-
+       sized table when it fits) and add a within-bucket running sum
+       (window partitioned BY BUCKET — parallel again).
 
   All arithmetic is integer, so results are bit-exact against the
   DuckDB oracle's plain window cumsum.
@@ -110,8 +111,14 @@ def pack_spans(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # no broadcast hint on the bucket-base table: it is n_docs/bucket
+    # sized — small by construction at sane bucket settings, but still
+    # data-dependent, so the size decision belongs to AQE (which
+    # broadcasts it when it fits and falls back to a co-partitioned
+    # shuffle join on the compact int key when it doesn't) — the same
+    # policy as every other data-dependent join this round
     offs = (
-        counts.join(F.broadcast(bases), "b")
+        counts.join(bases, "b")
         .withColumn("off", F.col("base") + F.coalesce(F.sum("n").over(wd), F.lit(0)))
         .select("doc_id", "n", "off")
     )
