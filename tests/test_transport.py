@@ -262,3 +262,35 @@ def test_staged_greeting_like_libzmq():
         conn.close()
     finally:
         srv.stop()
+
+
+def test_serve_entrypoint_end_to_end(spark, tmp_path):
+    """``python -m zestdb_spark.serve`` wiring: parse reference-shaped
+    flags, mount the store, serve over both sockets (block=False so the
+    test owns the lifecycle; get_spark inside reuses this session)."""
+    from zestdb_spark import serve
+
+    srv = serve.main(
+        [
+            "--store-root",
+            str(tmp_path / "served"),
+            "--request-endpoint",
+            "tcp://127.0.0.1:0",
+            "--router-endpoint",
+            "tcp://127.0.0.1:0",
+        ],
+        block=False,
+    )
+    try:
+        cli = ZestReqClient(srv.rep.endpoint)
+        resp = protocol.decode(
+            cli.request(protocol.request_post("/ts/served/at/1000", b'{"value": 2.5}'))
+        )
+        assert resp.code == protocol.ACK_CREATED
+        resp = protocol.decode(cli.request(protocol.request_get("/ts/served/latest")))
+        assert json.loads(resp.payload.decode()) == [
+            {"timestamp": 1000, "data": {"value": 2.5}}
+        ]
+        cli.close()
+    finally:
+        srv.stop()

@@ -1,0 +1,107 @@
+"""Server entrypoint: ``python -m zestdb_spark.serve`` — the engine
+behind the reference's two ZMQ endpoints.
+
+Mirrors the reference CLI (src/server.re:1090-1140): a request/reply
+endpoint (default tcp://0.0.0.0:5555) and a router endpoint for
+observe notifications (default tcp://0.0.0.0:5556), serving a durable
+store until interrupted. A reference deployment swaps its binary for::
+
+    python -m zestdb_spark.serve --store-root /data/zest \\
+        --request-endpoint tcp://0.0.0.0:5555 \\
+        --router-endpoint tcp://0.0.0.0:5556
+
+Token auth mounts exactly like the reference's --token-key: pass
+``--token-key-file`` and every request's macaroon is verified against
+it (engine ACL; the reference's enable_arbiter+token.re flow). The
+CurveZMQ flags (--secret-key-file etc.) have no equivalent here —
+the transport speaks the NULL mechanism only (see transport.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m zestdb_spark.serve",
+        description="Serve a zestdb_spark store over ZMTP REP/ROUTER sockets.",
+    )
+    p.add_argument("--store-root", required=True, help="durable table directory")
+    p.add_argument(
+        "--request-endpoint",
+        default="tcp://0.0.0.0:5555",
+        help="REQ/REP endpoint (reference default tcp://0.0.0.0:5555)",
+    )
+    p.add_argument(
+        "--router-endpoint",
+        default="tcp://0.0.0.0:5556",
+        help="ROUTER/DEALER notification endpoint (reference default :5556)",
+    )
+    p.add_argument(
+        "--token-key-file",
+        default=None,
+        help="macaroon root key file — enables token verification "
+        "(omit for the reference's open/arbiter-less mode)",
+    )
+    p.add_argument(
+        "--server-identity",
+        default=None,
+        help="identity macaroon 'target = <id>' caveats must name "
+        "(default: this hostname, like the reference server)",
+    )
+    p.add_argument(
+        "--app-name", default="zestdb_spark_server", help="Spark application name"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, *, block: bool = True):
+    """Build engine + servers; with ``block`` (the CLI default) serve
+    until SIGINT/SIGTERM. Returns the started ZestServer (tests run
+    with block=False and stop it themselves)."""
+    args = build_parser().parse_args(argv)
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.session import get_spark
+    from zestdb_spark.transport import ZestServer
+
+    spark = get_spark(args.app_name)
+    acl = None
+    if args.token_key_file:
+        from zestdb_spark.auth import MacaroonValidator
+
+        import socket as _socket
+
+        with open(args.token_key_file) as f:
+            acl = MacaroonValidator(
+                f.read().strip(),
+                identity=args.server_identity or _socket.gethostname(),
+            )
+    engine = ZestEngine(spark, args.store_root, acl=acl)
+    server = ZestServer(
+        engine,
+        rep_endpoint=args.request_endpoint,
+        router_endpoint=args.router_endpoint,
+    ).start()
+    print(
+        f"zestdb_spark serving {args.store_root} on "
+        f"{server.rep.endpoint} (rep) / {server.router.endpoint} (router)",
+        flush=True,
+    )
+    if not block:
+        return server
+
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    stop.wait()
+    server.stop()
+    spark.stop()
+    return server
+
+
+if __name__ == "__main__":
+    main()
