@@ -316,30 +316,43 @@ def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (verified in-flight), DELETE one key, POST a new namespace,
     and register an observer whose notification must arrive on a
     DEALER socket with the observer uuid as ZMTP identity
-    (src/server.re:1075-1084 loop, 778-793 fan-out). The returned
-    frame is the surviving KV table; the oracle is the nation
-    complement plus the wire-posted row."""
+    (src/server.re:1075-1084 loop, 778-793 fan-out). When libsodium
+    is present the whole exchange runs under CurveZMQ — the REP
+    socket under the reference's sample secret (server.re:1087), the
+    DEALER under the per-start router key carried by the observe ack
+    (server.re:866-867) — NULL otherwise. The returned frame is the
+    surviving KV table; the oracle is the nation complement plus the
+    wire-posted row."""
     import json as _json
     import tempfile
 
-    from zestdb_spark import protocol
+    from zestdb_spark import curve, protocol
     from zestdb_spark.api import ZestEngine
     from zestdb_spark.transport import ZestDealerClient, ZestReqClient, ZestServer
 
+    curve_secret = (
+        "uf4XGHI7[fLoe&aG1tU83[ptpezyQMVIHh)J=zB1" if curve.available() else None
+    )
     eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_wire_"))
     eng.store.set_request_context("POST", "/kv/bulk", "loader", "json")
     eng.store.kv_ingest_bulk("json", fixtures.kv_json_from_nation(spark, sf_dir))
-    srv = ZestServer(eng).start()
+    srv = ZestServer(eng, curve_secret=curve_secret).start()
     try:
-        cli = ZestReqClient(srv.rep.endpoint)
+        cli = ZestReqClient(srv.rep.endpoint, server_key=srv.rep.public_key or None)
         # read-your-bulk-writes over the socket, checked in flight
         got = protocol.decode(cli.request(protocol.request_get("/kv/EUROPE/NATION_13")))
         if got.payload.decode() != "13":
             raise RuntimeError(f"wire GET returned {got.payload!r}, expected '13'")
         # observer registered over the wire; notifications must reach a
-        # DEALER whose identity is the uuid the ack carried
+        # DEALER whose identity is the uuid the ack carried — connecting
+        # with the router public key the ack itself delivered
         ack = protocol.decode(cli.request(protocol.request_observe("/kv/WIRE/*")))
-        dealer = ZestDealerClient(srv.router.endpoint, identity=ack.payload.decode())
+        router_key = (ack.option(protocol.OPT_PUBLIC_KEY) or b"").decode() or None
+        if bool(router_key) != bool(curve_secret):
+            raise RuntimeError(f"observe ack router key {router_key!r} unexpected")
+        dealer = ZestDealerClient(
+            srv.router.endpoint, identity=ack.payload.decode(), server_key=router_key
+        )
         import time as _time
 
         _time.sleep(0.2)  # registration race guard; server also retries

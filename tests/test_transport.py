@@ -72,7 +72,8 @@ def test_rep_rejects_incompatible_socket_type():
 
 
 def test_greeting_rejects_wrong_mechanism():
-    """A CURVE greeting is refused loudly (the documented absence)."""
+    """A CURVE greeting at a NULL (keyless) server is refused loudly —
+    mechanisms must match on both sides, as in libzmq."""
     srv = ZestRepServer(lambda b: b).start()
     try:
         sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5.0)

@@ -214,6 +214,11 @@ class ZestFrameServer:
 
     def __init__(self, engine):
         self.engine = engine
+        #: Z85 public key of the notification router, handed to
+        #: observers in the observe ack (Ack.Observe(router_public_key,
+        #: uuid), server.re:866-867); empty when the transport is
+        #: unencrypted or absent
+        self.router_public_key = ""
 
     def handle(self, frame_bytes: bytes) -> bytes:
         try:
@@ -246,7 +251,7 @@ class ZestFrameServer:
                 client=client,
                 token=token,
             )
-            return ack_observe("", oid)
+            return ack_observe(self.router_public_key, oid)
         if req.code == 1:  # GET
             body = self.engine.get(
                 req.uri_path, client=client, token=token, content_format=fmt

@@ -12,9 +12,14 @@ store until interrupted. A reference deployment swaps its binary for::
 
 Token auth mounts exactly like the reference's --token-key: pass
 ``--token-key-file`` and every request's macaroon is verified against
-it (engine ACL; the reference's enable_arbiter+token.re flow). The
-CurveZMQ flags (--secret-key-file etc.) have no equivalent here —
-the transport speaks the NULL mechanism only (see transport.py).
+it (engine ACL; the reference's enable_arbiter+token.re flow).
+``--secret-key-file`` mirrors the reference's flag of the same name
+(server.re:1102-1104): the file holds the server's Z85 curve secret,
+both sockets then require the CurveZMQ mechanism (REP under the
+configured key, ROUTER under a fresh per-start keypair whose public
+key rides in observe acks, server.re:1122-1124/866-867), and clients
+connect with ``server_key=`` the matching public key. Omit it for the
+NULL-mechanism plaintext transport.
 """
 
 from __future__ import annotations
@@ -39,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--router-endpoint",
         default="tcp://0.0.0.0:5556",
         help="ROUTER/DEALER notification endpoint (reference default :5556)",
+    )
+    p.add_argument(
+        "--secret-key-file",
+        default=None,
+        help="file holding the server's Z85 curve secret key — enables "
+        "CurveZMQ encryption on both sockets (reference --secret-key-file)",
     )
     p.add_argument(
         "--token-key-file",
@@ -80,15 +91,28 @@ def main(argv: list[str] | None = None, *, block: bool = True):
                 f.read().strip(),
                 identity=args.server_identity or _socket.gethostname(),
             )
+    curve_secret = None
+    if args.secret_key_file:
+        from zestdb_spark import curve
+
+        if not curve.available():
+            raise SystemExit(
+                "--secret-key-file needs libsodium, which is not available"
+            )
+        with open(args.secret_key_file) as f:
+            curve_secret = f.read().strip()
     engine = ZestEngine(spark, args.store_root, acl=acl)
     server = ZestServer(
         engine,
         rep_endpoint=args.request_endpoint,
         router_endpoint=args.router_endpoint,
+        curve_secret=curve_secret,
     ).start()
+    mech = f"curve, public key {server.rep.public_key}" if curve_secret else "null"
     print(
         f"zestdb_spark serving {args.store_root} on "
-        f"{server.rep.endpoint} (rep) / {server.router.endpoint} (router)",
+        f"{server.rep.endpoint} (rep) / {server.router.endpoint} (router) "
+        f"[{mech}]",
         flush=True,
     )
     if not block:

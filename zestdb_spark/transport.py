@@ -14,16 +14,21 @@ directly over ``socket``/``threading``, and mounts the existing
 ZMTP client (including real libzmq speaking NULL) can drive the engine
 end-to-end over TCP.
 
-Deliberately absent vs the reference: the **CurveZMQ encryption
-mechanism** (zest.re:242-243 ``set_curve_server``). CURVE needs
-Curve25519/Salsa20/Poly1305 (libsodium — not in this image, and a
-from-scratch implementation of crypto primitives is out of scope).
-The seam is explicit: ``_Conn.handshake`` negotiates the mechanism
-name from the greeting, so a CURVE implementation slots in as a second
-mechanism without touching the socket loops. Everything else about the
+Both mechanisms the reference uses are spoken: **NULL** (plaintext
+READY handshake) and **CurveZMQ** (zest.re:242-243
+``set_curve_server``/``set_curve_secretkey``; spec/26 handshake +
+message encryption implemented in :mod:`zestdb_spark.curve` over the
+system libsodium). A server constructed with ``curve_secret`` requires
+CURVE of every client — like a libzmq socket with a curve secret
+configured — and a client given ``server_key`` initiates it; with no
+keys both sides speak NULL. Under CURVE the client's Socket-Type /
+Identity metadata rides inside the INITIATE box and the server's
+inside READY, and every subsequent message frame travels as an
+encrypted MESSAGE command, per spec. Everything else about the
 reference's transport — framing, REP envelope echo, ROUTER
-identity-addressed pushes, the serve loop — is complete and tested
-over real TCP connections (tests/test_transport.py).
+identity-addressed pushes, the serve loop — is identical across
+mechanisms and tested over real TCP connections
+(tests/test_transport.py).
 
 Scale posture: the transport is the engine's CONTROL-PLANE edge — one
 driver-side thread per connection, request payloads are API-sized
@@ -39,6 +44,8 @@ import struct
 import threading
 import uuid as uuid_mod
 from typing import Callable, Optional
+
+from zestdb_spark import curve as curve_mod
 
 __all__ = [
     "TransportError",
@@ -120,14 +127,30 @@ def _decode_metadata(data: bytes) -> dict[str, bytes]:
 
 
 class _Conn:
-    """One TCP connection speaking ZMTP 3.0 / NULL."""
+    """One TCP connection speaking ZMTP 3.0, mechanism NULL or CURVE.
 
-    def __init__(self, sock: socket.socket, socket_type: str, identity: bytes = b""):
+    ``curve_server`` = (secret, public, allowed_clients|None) makes the
+    connection require the CURVE mechanism as the server side;
+    ``curve_client`` = (server_public, client_public, client_secret)
+    initiates it as the client. Leaving both None speaks NULL."""
+
+    def __init__(
+        self,
+        sock: socket.socket,
+        socket_type: str,
+        identity: bytes = b"",
+        curve_server: "tuple[bytes, bytes, set[bytes] | None] | None" = None,
+        curve_client: "tuple[bytes, bytes, bytes] | None" = None,
+    ):
         self.sock = sock
         self.socket_type = socket_type
         self.identity = identity  # OUR identity, sent in READY (clients)
         self.peer_type: str = ""
         self.peer_identity: bytes = b""
+        self.peer_curve_key: bytes = b""  # client long-term key (server side)
+        self._curve_server = curve_server
+        self._curve_client = curve_client
+        self._session: "curve_mod._Session | None" = None
         self._send_lock = threading.Lock()
 
     # ------------------------------------------------------------- bytes
@@ -163,7 +186,25 @@ class _Conn:
         return flags, self._recv_exact(size) if size else b""
 
     def send_message(self, frames: list[bytes]) -> None:
-        """One logical message = frames chained with MORE."""
+        """One logical message = frames chained with MORE. Under CURVE
+        each frame becomes one encrypted MESSAGE command whose inner
+        flags byte carries the MORE bit (spec/26)."""
+        if self._session is not None:
+            bodies = [
+                self._session.encrypt(
+                    _F_MORE if i < len(frames) - 1 else 0, body
+                )
+                for i, body in enumerate(frames)
+            ]
+            with self._send_lock:
+                for cmd in bodies:
+                    head = (
+                        bytes([_F_COMMAND | _F_LONG]) + struct.pack(">Q", len(cmd))
+                        if len(cmd) > 255
+                        else bytes([_F_COMMAND, len(cmd)])
+                    )
+                    self.sock.sendall(head + cmd)
+            return
         with self._send_lock:
             for i, body in enumerate(frames):
                 flags = _F_MORE if i < len(frames) - 1 else 0
@@ -175,13 +216,24 @@ class _Conn:
 
     def recv_message(self) -> list[bytes]:
         """Next complete message (command frames in between are
-        serviced transparently: PING→PONG per spec/37, ERROR raises)."""
+        serviced transparently: PING→PONG per spec/37, ERROR raises).
+        Under CURVE, message frames arrive as MESSAGE commands and are
+        decrypted/reassembled here; a plaintext data frame on an
+        encrypted connection is a protocol violation."""
         frames: list[bytes] = []
         while True:
             flags, body = self._recv_frame()
             if flags & _F_COMMAND:
+                if self._session is not None and body.startswith(b"\x07MESSAGE"):
+                    iflags, payload = self._session.decrypt(body)
+                    frames.append(payload)
+                    if not iflags & _F_MORE:
+                        return frames
+                    continue
                 self._handle_command(body)
                 continue
+            if self._session is not None:
+                raise TransportError("plaintext frame on a CURVE connection")
             frames.append(body)
             if not flags & _F_MORE:
                 return frames
@@ -199,31 +251,38 @@ class _Conn:
     # --------------------------------------------------------- handshake
 
     def handshake(self) -> None:
-        """Exchange greeting + NULL READY; validates mechanism and
-        socket-type compatibility (spec/23). Populates ``peer_type``
-        and ``peer_identity``."""
-        # as-server stays 0: under the NULL mechanism the flag is
-        # defined to be zero for both peers (spec/23; it signals role
-        # only for PLAIN/CURVE)
-        self.sock.sendall(_greeting())
+        """Exchange greeting + security handshake (NULL READY, or the
+        spec/26 CURVE HELLO/WELCOME/INITIATE/READY); validates
+        mechanism agreement and socket-type compatibility (spec/23).
+        Populates ``peer_type`` and ``peer_identity``."""
+        ours = b"CURVE" if (self._curve_server or self._curve_client) else b"NULL"
+        # as-server is 0 under NULL for both peers (spec/23; it signals
+        # role only for PLAIN/CURVE); under CURVE the server sets it
+        self.sock.sendall(_greeting(ours, as_server=self._curve_server is not None))
         greet = self._recv_exact(64)
         if greet[:1] != b"\xff" or greet[9:10] != b"\x7f":
             raise TransportError("bad ZMTP signature")
         if greet[10] < 3:
             raise TransportError(f"peer ZMTP major version {greet[10]} < 3")
         mech = greet[12:32].rstrip(b"\x00")
-        if mech != b"NULL":
-            # the reference speaks CURVE here; see module docstring for
-            # why only NULL is implemented and where CURVE would slot in
-            raise TransportError(f"unsupported mechanism {mech!r} (only NULL)")
+        if mech != ours:
+            # like libzmq: both peers must announce the same mechanism —
+            # a NULL client cannot talk to a CURVE server or vice versa
+            raise TransportError(
+                f"mechanism mismatch: peer {mech!r}, this end {ours!r}"
+            )
         meta = {"Socket-Type": self.socket_type.encode()}
         if self.identity:
             meta["Identity"] = self.identity
-        self._send_frame(b"\x05READY" + _encode_metadata(meta), command=True)
-        flags, body = self._recv_frame()
-        if not flags & _F_COMMAND or not body.startswith(b"\x05READY"):
-            raise TransportError("expected READY command")
-        peer_meta = _decode_metadata(body[6:])
+        if ours == b"CURVE":
+            peer_meta_bytes = self._curve_handshake(_encode_metadata(meta))
+            peer_meta = _decode_metadata(peer_meta_bytes)
+        else:
+            self._send_frame(b"\x05READY" + _encode_metadata(meta), command=True)
+            flags, body = self._recv_frame()
+            if not flags & _F_COMMAND or not body.startswith(b"\x05READY"):
+                raise TransportError("expected READY command")
+            peer_meta = _decode_metadata(body[6:])
         self.peer_type = peer_meta.get("Socket-Type", b"").decode("latin-1")
         self.peer_identity = peer_meta.get("Identity", b"")
         if self.peer_type not in _VALID_PEERS.get(self.socket_type, set()):
@@ -231,6 +290,40 @@ class _Conn:
                 f"socket type {self.peer_type or '?'} is not a valid peer "
                 f"for {self.socket_type}"
             )
+
+    def _curve_handshake(self, metadata: bytes) -> bytes:
+        """Run the spec/26 command exchange over this connection's
+        command frames; returns the peer's metadata bytes and installs
+        the message session."""
+
+        def send_command(body: bytes) -> None:
+            self._send_frame(body, command=True)
+
+        def recv_command() -> bytes:
+            while True:
+                flags, body = self._recv_frame()
+                if not flags & _F_COMMAND:
+                    raise TransportError("data frame during CURVE handshake")
+                name_len = body[0] if body else 0
+                if body[1 : 1 + name_len] == b"ERROR":
+                    self._handle_command(body)  # raises
+                return body
+
+        try:
+            if self._curve_server is not None:
+                secret, public, allowed = self._curve_server
+                self._session, meta, self.peer_curve_key = curve_mod.server_handshake(
+                    send_command, recv_command, public, secret, metadata,
+                    allowed_clients=allowed,
+                )
+            else:
+                server_key, c_pk, c_sk = self._curve_client  # type: ignore[misc]
+                self._session, meta = curve_mod.client_handshake(
+                    send_command, recv_command, server_key, c_pk, c_sk, metadata
+                )
+        except curve_mod.CurveError as e:
+            raise TransportError(f"CURVE handshake failed: {e}") from e
+        return meta
 
     def close(self) -> None:
         try:
@@ -244,11 +337,25 @@ class _TcpServer:
 
     socket_type = ""
 
-    def __init__(self, endpoint: str):
+    def __init__(
+        self,
+        endpoint: str,
+        curve_secret: "bytes | str | None" = None,
+        allowed_clients: "set[bytes] | None" = None,
+    ):
         host, port = _parse_endpoint(endpoint)
         self._listener = socket.create_server((host, port))
         self.port = self._listener.getsockname()[1]
         self.endpoint = f"tcp://{host}:{self.port}"
+        self._curve: "tuple[bytes, bytes, set[bytes] | None] | None" = None
+        self.public_key = ""  # Z85, set when curve_secret is configured
+        if curve_secret is not None:
+            # mirror of zest.re:242-243 set_curve_server/set_curve_secretkey:
+            # a secret on the socket makes CURVE mandatory for every peer
+            sk = curve_mod.decode_key(curve_secret)
+            pk = curve_mod.public_from_secret(sk)
+            self._curve = (sk, pk, allowed_clients)
+            self.public_key = curve_mod.z85_encode(pk)
         self._conns: list[_Conn] = []
         self._threads: list[threading.Thread] = []
         self._stopping = threading.Event()
@@ -267,7 +374,7 @@ class _TcpServer:
             except OSError:
                 return  # listener closed by stop()
             sock.settimeout(30.0)
-            conn = _Conn(sock, self.socket_type)
+            conn = _Conn(sock, self.socket_type, curve_server=self._curve)
             self._conns.append(conn)
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             self._threads.append(t)
@@ -299,8 +406,14 @@ class ZestRepServer(_TcpServer):
 
     socket_type = "REP"
 
-    def __init__(self, handle: Callable[[bytes], bytes], endpoint: str = "tcp://127.0.0.1:0"):
-        super().__init__(endpoint)
+    def __init__(
+        self,
+        handle: Callable[[bytes], bytes],
+        endpoint: str = "tcp://127.0.0.1:0",
+        curve_secret: "bytes | str | None" = None,
+        allowed_clients: "set[bytes] | None" = None,
+    ):
+        super().__init__(endpoint, curve_secret, allowed_clients)
         self.handle = handle
 
     def _serve_conn(self, conn: _Conn) -> None:
@@ -331,8 +444,13 @@ class ZestRouterServer(_TcpServer):
 
     socket_type = "ROUTER"
 
-    def __init__(self, endpoint: str = "tcp://127.0.0.1:0"):
-        super().__init__(endpoint)
+    def __init__(
+        self,
+        endpoint: str = "tcp://127.0.0.1:0",
+        curve_secret: "bytes | str | None" = None,
+        allowed_clients: "set[bytes] | None" = None,
+    ):
+        super().__init__(endpoint, curve_secret, allowed_clients)
         self._peers: dict[bytes, _Conn] = {}
         self._peers_lock = threading.Lock()
 
@@ -389,6 +507,7 @@ class ZestServer:
         engine,
         rep_endpoint: str = "tcp://127.0.0.1:0",
         router_endpoint: str = "tcp://127.0.0.1:0",
+        curve_secret: "bytes | str | None" = None,
     ):
         from zestdb_spark.protocol import FORMAT_ID, ZestFrameServer, ack_payload
 
@@ -396,8 +515,15 @@ class ZestServer:
         self._frame_server = ZestFrameServer(engine)
         self._ack_payload = ack_payload
         self._json_fmt = FORMAT_ID["json"]
-        self.rep = ZestRepServer(self._handle, rep_endpoint)
-        self.router = ZestRouterServer(router_endpoint)
+        router_secret: "bytes | None" = None
+        if curve_secret is not None:
+            # the reference encrypts the router with a FRESH keypair per
+            # server start (server.re:1122-1124) and hands the public
+            # key to observers in the observe ack (server.re:866-867)
+            _router_pk, router_secret = curve_mod.keypair()
+        self.rep = ZestRepServer(self._handle, rep_endpoint, curve_secret=curve_secret)
+        self.router = ZestRouterServer(router_endpoint, curve_secret=router_secret)
+        self._frame_server.router_public_key = self.router.public_key
         self._pushed: dict[str, int] = {}  # oid → messages already routed
         self._push_lock = threading.Lock()
 
@@ -444,11 +570,32 @@ class ZestServer:
 # by tests/test_transport.py to drive the servers above over real TCP.
 
 
+def _client_curve(
+    server_key: "bytes | str | None",
+    client_keys: "tuple[bytes, bytes] | None",
+) -> "tuple[bytes, bytes, bytes] | None":
+    """(server_pk, client_pk, client_sk) for _Conn, or None for NULL.
+    Like the reference's test client, a fresh long-term client keypair
+    is generated unless one is pinned explicitly."""
+    if server_key is None:
+        return None
+    pk, sk = client_keys if client_keys is not None else curve_mod.keypair()
+    return curve_mod.decode_key(server_key), pk, sk
+
+
 class ZestReqClient:
-    def __init__(self, endpoint: str, timeout_s: float = 10.0):
+    def __init__(
+        self,
+        endpoint: str,
+        timeout_s: float = 10.0,
+        server_key: "bytes | str | None" = None,
+        client_keys: "tuple[bytes, bytes] | None" = None,
+    ):
         host, port = _parse_endpoint(endpoint)
         sock = socket.create_connection((host, port), timeout=timeout_s)
-        self._conn = _Conn(sock, "REQ")
+        self._conn = _Conn(
+            sock, "REQ", curve_client=_client_curve(server_key, client_keys)
+        )
         self._conn.handshake()
 
     def request(self, frame_bytes: bytes) -> bytes:
@@ -464,10 +611,22 @@ class ZestReqClient:
 
 
 class ZestDealerClient:
-    def __init__(self, endpoint: str, identity: str, timeout_s: float = 10.0):
+    def __init__(
+        self,
+        endpoint: str,
+        identity: str,
+        timeout_s: float = 10.0,
+        server_key: "bytes | str | None" = None,
+        client_keys: "tuple[bytes, bytes] | None" = None,
+    ):
         host, port = _parse_endpoint(endpoint)
         sock = socket.create_connection((host, port), timeout=timeout_s)
-        self._conn = _Conn(sock, "DEALER", identity=identity.encode())
+        self._conn = _Conn(
+            sock,
+            "DEALER",
+            identity=identity.encode(),
+            curve_client=_client_curve(server_key, client_keys),
+        )
         self._conn.handshake()
 
     def recv(self, timeout_s: float = 5.0) -> bytes:
