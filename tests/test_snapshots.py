@@ -1,0 +1,224 @@
+"""Snapshot manifest log (zestdb_spark/snapshots.py): the single-node
+table format that replaces the reference's git/Irmin transactional
+store (src/timeseries/shard.re:9-11). Pure-filesystem tests for the
+commit CAS, tombstone/vacuum lifecycle, bootstrap of pre-manifest
+layouts, and the orphan-age floor protecting lock-free appends; plus
+store-level tests for concurrent append merging and legacy upgrade."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from zestdb_spark import snapshots
+
+
+def _touch(base: str, rel: str, content: bytes = b"x") -> None:
+    full = os.path.join(base, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "wb") as f:
+        f.write(content)
+
+
+def test_commit_and_latest_roundtrip(tmp_path):
+    t = str(tmp_path / "t")
+    _touch(t, "id=a/f1.parquet")
+    snap = snapshots.commit(t, adds=["id=a/f1.parquet"])
+    assert snap.version == 0 and snap.files == ["id=a/f1.parquet"]
+    _touch(t, "id=b/f2.parquet")
+    snap = snapshots.commit(t, adds=["id=b/f2.parquet"])
+    assert snap.version == 1 and len(snap.files) == 2
+    assert snapshots.latest(t).files == snap.files
+
+
+def test_removes_become_tombstones(tmp_path):
+    t = str(tmp_path / "t")
+    _touch(t, "f1.parquet")
+    _touch(t, "f2.parquet")
+    snapshots.commit(t, adds=["f1.parquet", "f2.parquet"])
+    snap = snapshots.commit(t, removes=["f1.parquet"])
+    assert snap.files == ["f2.parquet"]
+    assert "f1.parquet" in snap.tombstones
+    # the file is STILL ON DISK (pinned readers), only off the manifest
+    assert os.path.exists(os.path.join(t, "f1.parquet"))
+
+
+def test_bootstrap_from_existing_layout(tmp_path):
+    """First commit on a pre-manifest table upgrades in place: the
+    directory listing becomes version 0's base."""
+    t = str(tmp_path / "legacy")
+    _touch(t, "series_id=a/time_bucket=0/part-1.parquet")
+    _touch(t, "series_id=a/time_bucket=1/part-2.parquet")
+    _touch(t, "series_id=a/time_bucket=1/.hidden.parquet")  # invisible
+    _touch(t, "new.parquet")
+    snap = snapshots.commit(t, adds=["new.parquet"])
+    assert snap.version == 0
+    assert set(snap.files) == {
+        "series_id=a/time_bucket=0/part-1.parquet",
+        "series_id=a/time_bucket=1/part-2.parquet",
+        "new.parquet",
+    }
+
+
+def test_commit_cas_merges_concurrent_adders(tmp_path):
+    """Two lock-free appenders racing on the same table must BOTH land:
+    the os.link CAS gives one of them a conflict, it retries on the
+    moved head, and the final manifest holds both file sets."""
+    t = str(tmp_path / "race")
+    n_threads, per_thread = 8, 5
+    for i in range(n_threads):
+        for j in range(per_thread):
+            _touch(t, f"id=t{i}/f{j}.parquet")
+    barrier = threading.Barrier(n_threads)
+
+    def add(i: int) -> None:
+        barrier.wait()
+        for j in range(per_thread):
+            snapshots.commit(t, adds=[f"id=t{i}/f{j}.parquet"])
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    snap = snapshots.latest(t)
+    assert len(snap.files) == n_threads * per_thread
+    assert snap.version == n_threads * per_thread - 1  # every commit landed
+
+
+def test_manifest_files_are_complete_or_absent(tmp_path):
+    """The publish is link-based: every version file that EXISTS parses
+    as complete JSON (no torn manifests), even right after a commit."""
+    t = str(tmp_path / "complete")
+    _touch(t, "f.parquet")
+    snapshots.commit(t, adds=["f.parquet"])
+    log_dir = os.path.join(t, "_zest_log")
+    for name in os.listdir(log_dir):
+        if name.endswith(".json"):
+            json.load(open(os.path.join(log_dir, name)))  # must not raise
+
+
+def test_vacuum_respects_retention_and_orphan_floor(tmp_path):
+    t = str(tmp_path / "vac")
+    _touch(t, "live.parquet")
+    _touch(t, "dead.parquet")
+    snapshots.commit(t, adds=["live.parquet", "dead.parquet"])
+    snapshots.commit(t, removes=["dead.parquet"])
+    _touch(t, "orphan.parquet")  # staged by a 'crashed writer', fresh
+
+    # long retention: nothing reclaimed
+    assert snapshots.vacuum(t, retention_s=3600) == (0, 0)
+    assert os.path.exists(os.path.join(t, "dead.parquet"))
+
+    # zero retention: the tombstone goes; the FRESH orphan survives the
+    # ORPHAN_MIN_AGE floor (it may be an in-flight append's staging)
+    deleted, orphans = snapshots.vacuum(t, retention_s=0)
+    assert deleted == 1 and orphans == 0
+    assert not os.path.exists(os.path.join(t, "dead.parquet"))
+    assert os.path.exists(os.path.join(t, "orphan.parquet"))
+    assert "dead.parquet" not in snapshots.latest(t).tombstones
+
+    # an OLD orphan is reclaimed once past the floor
+    old = os.path.join(t, "orphan.parquet")
+    past = time.time() - snapshots.ORPHAN_MIN_AGE_S - 10
+    os.utime(old, (past, past))
+    deleted, orphans = snapshots.vacuum(t, retention_s=0)
+    assert orphans == 1 and not os.path.exists(old)
+
+
+def test_vacuum_prunes_emptied_partition_dirs(tmp_path):
+    t = str(tmp_path / "prune")
+    _touch(t, "series_id=a/time_bucket=0/f.parquet")
+    _touch(t, "series_id=b/time_bucket=0/g.parquet")
+    snapshots.commit(
+        t,
+        adds=["series_id=a/time_bucket=0/f.parquet", "series_id=b/time_bucket=0/g.parquet"],
+    )
+    snapshots.commit(t, removes=["series_id=a/time_bucket=0/f.parquet"])
+    snapshots.vacuum(t, retention_s=0)
+    assert not os.path.isdir(os.path.join(t, "series_id=a"))
+    assert os.path.isdir(os.path.join(t, "series_id=b"))
+    assert os.path.isdir(os.path.join(t, "_zest_log"))  # the log stays
+
+
+# --------------------------------------------------- store-level paths
+
+
+def test_concurrent_store_appends_both_land(spark, tmp_path):
+    """Lock-free append concurrency end-to-end: two threads appending
+    to the same TS table through the same store race only on the
+    manifest CAS — both batches must be readable afterward."""
+    from zestdb_spark.storage import ZestStore
+
+    st = ZestStore(spark, str(tmp_path / "races"))
+    st.write_numeric("seed", {"value": 0.0}, 1)  # create table + manifest
+    errs = []
+
+    def write(series: str, base: int) -> None:
+        try:
+            for i in range(3):
+                st.write_numeric(series, {"value": float(i)}, base + i)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=write, args=("x", 1000))
+    t2 = threading.Thread(target=write, args=("y", 2000))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs
+    rows = st.load("ts_numeric").count()
+    assert rows == 7
+
+
+def test_legacy_store_upgrades_in_place(spark, tmp_path):
+    """A table written with plain parquet appends (no _zest_log — the
+    pre-manifest layout) reads via the directory fallback; its first
+    write through the store bootstraps the manifest WITHOUT losing the
+    legacy rows."""
+    import shutil
+
+    from zestdb_spark.storage import ZestStore
+
+    root = str(tmp_path / "upgrade")
+    st = ZestStore(spark, root)
+    st.write_numeric("a", {"value": 1.0}, 1000)
+    st.write_numeric("a", {"value": 2.0}, 2000)
+    # simulate the legacy layout: drop the log
+    shutil.rmtree(os.path.join(root, "ts_numeric", "_zest_log"))
+    assert snapshots.latest(os.path.join(root, "ts_numeric")) is None
+    assert st.load("ts_numeric").count() == 2  # directory fallback
+
+    st.write_numeric("a", {"value": 3.0}, 3000)  # bootstraps
+    snap = snapshots.latest(os.path.join(root, "ts_numeric"))
+    assert snap is not None and len(snap.files) == 3
+    assert sorted(r.value for r in st.load("ts_numeric").collect()) == [1.0, 2.0, 3.0]
+
+
+def test_append_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """An append killed between staging its files and committing the
+    manifest contributes NOTHING to reads (atomic multi-partition
+    appends — the plain-parquet layout could expose a partial batch)."""
+    from zestdb_spark.storage import ZestStore
+
+    st = ZestStore(spark, str(tmp_path / "appcrash"))
+    st.write_numeric("a", {"value": 1.0}, 1000)
+
+    real_commit = ZestStore._commit
+
+    def crash(self, table, adds=(), removes=()):
+        raise RuntimeError("simulated crash before the append commit")
+
+    monkeypatch.setattr(ZestStore, "_commit", crash)
+    with pytest.raises(RuntimeError):
+        st.write_numeric("a", {"value": 2.0}, 90_000_000)
+    monkeypatch.setattr(ZestStore, "_commit", real_commit)
+
+    assert [r.value for r in st.load("ts_numeric").collect()] == [1.0]
+    # the retried append converges; the orphaned staged file stays
+    # invisible until vacuum reclaims it
+    st.write_numeric("a", {"value": 2.0}, 90_000_000)
+    assert sorted(r.value for r in st.load("ts_numeric").collect()) == [1.0, 2.0]

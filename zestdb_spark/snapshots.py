@@ -1,0 +1,248 @@
+"""Snapshot manifest log: atomic cross-partition commits over parquet.
+
+The reference gets transactional table state from git/Irmin — every
+write is a commit, readers see a consistent tree, and nothing is ever
+half-visible (src/timeseries/shard.re:9-11 ``Store.add``, the Irmin
+repo per store). The parquet emulation in storage.py had per-PARTITION
+atomicity (leaf-dir swaps) but not cross-partition snapshot isolation:
+a reader overlapping a multi-partition delete could see partition A
+new and partition B old. This module closes that gap with the public
+table-format recipe (Delta/Iceberg, simplified to a single node):
+
+- A table's live state is defined by a MANIFEST — a JSON file under
+  ``<table>/_zest_log/`` listing every live data file (relative path).
+  Readers resolve the highest version and read exactly those files;
+  Spark ignores the ``_zest_log`` dir in any directory-based scan
+  (``_``-prefixed paths are invisible to it).
+- Writers stage new data files into the table tree first (unreferenced
+  = invisible), then COMMIT by publishing version N+1 via
+  ``os.link(tmp, final)`` — an atomic create-if-absent of a fully
+  written file, so a manifest is either absent or complete, and two
+  racing committers get a clean CAS conflict (FileExistsError) instead
+  of a torn log. Appends retry the CAS merging their adds; rewrites
+  are additionally serialized by storage.py's per-table lock.
+- Removed files are TOMBSTONED in the manifest (with a removal
+  timestamp), not deleted: an in-flight reader pinned to version N
+  keeps reading its exact file set. ``vacuum`` physically deletes
+  tombstones past a retention window and orphans (staged files whose
+  commit never happened), exactly Delta's VACUUM contract.
+
+Version files are full snapshots, not deltas: one read resolves the
+table, one write commits it. That is O(live files) metadata per commit
+— the honest single-node trade; at cluster scale the same design
+swaps in delta entries + periodic checkpoints (what Delta's JSON log
+does) without touching callers, which is the point of keeping this
+behind ZestStore's ``_commit``/``_manifest_files`` seam.
+
+This module is deliberately Spark-free (pure stdlib) so the tail
+source (sources/tail_source.py) can resolve snapshots inside executor
+tasks without a session.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+import uuid
+
+_LOG_DIR = "_zest_log"
+_V_FMT = "v%012d.json"
+_V_PREFIX = "v"
+_V_SUFFIX = ".json"
+
+#: default tombstone/orphan retention before vacuum may delete (s) —
+#: long enough that any reasonable local query pinned to an old
+#: snapshot has finished (Delta defaults to 7 days for multi-writer
+#: clusters; a single-node store's queries are minutes, not days)
+DEFAULT_RETENTION_S = 600.0
+
+#: floor on ORPHAN age regardless of the caller's retention: a staged
+#: file of an in-flight APPEND (appends are lock-free) is an orphan
+#: until its commit lands, so an aggressive vacuum(retention_s=0) must
+#: not eat it out from under the committer. Tombstoned files have no
+#: such race — once tombstoned they are never re-referenced.
+ORPHAN_MIN_AGE_S = 600.0
+
+
+class Snapshot:
+    """One resolved manifest version."""
+
+    __slots__ = ("version", "files", "tombstones")
+
+    def __init__(self, version: int, files: list[str], tombstones: dict[str, int]):
+        self.version = version
+        self.files = files  # sorted relative paths, the live file set
+        self.tombstones = tombstones  # relpath -> removal time (ms)
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first (CAS miss)."""
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG_DIR)
+
+
+def list_data_files(table_dir: str) -> list[str]:
+    """Walk the table tree for data files (bootstrap listing for tables
+    written before the log existed). ``_``/``.`` names are skipped at
+    every level — the same visibility rule Spark applies."""
+    out = []
+    for dirpath, dirs, names in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in names:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), table_dir)
+                )
+    return sorted(out)
+
+
+def latest(table_dir: str) -> "Snapshot | None":
+    """Resolve the highest committed version, or None when the table
+    has no log (pre-manifest layout or never written)."""
+    d = _log_dir(table_dir)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return None
+    best = -1
+    for n in names:
+        if n.startswith(_V_PREFIX) and n.endswith(_V_SUFFIX):
+            with contextlib.suppress(ValueError):
+                best = max(best, int(n[len(_V_PREFIX):-len(_V_SUFFIX)]))
+    if best < 0:
+        return None
+    with open(os.path.join(d, _V_FMT % best)) as f:
+        doc = json.load(f)
+    return Snapshot(best, doc["files"], doc.get("tombstones", {}))
+
+
+def commit(
+    table_dir: str,
+    adds: "list[str]" = (),
+    removes: "list[str]" = (),
+    drop_tombstones: "list[str]" = (),
+    max_retries: int = 50,
+) -> Snapshot:
+    """Publish the next version: live files = (current − removes) +
+    adds; removed files join the tombstone map stamped now;
+    ``drop_tombstones`` prunes records whose files vacuum physically
+    deleted. First commit on a pre-log table bootstraps from a tree
+    walk, so existing stores upgrade in place on their next write.
+
+    CAS loop: on FileExistsError the current head moved — re-resolve
+    and retry on top of it. Concurrent APPENDS therefore merge (both
+    file sets land); REWRITES must hold the table's writer lock (they
+    do — storage.py) since their removes are computed from a read."""
+    d = _log_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    for _ in range(max_retries):
+        cur = latest(table_dir)
+        if cur is None:
+            base_files = list_data_files(table_dir)
+            # the bootstrap listing must not claim files we are adding
+            # in this same commit (they are already on disk by now)
+            base_files = [f for f in base_files if f not in set(adds)]
+            version, tombstones = 0, {}
+        else:
+            base_files, version, tombstones = cur.files, cur.version + 1, dict(cur.tombstones)
+        removed = set(removes)
+        now = int(time.time() * 1000)
+        for r in removed:
+            tombstones[r] = now
+        for t in drop_tombstones:
+            tombstones.pop(t, None)
+        files = sorted((set(base_files) - removed) | set(adds))
+        doc = {
+            "version": version,
+            "created_ms": now,
+            "files": files,
+            "tombstones": tombstones,
+        }
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(d, _V_FMT % version)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
+            return Snapshot(version, files, tombstones)
+        except FileExistsError:
+            continue  # CAS miss — somebody else published this version
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+    raise CommitConflict(f"could not commit to {table_dir} after {max_retries} attempts")
+
+
+def vacuum(
+    table_dir: str, retention_s: float = DEFAULT_RETENTION_S
+) -> "tuple[int, int]":
+    """Physically delete (a) tombstoned files whose removal is older
+    than ``retention_s`` and (b) ORPHANS — data files on disk that no
+    manifest references and whose mtime is older than ``retention_s``
+    (a crashed writer staged them but never committed). Old manifest
+    versions past retention are pruned too. Prunes emptied partition
+    dirs. Returns (files_deleted, orphans_deleted). No-op without a
+    log (nothing defines liveness, so nothing is provably dead)."""
+    snap = latest(table_dir)
+    if snap is None:
+        return (0, 0)
+    now = time.time()
+    cutoff_ms = (now - retention_s) * 1000
+    dead = [p for p, t in snap.tombstones.items() if t <= cutoff_ms]
+    deleted = []
+    for rel in dead:
+        with contextlib.suppress(OSError):
+            os.unlink(os.path.join(table_dir, rel))
+        deleted.append(rel)
+    live = set(snap.files)
+    tomb = set(snap.tombstones)
+    orphans = 0
+    orphan_age = max(retention_s, ORPHAN_MIN_AGE_S)
+    for rel in list_data_files(table_dir):
+        if rel in live or rel in tomb:
+            continue
+        full = os.path.join(table_dir, rel)
+        with contextlib.suppress(OSError):
+            if os.path.getmtime(full) <= now - orphan_age:
+                os.unlink(full)
+                orphans += 1
+    if deleted:
+        commit(table_dir, drop_tombstones=deleted)
+    # manifests older than the newest one covering the retention window
+    # can no longer be a reader's pin — prune them
+    d = _log_dir(table_dir)
+    for n in sorted(os.listdir(d)):
+        if not (n.startswith(_V_PREFIX) and n.endswith(_V_SUFFIX)):
+            if n.startswith(".tmp-"):
+                full = os.path.join(d, n)
+                with contextlib.suppress(OSError):
+                    if os.path.getmtime(full) <= now - orphan_age:
+                        os.unlink(full)
+            continue
+        try:
+            v = int(n[len(_V_PREFIX):-len(_V_SUFFIX)])
+        except ValueError:
+            continue
+        full = os.path.join(d, n)
+        with contextlib.suppress(OSError):
+            if v < snap.version and os.path.getmtime(full) <= now - retention_s:
+                os.unlink(full)
+    _prune_empty_dirs(table_dir)
+    return (len(deleted), orphans)
+
+
+def _prune_empty_dirs(table_dir: str) -> None:
+    """Remove partition dirs emptied by deletion, bottom-up; the table
+    root and the log dir stay."""
+    for dirpath, _dirs, _names in os.walk(table_dir, topdown=False):
+        if dirpath == table_dir or os.path.basename(dirpath) == _LOG_DIR:
+            continue
+        with contextlib.suppress(OSError):
+            if not os.listdir(dirpath):  # re-check: children deleted above
+                os.rmdir(dirpath)

@@ -108,9 +108,30 @@ class ZestTailReader(DataSourceReader):
         self.series = list(dict.fromkeys(series_opt.split(","))) if series_opt else None
 
     def partitions(self):
+        cols = _LAYOUTS[self.table][0]
+        # snapshot-manifest stores (the normal case): plan EXACTLY the
+        # manifest's live file set — a dir walk would resurrect
+        # tombstoned files a delete already committed away. The legacy
+        # walk remains only for pre-manifest layouts.
+        from zestdb_spark import snapshots
+
+        snap = snapshots.latest(self.root)
+        if snap is not None:
+            by_series: dict[str, list[str]] = {}
+            for rel in snap.files:
+                head, _, _ = rel.partition("/")
+                if head.startswith("series_id="):
+                    by_series.setdefault(
+                        unquote(head[len("series_id="):]), []
+                    ).append(os.path.join(self.root, rel))
+            wanted = self.series if self.series is not None else sorted(by_series)
+            return [
+                _SeriesTail(s, sorted(by_series[s]), self.n, self.mode, cols)
+                for s in wanted
+                if s in by_series
+            ]
         dirs = _series_dirs(self.root)
         wanted = self.series if self.series is not None else sorted(dirs)
-        cols = _LAYOUTS[self.table][0]
         # missing series plan to zero partitions — empty result, like the
         # reference's empty-shard read (not an error)
         return [
@@ -129,6 +150,19 @@ class ZestTailReader(DataSourceReader):
         newest = partition.mode == "last"
         order = "descending" if newest else "ascending"
         nulls = "at_end" if newest else "at_start"
+
+        # canonical (nullable) arrow schema for the data columns: files
+        # written by different jobs may disagree on NULLABILITY alone
+        # (a rewrite's survivor files come out non-null after a filter),
+        # and concat_tables is strict about it — cast unifies
+        _types = {
+            "timestamp": pa.int64(),
+            "value": pa.float64(),
+            "tag_name": pa.string(),
+            "tag_value": pa.string(),
+            "data": pa.string(),
+        }
+        canonical = pa.schema([pa.field(c, _types[c]) for c in partition.cols])
 
         # footer pass: (boundary stat, file, row-group index) in read
         # order — newest-max first for 'last', oldest-min first for
@@ -178,7 +212,7 @@ class ZestTailReader(DataSourceReader):
                 if count >= partition.n and cutoff is not None and past_cutoff(bound, cutoff):
                     break
                 t = open_files[path].read_row_group(g, columns=list(partition.cols))
-                batches.append(t)
+                batches.append(t.cast(canonical))
                 count += t.num_rows
                 if count >= partition.n:
                     all_ts = pa.concat_tables(batches)["timestamp"]

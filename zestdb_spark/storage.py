@@ -12,9 +12,15 @@ partitioned by ``series_id`` and a derived daily ``time_bucket``, so
   reference's overlap-merge (timeseries.re:64-111).
 
 Would be Delta/Iceberg on a real cluster (ACID appends, MERGE,
-DELETE); the jars aren't in this image, so writes emulate: append =
-parquet append, upsert/delete = partition-scoped rewrite. The API is
-format-agnostic — swap ``_write``/``_rewrite`` for table-format calls
+DELETE); the jars aren't in this image, so the store carries its own
+single-node table format: every write stages parquet files into the
+table tree (invisible), then publishes an atomic snapshot manifest
+(zestdb_spark/snapshots.py — the Delta-log recipe, full-listing
+variant). Readers resolve one manifest and see a CONSISTENT
+cross-partition snapshot; rewrites tombstone replaced files instead
+of deleting them, so overlapping readers keep their pinned file set
+(``vacuum`` reclaims past a retention window). The API is
+format-agnostic — swap the stage/commit seam for table-format calls
 without touching callers.
 
 Ingest validation enforces the reference's numeric-TS schema
@@ -31,6 +37,7 @@ import numbers
 import os
 import shutil
 import time
+import uuid
 from typing import Any, Optional
 from urllib.parse import unquote
 
@@ -38,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zestdb_spark import schema as S
+from zestdb_spark import snapshots
 from zestdb_spark.errors import BadRequest, StoreBusy
 
 #: ms per day — time_bucket = timestamp div this (daily partitions)
@@ -57,6 +65,16 @@ _TABLES = {
 #: tables whose stored rows carry a hidden ``write_id`` provenance stamp
 #: (pruned from canonical ``load()``; see ``load_with_provenance``)
 _STAMPED = ("ts_numeric", "ts_blob")
+
+#: tables under snapshot-manifest control (snapshots.py): the DATA
+#: tables, whose rewrites need cross-partition atomicity. The two
+#: append-only logs (audit, write_log) stay plain parquet-append dirs:
+#: they are never rewritten, and the audit log is a Structured
+#: Streaming file source (streaming/observe.py), which watches a
+#: directory, not a manifest.
+_MANIFESTED = frozenset(
+    ("ts_numeric", "ts_blob", "kv_json", "kv_text", "kv_binary", "catalog_items")
+)
 
 
 def now_ms() -> int:
@@ -103,6 +121,7 @@ class ZestStore:
         #: set per-request by the engine facade, consumed by mutations
         self._ctx: Optional[tuple[str, str, str, Optional[str]]] = None
         self._write_seq: Optional[int] = None
+        self._seq_lock = __import__("threading").Lock()
         self._server = __import__("socket").gethostname()
 
     def _path(self, table: str) -> str:
@@ -158,11 +177,43 @@ class ZestStore:
             with contextlib.suppress(OSError):
                 os.unlink(path)
 
+    def _snapshot(self, table: str) -> "snapshots.Snapshot | None":
+        """Current manifest of a manifested table (None = no log yet —
+        a pre-manifest layout or a never-written table)."""
+        if table not in _MANIFESTED:
+            return None
+        return snapshots.latest(self._path(table))
+
     def _exists(self, table: str) -> bool:
+        snap = self._snapshot(table)
+        if snap is not None:
+            return bool(snap.files)
         p = self._path(table)
         return os.path.isdir(p) and any(
             not f.startswith((".", "_")) for f in os.listdir(p)
         )
+
+    def _read_table(self, table: str) -> DataFrame:
+        """Full-read-schema frame of a table. Manifested tables read
+        EXACTLY the manifest's file set (one consistent snapshot,
+        pinned at DataFrame creation — a rewrite committing later
+        cannot tear this read because its replaced files are
+        tombstoned, not deleted, until vacuum); unmanifested tables
+        fall back to the directory scan."""
+        path = self._path(table)
+        schema = self._read_schema(table)
+        snap = self._snapshot(table)
+        if snap is not None:
+            if not snap.files:
+                return self.spark.createDataFrame([], schema)
+            return (
+                self.spark.read.schema(schema)
+                .option("basePath", path)
+                .parquet(*[os.path.join(path, f) for f in snap.files])
+            )
+        if not self._exists(table):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
 
     def load(self, table: str) -> DataFrame:
         """Read a table (empty frame with the right schema if unwritten).
@@ -170,10 +221,9 @@ class ZestStore:
         the canonical schema."""
         if table not in _TABLES:
             raise KeyError(table)
-        if not self._exists(table):
-            return self.spark.createDataFrame([], _TABLES[table])
-        df = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
-        return df.select(*[f.name for f in _TABLES[table].fields])
+        return self._read_table(table).select(
+            *[f.name for f in _TABLES[table].fields]
+        )
 
     def _read_schema(self, table: str):
         base = _TABLES[table]
@@ -196,12 +246,9 @@ class ZestStore:
         per-commit provenance message (src/prov.re:38-46)."""
         if table not in _STAMPED:
             raise KeyError(f"{table!r} rows are not provenance-stamped")
-        if not self._exists(table):
-            return self.spark.createDataFrame([], self._read_schema(table)).select(
-                *[f.name for f in _TABLES[table].fields], "write_id"
-            )
-        df = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
-        return df.select(*[f.name for f in _TABLES[table].fields], "write_id")
+        return self._read_table(table).select(
+            *[f.name for f in _TABLES[table].fields], "write_id"
+        )
 
     # --------------------------------------------------------- bucketing
 
@@ -267,15 +314,18 @@ class ZestStore:
 
     def _next_write_id(self) -> int:
         """Monotonic batch id, seeded from the durable log (single-writer
-        facade, like the reference's one-server-per-store Irmin repo)."""
-        if self._write_seq is None:
-            if self._exists("write_log"):
-                row = self.load("write_log").agg(F.max("write_id")).first()
-                self._write_seq = int(row[0] or 0)
-            else:
-                self._write_seq = 0
-        self._write_seq += 1
-        return self._write_seq
+        facade, like the reference's one-server-per-store Irmin repo);
+        the lock keeps ids unique across this store's lock-free
+        concurrent appenders."""
+        with self._seq_lock:
+            if self._write_seq is None:
+                if self._exists("write_log"):
+                    row = self.load("write_log").agg(F.max("write_id")).first()
+                    self._write_seq = int(row[0] or 0)
+                else:
+                    self._write_seq = 0
+            self._write_seq += 1
+            return self._write_seq
 
     def _log_write(self, table: str, n_rows: Optional[int], wid: Optional[int] = None) -> int:
         """Append one write_log row for a mutation on ``table`` under the
@@ -289,49 +339,114 @@ class ZestStore:
             wid = self._next_write_id()
         method, path, client, fmt = self._ctx or ("DIRECT", f"/{table}", "local", None)
         rec = (wid, now_ms(), self._server, client, method, path, fmt, table, n_rows)
-        self.spark.createDataFrame([rec], S.WRITE_LOG).write.mode("append").parquet(
-            self._path("write_log")
-        )
+        self._append_log("write_log", self.spark.createDataFrame([rec], S.WRITE_LOG))
         return wid
 
 
-    # -------------------------------------------- partition-dir plumbing
-    # Parquet emulation of table-format partition-scoped commits: writes
-    # land in a .tmp dir, then only the touched Hive-style partition
-    # dirs are swapped into the live table. With Delta/Iceberg on the
-    # classpath this whole block becomes MERGE/DELETE and goes away.
+    # ------------------------------------------- stage/commit plumbing
+    # The single-node table format (snapshots.py): writes STAGE parquet
+    # files into the live tree (unreferenced = invisible to manifest
+    # readers), then COMMIT an atomic manifest naming the new live file
+    # set. With Delta/Iceberg on the classpath this whole block becomes
+    # MERGE/DELETE/OPTIMIZE and goes away.
 
     @staticmethod
-    def _part_dirs(path: str, col: str):
-        """(decoded value, full path) for ``col=<escaped>`` dirs under
-        ``path`` — decoding via percent-unquote, the same escaping Spark
-        (Hive ``escapePathName``) applies when writing."""
-        prefix = col + "="
-        if not os.path.isdir(path):
-            return
-        for name in sorted(os.listdir(path)):
-            full = os.path.join(path, name)
-            if name.startswith(prefix) and os.path.isdir(full):
-                yield unquote(name[len(prefix):]), full
+    def _rel_parts(rel: str) -> dict[str, str]:
+        """Decoded partition values encoded in a manifest relpath
+        (``series_id=a/time_bucket=3/part-...parquet`` →
+        {'series_id': 'a', 'time_bucket': '3'}) — percent-unquote, the
+        same escaping Spark (Hive ``escapePathName``) applies when
+        writing, so comparisons happen on DECODED values, never on a
+        re-escape that might disagree byte-for-byte."""
+        out = {}
+        for comp in rel.split("/")[:-1]:
+            col, eq, val = comp.partition("=")
+            if eq:
+                out[col] = unquote(val)
+        return out
 
-    @classmethod
-    def _promote_partitions(cls, tmp: str, real: str) -> None:
-        """Move every partition dir written under ``tmp`` into ``real``,
-        replacing same-named dirs; recurses so nested layouts
-        (series_id=X/time_bucket=N) replace at the leaf level."""
+    def _stage_move(
+        self, table: str, df: DataFrame, partition_cols=(), dest_rel: str = ""
+    ) -> list[str]:
+        """Write ``df`` into the table tree invisibly: stage under a
+        dot-dir (never scanned), then move each data file into its
+        partition location (or under ``dest_rel`` for writes whose
+        frame does not carry the partition columns — compaction).
+        Returns the added relpaths for the commit. A crash at any
+        point here leaves only unreferenced files — readers are
+        untouched, vacuum reclaims the orphans."""
+        real = self._path(table)
+        stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(stage)
+        adds = []
+        try:
+            for rel in snapshots.list_data_files(stage):
+                src = os.path.join(stage, rel)
+                if dest_rel:
+                    rel = f"{dest_rel}/{rel}"
+                dst = os.path.join(real, rel)
+                if os.path.exists(dst):
+                    # Spark part-file names carry a per-job UUID, so this
+                    # is near-impossible; disambiguate rather than clobber
+                    head, ext = os.path.splitext(rel)
+                    rel = f"{head}-{uuid.uuid4().hex[:8]}{ext}"
+                    dst = os.path.join(real, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                adds.append(rel)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _commit(
+        self, table: str, adds=(), removes=()
+    ) -> "snapshots.Snapshot":
+        return snapshots.commit(self._path(table), list(adds), list(removes))
+
+    def _append_log(self, table: str, df: DataFrame) -> None:
+        """Append to an UNMANIFESTED log table (audit, write_log) via a
+        unique staging dir + file moves. A shared-directory
+        ``mode('append')`` would race on the FileOutputCommitter's
+        one-per-table ``_temporary`` scratch dir when two lock-free
+        writers append at once; per-job staging gives each append its
+        own scratch, and the moved files are immediately visible to
+        both batch dir-scans and the streaming file source."""
+        real = self._path(table)
+        stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(stage)
         os.makedirs(real, exist_ok=True)
-        for name in sorted(os.listdir(tmp)):
-            src = os.path.join(tmp, name)
-            if "=" not in name or not os.path.isdir(src):
-                continue
-            dst = os.path.join(real, name)
-            if os.path.isdir(dst):
-                if any("=" in s for s in os.listdir(src)):
-                    cls._promote_partitions(src, dst)
-                    continue
-                shutil.rmtree(dst)
-            shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            for rel in snapshots.list_data_files(stage):
+                dst = os.path.join(real, rel)
+                if os.path.exists(dst):
+                    head, ext = os.path.splitext(rel)
+                    dst = os.path.join(real, f"{head}-{uuid.uuid4().hex[:8]}{ext}")
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(stage, rel), dst)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def _live_files(self, table: str) -> list[str]:
+        """The table's live file set, bootstrapping the manifest from
+        the directory layout on first contact (pre-manifest stores
+        upgrade in place here) — called by REWRITES before computing
+        their removes, under the table lock."""
+        snap = self._snapshot(table)
+        if snap is None:
+            snap = self._commit(table)
+        return snap.files
+
+    def vacuum(self, table: str, retention_s: float = snapshots.DEFAULT_RETENTION_S):
+        """Physically reclaim tombstoned files and crashed-writer
+        orphans older than ``retention_s`` (the Delta VACUUM contract:
+        readers pinned to a snapshot newer than the retention window
+        are safe; see snapshots.vacuum for the append-orphan floor)."""
+        if table not in _MANIFESTED:
+            raise KeyError(f"{table!r} is not under snapshot control")
+        return snapshots.vacuum(self._path(table), retention_s)
 
     # ------------------------------------------------------------- writes
 
@@ -351,14 +466,18 @@ class ZestStore:
         rows = rows.select(
             *[F.col(f.name).cast(f.dataType) for f in _TABLES[table].fields]
         )
-        (
+        stamped = (
             rows.withColumn("time_bucket", F.col("timestamp") / _DAY_MS)
             .withColumn("time_bucket", F.col("time_bucket").cast("long"))
             .withColumn("write_id", F.lit(wid))
-            .write.mode("append")
-            .partitionBy("series_id", "time_bucket")
-            .parquet(self._path(table))
         )
+        # stage + commit: the whole batch becomes visible in ONE
+        # manifest publish (an atomic multi-partition append — a crash
+        # mid-append leaves invisible orphans, never a partial batch),
+        # and concurrent appends merge through the commit CAS without
+        # taking the rewrite lock (appends commute)
+        adds = self._stage_move(table, stamped, ("series_id", "time_bucket"))
+        self._commit(table, adds=adds)
         self._log_write(table, n_rows, wid)
 
     def write_numeric(
@@ -395,42 +514,32 @@ class ZestStore:
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         """Whole-table rewrite (catalog only — href-keyed, control-plane
-        sized). Write-to-tmp then atomic swap: never overwrite the dir a
-        lazy plan is still reading from (an evicted cache block would
-        otherwise recompute from the half-truncated source)."""
-        tmp = self._path(table) + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        real = self._path(table)
-        if os.path.isdir(real):
-            shutil.rmtree(real)
-        os.rename(tmp, real)
+        sized). Stage the replacement, then one commit swaps the whole
+        live set: a lazy plan pinned to the old snapshot keeps reading
+        its (tombstoned, still present) files."""
+        old = self._live_files(table)
+        adds = self._stage_move(table, df)
+        self._commit(table, adds=adds, removes=old)
 
     def _rewrite_kv_namespace(self, table: str, id_: str, new_rows: DataFrame) -> None:
         """Replace ONE ``id=<id_>`` partition of an id-partitioned KV
-        table with ``new_rows`` — every other namespace's files are
-        untouched (the reference's per-namespace git tree writes;
-        MERGE INTO on a real table format).
+        table with ``new_rows`` — every other namespace's files stay
+        live and byte-identical (the reference's per-namespace git tree
+        writes; MERGE INTO on a real table format).
 
-        Crash ordering: promote FIRST (the per-dir replace inside
-        _promote_partitions removes the old dir only once its
-        replacement exists next to it), THEN prune the live dir in the
-        emptied-namespace case. A crash mid-sequence leaves either the
-        old or the new namespace readable — never a window where the
-        only copy of committed keys has been rmtree'd before its
-        replacement landed (the old delete-then-promote order lost the
-        whole namespace if the process died between the two)."""
-        tmp = self._path(table) + ".tmp"
-        new_rows.write.mode("overwrite").partitionBy("id").parquet(tmp)
-        real = self._path(table)
-        tmp_ids = {val for val, _ in self._part_dirs(tmp, "id")}
-        self._promote_partitions(tmp, real)
-        if id_ not in tmp_ids:
-            # namespace emptied (delete_all / last-key delete): nothing
-            # replaced its dir, so prune it now; a crash before this
-            # point leaves the delete un-applied but loses no data
-            for val, full in self._part_dirs(real, "id"):
-                if val == id_:
-                    shutil.rmtree(full)
+        Crash contract: the staged replacement is invisible until the
+        single manifest commit, which atomically swaps the namespace's
+        old files for the new — a crash at ANY point leaves the
+        namespace fully old or fully new, never absent and never
+        mixed. The emptied-namespace case (delete_all / last-key
+        delete) is just a commit with no adds."""
+        old = [
+            rel
+            for rel in self._live_files(table)
+            if self._rel_parts(rel).get("id") == id_
+        ]
+        adds = self._stage_move(table, new_rows, ("id",))
+        self._commit(table, adds=adds, removes=old)
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
         """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
@@ -466,9 +575,18 @@ class ZestStore:
             *[F.col(f.name).cast(f.dataType) for f in _TABLES[table].fields]
         )
         with self._rewrite_lock(table):
-            tmp = self._path(table) + ".tmp"
-            sel.write.mode("overwrite").partitionBy("id").parquet(tmp)
-            self._promote_partitions(tmp, self._path(table))
+            old = self._live_files(table)
+            adds = self._stage_move(table, sel, ("id",))
+            batch_ids = {self._rel_parts(rel).get("id") for rel in adds}
+            self._commit(
+                table,
+                adds=adds,
+                removes=[
+                    rel
+                    for rel in old
+                    if self._rel_parts(rel).get("id") in batch_ids
+                ],
+            )
         self._log_write(table, None)
 
     def kv_delete(self, kind: str, id_: str, key: Optional[str] = None) -> None:
@@ -535,36 +653,30 @@ class ZestStore:
     def _ts_delete_rewrite(self, table, plan, compat_collateral, part_cond, affected):
         from zestdb_spark.operators import ts_delete as del_ops
 
-        full = self.spark.read.schema(self._read_schema(table)).parquet(self._path(table))
+        live = self._live_files(table)
+        full = self._read_table(table)
         survivors = del_ops.delete_plan(full.filter(part_cond), plan, compat_collateral)
 
-        tmp = self._path(table) + ".tmp"
-        survivors.write.mode("overwrite").partitionBy("series_id", "time_bucket").parquet(tmp)
+        # Stage the survivor files for the affected leaves, then ONE
+        # manifest commit swaps every affected leaf's old files for the
+        # survivors — including leaves the survivors did not cover
+        # (every row deleted). Torn-window contract (pinned by
+        # tests/test_durability.py): a crash before the commit leaves
+        # the table fully OLD (staged files are unreferenced); the
+        # commit is a single atomic publish, so the delete lands
+        # cross-partition-ATOMICALLY — no reader can ever see series A
+        # deleted but series B not. Re-running a crashed delete
+        # converges (idempotent); rows are never part-written.
+        adds = self._stage_move(table, survivors, ("series_id", "time_bucket"))
 
-        # Promote the survivor leaves FIRST, then drop affected leaves
-        # the survivors did NOT cover (every row deleted) — the same
-        # ordering as _rewrite_kv_namespace. Torn-window contract
-        # (pinned by tests/test_durability.py): a crash before
-        # promotion leaves the table fully OLD (the .tmp sibling is
-        # invisible to reads); promotion itself swaps whole leaf dirs,
-        # so each (series, bucket) partition reads fully old or fully
-        # new, never a mix of files; a crash between promotion and the
-        # empty-leaf sweep leaves fully-emptied partitions still
-        # holding their old rows — re-running the same delete converges
-        # (delete is idempotent). Rows are never part-written.
-        real = self._path(table)
-        promoted = {
-            (series, int(bucket))
-            for series, sdir in self._part_dirs(tmp, "series_id")
-            for bucket, _ in self._part_dirs(sdir, "time_bucket")
-        }
-        self._promote_partitions(tmp, real)
-        for series, series_dir in self._part_dirs(real, "series_id"):
-            for bucket, bucket_dir in self._part_dirs(series_dir, "time_bucket"):
-                if affected(series, int(bucket)) and (series, int(bucket)) not in promoted:
-                    shutil.rmtree(bucket_dir)
-            if not any(self._part_dirs(series_dir, "time_bucket")):
-                shutil.rmtree(series_dir)
+        def is_affected(rel: str) -> bool:
+            parts = self._rel_parts(rel)
+            try:
+                return affected(parts["series_id"], int(parts["time_bucket"]))
+            except (KeyError, ValueError):
+                return False
+
+        self._commit(table, adds=adds, removes=[r for r in live if is_affected(r)])
 
     def compact(self, table: str, target_files: int = 1) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
@@ -596,56 +708,42 @@ class ZestStore:
             ]
         )
         real = self._path(table)
-        # staging lives OUTSIDE the table tree: a partition-dir
-        # lookalike like 'time_bucket=0.tmp' inside the series dir
-        # would be picked up by _part_dirs / Spark partition discovery
-        # (and int() on its value) if a crash left it. The old-rows dir
-        # PRESERVES the series_id=/time_bucket= structure, so crash
-        # recovery is just promoting it back into the table.
-        tmp = os.path.join(self.root, f".compact_tmp_{table}")
-        old_root = os.path.join(self.root, f".compact_old_{table}")
         with self._rewrite_lock(table):
-            if os.path.isdir(old_root):
-                # a previous compact() crashed mid-swap: restore its rows
-                # FIRST (worst case the leaf exists too and gets replaced
-                # by the identical-row uncompacted copy — rows never lost)
-                self._promote_partitions(old_root, real)
-            shutil.rmtree(tmp, ignore_errors=True)
-
+            live = self._live_files(table)
+            leaves: dict[str, list[str]] = {}
+            for rel in live:
+                leaves.setdefault(os.path.dirname(rel), []).append(rel)
             done = 0
-            for series, series_dir in self._part_dirs(real, "series_id"):
-                for bucket, leaf in self._part_dirs(series_dir, "time_bucket"):
-                    files = [
-                        f
-                        for f in os.listdir(leaf)
-                        if f.endswith(".parquet") and not f.startswith(("_", "."))
-                    ]
-                    if len(files) <= target_files:
-                        continue
-                    (
-                        self.spark.read.schema(leaf_schema)
-                        .parquet(leaf)
-                        .coalesce(target_files)
-                        .write.mode("overwrite")
-                        .parquet(tmp)
-                    )
-                    old_leaf = os.path.join(
-                        old_root, os.path.basename(series_dir), os.path.basename(leaf)
-                    )
-                    os.makedirs(os.path.dirname(old_leaf), exist_ok=True)
-                    # two atomic renames; a crash in between leaves the
-                    # rows intact under .compact_old_* and the NEXT
-                    # compact() promotes them back — no window loses data
-                    os.rename(leaf, old_leaf)
-                    os.rename(tmp, leaf)
-                    shutil.rmtree(old_leaf)
-                    done += 1
-            shutil.rmtree(old_root, ignore_errors=True)
+            adds: list[str] = []
+            removes: list[str] = []
+            for leaf_rel, files in sorted(leaves.items()):
+                if not leaf_rel or len(files) <= target_files:
+                    continue
+                merged = (
+                    self.spark.read.schema(leaf_schema)
+                    .parquet(*[os.path.join(real, f) for f in files])
+                    .coalesce(target_files)
+                )
+                adds += self._stage_move(table, merged, dest_rel=leaf_rel)
+                removes += files
+                done += 1
+            if done:
+                # ONE commit swaps every compacted leaf atomically; a
+                # crash anywhere before it leaves the table fully old
+                # (staged files are unreferenced — rows never lost, and
+                # re-running converges). The replaced files are byte-
+                # duplicates of content still live, so compact — the
+                # explicit OPTIMIZE-style maintenance op — reclaims
+                # them (and any older tombstones) immediately; readers
+                # pinned to pre-compact snapshots must finish inside
+                # the vacuum retention they were promised, which an
+                # immediate maintenance vacuum intentionally waives
+                # (exactly Delta's OPTIMIZE + VACUUM 0 HOURS posture).
+                self._commit(table, adds=adds, removes=removes)
+                self.vacuum(table, retention_s=0.0)
         return done
 
     def audit_append(self, record: tuple) -> None:
         """Append one audit row (timestamp, server, client, method,
         path, code) — src/server.re:74-107."""
-        self.spark.createDataFrame([record], S.AUDIT).write.mode("append").parquet(
-            self._path("audit")
-        )
+        self._append_log("audit", self.spark.createDataFrame([record], S.AUDIT))
