@@ -224,6 +224,30 @@ def _del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric")
 
 
+def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the correctness gate: bulk-ingest the events
+    mapping, note the snapshot version the manifest log published
+    (zestdb_spark/snapshots.py — the reference's store is a git repo
+    where every write is a commit, so reading an old tree is native
+    there, src/timeseries/shard.re:9-11), DELETE a filtered range, then
+    read the table back AS OF the pre-delete version. The pinned
+    snapshot must be exactly the full pre-delete ingest — the oracle is
+    the plain full-scan SQL over events."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_tt_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    pre_delete = eng.store.history("ts_numeric")[0].version
+    eng.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}/filter/k/equals/7")
+    return eng.store.load("ts_numeric", version=pre_delete)
+
+
 def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST-ingest (streaming/ingest.py) under the correctness gate:
     replay the events mapping through Structured Streaming — file
@@ -570,6 +594,12 @@ _KV_SQL = {
     # boundaries the file source picks, the store ends up with exactly
     # the input rows
     "stream_ingest_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
+    """,
+    # a read pinned to the pre-delete snapshot version sees the FULL
+    # ingest, bit-for-bit, no matter what the later delete removed
+    "snap_time_travel": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
     """,
@@ -2647,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["prov_write_join"] = _prov_write_join
     out["src_tail_last_n"] = _src_tail_last_n
     out["del_roundtrip"] = _del_roundtrip
+    out["snap_time_travel"] = _snap_time_travel
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip

@@ -157,7 +157,7 @@ def test_compact_crash_recovery_restores_rows(spark, tmp_path, monkeypatch):
 
     real_commit = ZestStore._commit
 
-    def crash(self, table, adds=(), removes=()):
+    def crash(self, table, adds=(), removes=(), op=""):
         raise RuntimeError("simulated crash before the compact commit")
 
     monkeypatch.setattr(ZestStore, "_commit", crash)
@@ -231,7 +231,7 @@ def test_ts_delete_torn_write_reads_old_then_converges(spark, tmp_path, monkeypa
 
     real_commit = ZestStore._commit
 
-    def crash(self, table, adds=(), removes=()):
+    def crash(self, table, adds=(), removes=(), op=""):
         raise RuntimeError("simulated crash before the delete commit")
 
     monkeypatch.setattr(ZestStore, "_commit", crash)

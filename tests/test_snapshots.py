@@ -145,6 +145,48 @@ def test_vacuum_prunes_emptied_partition_dirs(tmp_path):
     assert os.path.isdir(os.path.join(t, "_zest_log"))  # the log stays
 
 
+def test_history_and_read_version(tmp_path):
+    t = str(tmp_path / "hist")
+    _touch(t, "f1.parquet")
+    snapshots.commit(t, adds=["f1.parquet"], op="append")
+    _touch(t, "f2.parquet")
+    snapshots.commit(t, adds=["f2.parquet"], op="append")
+    snapshots.commit(t, removes=["f1.parquet"], op="delete")
+    hist = snapshots.history(t)
+    assert [s.version for s in hist] == [2, 1, 0]
+    assert [s.op for s in hist] == ["delete", "append", "append"]
+    assert all(s.created_ms > 0 for s in hist)
+    assert snapshots.read_version(t, 1).files == ["f1.parquet", "f2.parquet"]
+    assert snapshots.read_version(t, 99) is None
+
+
+def test_readd_prunes_tombstone(tmp_path):
+    """A file re-added by a later commit (restore) is live again — its
+    tombstone must go, or vacuum would delete live data."""
+    t = str(tmp_path / "readd")
+    _touch(t, "f1.parquet")
+    snapshots.commit(t, adds=["f1.parquet"])
+    snapshots.commit(t, removes=["f1.parquet"])
+    snap = snapshots.commit(t, adds=["f1.parquet"], op="restore")
+    assert snap.files == ["f1.parquet"] and "f1.parquet" not in snap.tombstones
+    snapshots.vacuum(t, retention_s=0)
+    assert os.path.exists(os.path.join(t, "f1.parquet"))
+
+
+def test_aggressive_vacuum_keeps_recent_manifests(tmp_path):
+    """compact's retention_s=0 vacuum reclaims tombstoned BYTES but
+    must not erase the recent history log (manifests keep the
+    orphan-age floor)."""
+    t = str(tmp_path / "keeplog")
+    _touch(t, "f1.parquet")
+    _touch(t, "f2.parquet")
+    snapshots.commit(t, adds=["f1.parquet"])
+    snapshots.commit(t, adds=["f2.parquet"], removes=["f1.parquet"])
+    snapshots.vacuum(t, retention_s=0)
+    assert not os.path.exists(os.path.join(t, "f1.parquet"))  # bytes gone
+    assert len(snapshots.history(t)) >= 2  # fresh manifests retained
+
+
 # --------------------------------------------------- store-level paths
 
 
@@ -209,7 +251,7 @@ def test_append_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
 
     real_commit = ZestStore._commit
 
-    def crash(self, table, adds=(), removes=()):
+    def crash(self, table, adds=(), removes=(), op=""):
         raise RuntimeError("simulated crash before the append commit")
 
     monkeypatch.setattr(ZestStore, "_commit", crash)
@@ -222,3 +264,53 @@ def test_append_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
     # invisible until vacuum reclaims it
     st.write_numeric("a", {"value": 2.0}, 90_000_000)
     assert sorted(r.value for r in st.load("ts_numeric").collect()) == [1.0, 2.0]
+
+
+def test_time_travel_and_restore(spark, tmp_path):
+    """load(version=) pins a past snapshot; restore() rolls back as a
+    NEW commit (history is never rewritten) and can itself be undone."""
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.errors import BadRequest
+
+    eng = ZestEngine(spark, str(tmp_path / "tt"))
+    st = eng.store
+    day = 86_400_000
+    eng.post("/ts/a/at/100", {"value": 1.0})             # v0
+    eng.post(f"/ts/a/at/{day + 100}", {"value": 2.0})    # v1
+    eng.delete("/ts/a/since/0")                          # v2: empty
+
+    assert st.load("ts_numeric").count() == 0
+    assert [r.value for r in st.load("ts_numeric", version=0).collect()] == [1.0]
+    assert sorted(
+        r.value for r in st.load("ts_numeric", version=1).collect()
+    ) == [1.0, 2.0]
+
+    ops = {s.version: s.op for s in st.history("ts_numeric")}
+    assert ops[0] == "append" and ops[2] == "delete"
+
+    snap = st.restore("ts_numeric", 1)
+    assert snap.op == "restore"
+    assert sorted(r.value for r in st.load("ts_numeric").collect()) == [1.0, 2.0]
+    # the rollback is itself a commit — roll IT back too
+    st.restore("ts_numeric", 2)
+    assert st.load("ts_numeric").count() == 0
+
+    with pytest.raises(BadRequest):
+        st.load("ts_numeric", version=99)
+
+
+def test_time_travel_fails_loudly_after_vacuum(spark, tmp_path):
+    """A version whose files were reclaimed must refuse the read/restore
+    upfront, not fail deep in a scan."""
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.errors import BadRequest
+
+    eng = ZestEngine(spark, str(tmp_path / "ttv"))
+    st = eng.store
+    eng.post("/ts/a/at/100", {"value": 1.0})   # v0
+    eng.delete("/ts/a/since/0")                # v1: tombstones v0's file
+    st.vacuum("ts_numeric", retention_s=0.0)   # reclaims the bytes
+    with pytest.raises(BadRequest, match="reclaimed"):
+        st.load("ts_numeric", version=0).collect()
+    with pytest.raises(BadRequest, match="reclaimed"):
+        st.restore("ts_numeric", 0)

@@ -27,6 +27,15 @@ table-format recipe (Delta/Iceberg, simplified to a single node):
   tombstones past a retention window and orphans (staged files whose
   commit never happened), exactly Delta's VACUUM contract.
 
+- Retained versions double as HISTORY: each manifest records when and
+  by which operation it was published (``op``), ``history`` lists the
+  commit log, a reader can pin any surviving version (time travel —
+  Delta's VERSION AS OF), and ``ZestStore.restore`` rolls back by
+  committing an old file set forward, never rewriting the log — the
+  git-like semantics the reference gets natively from Irmin (every
+  write there IS a git commit). History depth is bounded by vacuum's
+  manifest retention.
+
 Version files are full snapshots, not deltas: one read resolves the
 table, one write commits it. That is O(live files) metadata per commit
 — the honest single-node trade; at cluster scale the same design
@@ -69,12 +78,21 @@ ORPHAN_MIN_AGE_S = 600.0
 class Snapshot:
     """One resolved manifest version."""
 
-    __slots__ = ("version", "files", "tombstones")
+    __slots__ = ("version", "files", "tombstones", "created_ms", "op")
 
-    def __init__(self, version: int, files: list[str], tombstones: dict[str, int]):
+    def __init__(
+        self,
+        version: int,
+        files: list[str],
+        tombstones: dict[str, int],
+        created_ms: int = 0,
+        op: str = "",
+    ):
         self.version = version
         self.files = files  # sorted relative paths, the live file set
         self.tombstones = tombstones  # relpath -> removal time (ms)
+        self.created_ms = created_ms
+        self.op = op  # what published it: append/delete/compact/...
 
 
 class CommitConflict(Exception):
@@ -100,24 +118,55 @@ def list_data_files(table_dir: str) -> list[str]:
     return sorted(out)
 
 
-def latest(table_dir: str) -> "Snapshot | None":
-    """Resolve the highest committed version, or None when the table
-    has no log (pre-manifest layout or never written)."""
-    d = _log_dir(table_dir)
+def _versions(table_dir: str) -> list[int]:
+    """Committed version numbers still on disk, ascending (old ones
+    may have been pruned by vacuum — history is retention-bounded)."""
     try:
-        names = os.listdir(d)
+        names = os.listdir(_log_dir(table_dir))
     except FileNotFoundError:
-        return None
-    best = -1
+        return []
+    out = []
     for n in names:
         if n.startswith(_V_PREFIX) and n.endswith(_V_SUFFIX):
             with contextlib.suppress(ValueError):
-                best = max(best, int(n[len(_V_PREFIX):-len(_V_SUFFIX)]))
-    if best < 0:
+                out.append(int(n[len(_V_PREFIX):-len(_V_SUFFIX)]))
+    return sorted(out)
+
+
+def read_version(table_dir: str, version: int) -> "Snapshot | None":
+    """Load one specific manifest version (None = never committed, or
+    pruned by vacuum past its retention)."""
+    try:
+        with open(os.path.join(_log_dir(table_dir), _V_FMT % version)) as f:
+            doc = json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
         return None
-    with open(os.path.join(d, _V_FMT % best)) as f:
-        doc = json.load(f)
-    return Snapshot(best, doc["files"], doc.get("tombstones", {}))
+    return Snapshot(
+        version,
+        doc["files"],
+        doc.get("tombstones", {}),
+        doc.get("created_ms", 0),
+        doc.get("op", ""),
+    )
+
+
+def latest(table_dir: str) -> "Snapshot | None":
+    """Resolve the highest committed version, or None when the table
+    has no log (pre-manifest layout or never written)."""
+    vs = _versions(table_dir)
+    return read_version(table_dir, vs[-1]) if vs else None
+
+
+def history(table_dir: str) -> "list[Snapshot]":
+    """Every retained manifest version, newest first — the table's
+    commit log (the reference reads the same story from `git log` on
+    its Irmin store; Delta calls this DESCRIBE HISTORY). Bounded by
+    vacuum's manifest retention."""
+    return [
+        s
+        for v in reversed(_versions(table_dir))
+        if (s := read_version(table_dir, v)) is not None
+    ]
 
 
 def commit(
@@ -126,6 +175,7 @@ def commit(
     removes: "list[str]" = (),
     drop_tombstones: "list[str]" = (),
     max_retries: int = 50,
+    op: str = "",
 ) -> Snapshot:
     """Publish the next version: live files = (current − removes) +
     adds; removed files join the tombstone map stamped now;
@@ -156,12 +206,18 @@ def commit(
         for t in drop_tombstones:
             tombstones.pop(t, None)
         files = sorted((set(base_files) - removed) | set(adds))
+        # a re-added file (restore to an old version) is LIVE again —
+        # its tombstone must go, or a later vacuum would delete it
+        for f in files:
+            tombstones.pop(f, None)
         doc = {
             "version": version,
             "created_ms": now,
             "files": files,
             "tombstones": tombstones,
         }
+        if op:
+            doc["op"] = op
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -170,7 +226,7 @@ def commit(
         final = os.path.join(d, _V_FMT % version)
         try:
             os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
-            return Snapshot(version, files, tombstones)
+            return Snapshot(version, files, tombstones, now, op)
         except FileExistsError:
             continue  # CAS miss — somebody else published this version
         finally:
@@ -213,10 +269,14 @@ def vacuum(
                 os.unlink(full)
                 orphans += 1
     if deleted:
-        commit(table_dir, drop_tombstones=deleted)
+        commit(table_dir, drop_tombstones=deleted, op="vacuum")
     # manifests older than the newest one covering the retention window
-    # can no longer be a reader's pin — prune them
+    # can no longer be a reader's pin — prune them. They keep the
+    # orphan-age floor regardless of the caller's data retention, so an
+    # aggressive maintenance vacuum (compact's retention_s=0) reclaims
+    # bytes without erasing the recent history/time-travel log.
     d = _log_dir(table_dir)
+    manifest_age = max(retention_s, ORPHAN_MIN_AGE_S)
     for n in sorted(os.listdir(d)):
         if not (n.startswith(_V_PREFIX) and n.endswith(_V_SUFFIX)):
             if n.startswith(".tmp-"):
@@ -231,7 +291,7 @@ def vacuum(
             continue
         full = os.path.join(d, n)
         with contextlib.suppress(OSError):
-            if v < snap.version and os.path.getmtime(full) <= now - retention_s:
+            if v < snap.version and os.path.getmtime(full) <= now - manifest_age:
                 os.unlink(full)
     _prune_empty_dirs(table_dir)
     return (len(deleted), orphans)

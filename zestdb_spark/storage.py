@@ -193,16 +193,39 @@ class ZestStore:
             not f.startswith((".", "_")) for f in os.listdir(p)
         )
 
-    def _read_table(self, table: str) -> DataFrame:
+    def _read_table(self, table: str, version: Optional[int] = None) -> DataFrame:
         """Full-read-schema frame of a table. Manifested tables read
         EXACTLY the manifest's file set (one consistent snapshot,
         pinned at DataFrame creation — a rewrite committing later
         cannot tear this read because its replaced files are
         tombstoned, not deleted, until vacuum); unmanifested tables
-        fall back to the directory scan."""
+        fall back to the directory scan. ``version`` pins a PAST
+        manifest (time travel — Delta's VERSION AS OF; the reference's
+        store is a git repo where every write is a commit, so reading
+        an old tree is native there, shard.re:9-11). Past versions are
+        readable while their manifests and tombstoned files survive
+        vacuum's retention; a reclaimed version fails loudly here, not
+        deep in a scan."""
         path = self._path(table)
         schema = self._read_schema(table)
-        snap = self._snapshot(table)
+        if version is not None:
+            if table not in _MANIFESTED:
+                raise BadRequest(f"{table!r} is not under snapshot control")
+            snap = snapshots.read_version(path, version)
+            if snap is None:
+                raise BadRequest(
+                    f"{table!r} has no readable version {version} "
+                    "(never committed, or pruned by vacuum)"
+                )
+            gone = [f for f in snap.files if not os.path.exists(os.path.join(path, f))]
+            if gone:
+                raise BadRequest(
+                    f"version {version} of {table!r} is no longer readable: "
+                    f"{len(gone)} of its files were reclaimed by vacuum "
+                    f"(first: {gone[0]!r})"
+                )
+        else:
+            snap = self._snapshot(table)
         if snap is not None:
             if not snap.files:
                 return self.spark.createDataFrame([], schema)
@@ -215,13 +238,14 @@ class ZestStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
-    def load(self, table: str) -> DataFrame:
+    def load(self, table: str, version: Optional[int] = None) -> DataFrame:
         """Read a table (empty frame with the right schema if unwritten).
         The partition columns are pruned back out so callers always see
-        the canonical schema."""
+        the canonical schema. ``version`` time-travels to a past
+        snapshot (see ``_read_table``)."""
         if table not in _TABLES:
             raise KeyError(table)
-        return self._read_table(table).select(
+        return self._read_table(table, version).select(
             *[f.name for f in _TABLES[table].fields]
         )
 
@@ -239,14 +263,16 @@ class ZestStore:
             )
         return base
 
-    def load_with_provenance(self, table: str) -> DataFrame:
+    def load_with_provenance(
+        self, table: str, version: Optional[int] = None
+    ) -> DataFrame:
         """Canonical columns plus the ``write_id`` provenance stamp —
         join against ``load('write_log')`` for per-row (who, how, which
         path, when) lineage, the analytic equivalent of the reference's
         per-commit provenance message (src/prov.re:38-46)."""
         if table not in _STAMPED:
             raise KeyError(f"{table!r} rows are not provenance-stamped")
-        return self._read_table(table).select(
+        return self._read_table(table, version).select(
             *[f.name for f in _TABLES[table].fields], "write_id"
         )
 
@@ -402,9 +428,11 @@ class ZestStore:
         return adds
 
     def _commit(
-        self, table: str, adds=(), removes=()
+        self, table: str, adds=(), removes=(), op: str = ""
     ) -> "snapshots.Snapshot":
-        return snapshots.commit(self._path(table), list(adds), list(removes))
+        return snapshots.commit(
+            self._path(table), list(adds), list(removes), op=op
+        )
 
     def _append_log(self, table: str, df: DataFrame) -> None:
         """Append to an UNMANIFESTED log table (audit, write_log) via a
@@ -436,8 +464,55 @@ class ZestStore:
         their removes, under the table lock."""
         snap = self._snapshot(table)
         if snap is None:
-            snap = self._commit(table)
+            snap = self._commit(table, op="bootstrap")
         return snap.files
+
+    def history(self, table: str) -> "list[snapshots.Snapshot]":
+        """The table's retained commit log, newest first (version,
+        created_ms, op, live file set) — the reference reads the same
+        story from `git log` on its Irmin store; Delta calls it
+        DESCRIBE HISTORY. Bounded by vacuum's manifest retention."""
+        if table not in _MANIFESTED:
+            raise KeyError(f"{table!r} is not under snapshot control")
+        return snapshots.history(self._path(table))
+
+    def restore(self, table: str, version: int) -> "snapshots.Snapshot":
+        """Roll the table back to a past snapshot as a NEW commit
+        (Delta's RESTORE; `git revert` on the reference's store —
+        history is never rewritten, the rollback is itself a commit
+        and can be rolled back again). Fails loudly if the target
+        version's manifest or any of its files were already reclaimed
+        by vacuum. Takes the rewrite lock: a restore races with
+        rewrites like any other rewrite."""
+        if table not in _MANIFESTED:
+            raise KeyError(f"{table!r} is not under snapshot control")
+        path = self._path(table)
+        with self._rewrite_lock(table):
+            target = snapshots.read_version(path, version)
+            if target is None:
+                raise BadRequest(
+                    f"{table!r} has no restorable version {version} "
+                    "(never committed, or pruned by vacuum)"
+                )
+            gone = [
+                f for f in target.files if not os.path.exists(os.path.join(path, f))
+            ]
+            if gone:
+                raise BadRequest(
+                    f"version {version} of {table!r} is no longer restorable: "
+                    f"{len(gone)} of its files were reclaimed by vacuum "
+                    f"(first: {gone[0]!r})"
+                )
+            live = set(self._live_files(table))
+            want = set(target.files)
+            snap = self._commit(
+                table,
+                adds=sorted(want - live),
+                removes=sorted(live - want),
+                op="restore",
+            )
+        self._log_write(table, None)
+        return snap
 
     def vacuum(self, table: str, retention_s: float = snapshots.DEFAULT_RETENTION_S):
         """Physically reclaim tombstoned files and crashed-writer
@@ -477,7 +552,7 @@ class ZestStore:
         # and concurrent appends merge through the commit CAS without
         # taking the rewrite lock (appends commute)
         adds = self._stage_move(table, stamped, ("series_id", "time_bucket"))
-        self._commit(table, adds=adds)
+        self._commit(table, adds=adds, op="append")
         self._log_write(table, n_rows, wid)
 
     def write_numeric(
@@ -519,9 +594,11 @@ class ZestStore:
         its (tombstoned, still present) files."""
         old = self._live_files(table)
         adds = self._stage_move(table, df)
-        self._commit(table, adds=adds, removes=old)
+        self._commit(table, adds=adds, removes=old, op="overwrite")
 
-    def _rewrite_kv_namespace(self, table: str, id_: str, new_rows: DataFrame) -> None:
+    def _rewrite_kv_namespace(
+        self, table: str, id_: str, new_rows: DataFrame, op: str = "upsert"
+    ) -> None:
         """Replace ONE ``id=<id_>`` partition of an id-partitioned KV
         table with ``new_rows`` — every other namespace's files stay
         live and byte-identical (the reference's per-namespace git tree
@@ -539,7 +616,7 @@ class ZestStore:
             if self._rel_parts(rel).get("id") == id_
         ]
         adds = self._stage_move(table, new_rows, ("id",))
-        self._commit(table, adds=adds, removes=old)
+        self._commit(table, adds=adds, removes=old, op=op)
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
         """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
@@ -586,6 +663,7 @@ class ZestStore:
                     for rel in old
                     if self._rel_parts(rel).get("id") in batch_ids
                 ],
+                op="upsert",
             )
         self._log_write(table, None)
 
@@ -598,7 +676,9 @@ class ZestStore:
             return
         with self._rewrite_lock(table):
             ns = self.load(table).filter(F.col("id") == id_)
-            self._rewrite_kv_namespace(table, id_, kv_ops.delete(ns, id_, key))
+            self._rewrite_kv_namespace(
+                table, id_, kv_ops.delete(ns, id_, key), op="delete"
+            )
         self._log_write(table, None)
 
     def catalog_upsert(self, item: dict) -> None:
@@ -676,7 +756,12 @@ class ZestStore:
             except (KeyError, ValueError):
                 return False
 
-        self._commit(table, adds=adds, removes=[r for r in live if is_affected(r)])
+        self._commit(
+            table,
+            adds=adds,
+            removes=[r for r in live if is_affected(r)],
+            op="delete",
+        )
 
     def compact(self, table: str, target_files: int = 1) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
@@ -739,7 +824,7 @@ class ZestStore:
                 # the vacuum retention they were promised, which an
                 # immediate maintenance vacuum intentionally waives
                 # (exactly Delta's OPTIMIZE + VACUUM 0 HOURS posture).
-                self._commit(table, adds=adds, removes=removes)
+                self._commit(table, adds=adds, removes=removes, op="compact")
                 self.vacuum(table, retention_s=0.0)
         return done
 
