@@ -107,3 +107,48 @@ def test_windowed_rollup_streaming(spark, tmp_path):
         assert out[("s2", 0)] == (1, 5.0)
     finally:
         q.stop()
+
+
+def test_data_stream_ignores_rewrites(spark, tmp_path):
+    """Observers are an APPEND-event stream, like the reference's
+    per-POST notifications (src/server.re:778-793): a delete's survivor
+    files and a compaction's merged files re-materialize rows that were
+    already announced, and must NOT re-notify a live observer."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "obsrw"))
+    day = 86_400_000
+    for t in (100, 200, 300):
+        eng.post(f"/ts/a/at/{t}", {"value": float(t)})
+    q = observe.start_data_stream(
+        spark,
+        eng.store._path("ts_numeric"),
+        eng.store._read_schema("ts_numeric"),
+        query_name="data_rw",
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM data_rw").count() == 3
+
+        # a PARTIAL delete rewrites the two surviving rows into rw-*
+        # files: the observer must see NOTHING new (the survivors were
+        # announced when they were appended)
+        eng.delete("/ts/a/range/150/250")
+        assert eng.store.load("ts_numeric").count() == 2  # survivors live
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM data_rw").count() == 3
+
+        # compaction likewise re-materializes without re-notifying
+        eng.post("/ts/a/at/400", {"value": 9.0})  # 2+ files in bucket 0
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM data_rw").count() == 4
+        eng.store.compact("ts_numeric")
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM data_rw").count() == 4
+
+        # and a genuine post-maintenance APPEND still notifies
+        eng.post(f"/ts/b/at/{3 * day}", {"value": 7.0})
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM data_rw").count() == 5
+    finally:
+        q.stop()

@@ -392,7 +392,12 @@ class ZestStore:
         return out
 
     def _stage_move(
-        self, table: str, df: DataFrame, partition_cols=(), dest_rel: str = ""
+        self,
+        table: str,
+        df: DataFrame,
+        partition_cols=(),
+        dest_rel: str = "",
+        rewrite: bool = False,
     ) -> list[str]:
         """Write ``df`` into the table tree invisibly: stage under a
         dot-dir (never scanned), then move each data file into its
@@ -400,7 +405,15 @@ class ZestStore:
         frame does not carry the partition columns — compaction).
         Returns the added relpaths for the commit. A crash at any
         point here leaves only unreferenced files — readers are
-        untouched, vacuum reclaims the orphans."""
+        untouched, vacuum reclaims the orphans.
+
+        ``rewrite=True`` renames the files ``rw-*`` instead of Spark's
+        ``part-*``: rewrites (delete survivors, upsert namespaces,
+        compactions, restores) re-materialize rows that were already
+        announced to observers, and the data-observe stream
+        (streaming/observe.py) globs ``part-*`` so only genuine APPENDS
+        notify — the reference's observers fire per POST, never on
+        maintenance (src/server.re:778-793)."""
         real = self._path(table)
         stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
         writer = df.write.mode("overwrite")
@@ -411,6 +424,9 @@ class ZestStore:
         try:
             for rel in snapshots.list_data_files(stage):
                 src = os.path.join(stage, rel)
+                if rewrite:
+                    head, base = os.path.split(rel)
+                    rel = os.path.join(head, f"rw-{base.removeprefix('part-')}")
                 if dest_rel:
                     rel = f"{dest_rel}/{rel}"
                 dst = os.path.join(real, rel)
@@ -593,7 +609,7 @@ class ZestStore:
         live set: a lazy plan pinned to the old snapshot keeps reading
         its (tombstoned, still present) files."""
         old = self._live_files(table)
-        adds = self._stage_move(table, df)
+        adds = self._stage_move(table, df, rewrite=True)
         self._commit(table, adds=adds, removes=old, op="overwrite")
 
     def _rewrite_kv_namespace(
@@ -615,7 +631,7 @@ class ZestStore:
             for rel in self._live_files(table)
             if self._rel_parts(rel).get("id") == id_
         ]
-        adds = self._stage_move(table, new_rows, ("id",))
+        adds = self._stage_move(table, new_rows, ("id",), rewrite=True)
         self._commit(table, adds=adds, removes=old, op=op)
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
@@ -653,7 +669,7 @@ class ZestStore:
         )
         with self._rewrite_lock(table):
             old = self._live_files(table)
-            adds = self._stage_move(table, sel, ("id",))
+            adds = self._stage_move(table, sel, ("id",), rewrite=True)
             batch_ids = {self._rel_parts(rel).get("id") for rel in adds}
             self._commit(
                 table,
@@ -747,7 +763,9 @@ class ZestStore:
         # cross-partition-ATOMICALLY — no reader can ever see series A
         # deleted but series B not. Re-running a crashed delete
         # converges (idempotent); rows are never part-written.
-        adds = self._stage_move(table, survivors, ("series_id", "time_bucket"))
+        adds = self._stage_move(
+            table, survivors, ("series_id", "time_bucket"), rewrite=True
+        )
 
         def is_affected(rel: str) -> bool:
             parts = self._rel_parts(rel)
@@ -809,7 +827,7 @@ class ZestStore:
                     .parquet(*[os.path.join(real, f) for f in files])
                     .coalesce(target_files)
                 )
-                adds += self._stage_move(table, merged, dest_rel=leaf_rel)
+                adds += self._stage_move(table, merged, dest_rel=leaf_rel, rewrite=True)
                 removes += files
                 done += 1
             if done:

@@ -163,9 +163,17 @@ def start_data_stream(
 ):
     """ST1 at scale: one filtered Structured Streaming query per
     observer over an append log of writes. The engine's parquet append
-    dirs are valid streaming sources as-is."""
+    dirs are valid streaming sources as-is. The ``part-*`` glob admits
+    only APPEND outputs: rewrites (delete survivors, upserts,
+    compactions) re-materialize already-announced rows under ``rw-*``
+    names (storage.py ``_stage_move``), and the reference's observers
+    fire per POST, never on maintenance (src/server.re:778-793)."""
     name = query_name or f"data_obs_{next(_counter)}"
-    stream = spark.readStream.schema(schema).parquet(log_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part-*")
+        .parquet(log_dir)
+    )
     if path is not None:
         stream = stream.filter(_path_predicate(path))
     return (
