@@ -2608,8 +2608,13 @@ GRADED_WINDOW: list[str] = [
     # the KV delete (D3) and observation-sink (S8/ST1) round trips gain
     # DIRECT driver evidence — the last two §2 items whose grading was
     # indirect. Both demoted rows stay oracle-exact in selfcheck.
+    # Round-7 swap #2: ts_range (P4 — same read machinery as graded P3
+    # ts_since plus one bound) demoted to the tail so the snapshot
+    # table format's flagship — time travel to a pre-delete version —
+    # carries DIRECT driver evidence (S7 storage format, the r6
+    # verdict's one remaining storage gap, now closed)
     "ts_latest_multi", "kv_del_roundtrip", "ts_first_n_multi",
-    "ts_since", "ts_range",
+    "ts_since", "snap_time_travel",
     "filter_equals", "observe_roundtrip",
     # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
     # agg family keeps FIVE graded rows: count, mean, sd, li_range_sum,
