@@ -248,6 +248,29 @@ def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric", version=pre_delete)
 
 
+def _snap_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed under the correctness gate: ingest the events
+    mapping, DELETE a filtered range, then ask the store what changed
+    between the pre- and post-delete snapshot versions
+    (ZestStore.changes — the net row diff read from churned manifest
+    files only). The feed must be exactly the deleted rows flagged
+    'delete' — survivors the rewrite re-materialized must cancel out —
+    so the oracle is the deleted predicate itself."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_cdf_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    pre = eng.store.history("ts_numeric")[0].version
+    eng.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}")
+    return eng.store.changes("ts_numeric", pre)
+
+
 def _stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST-ingest (streaming/ingest.py) under the correctness gate:
     replay the events mapping through Structured Streaming — file
@@ -602,6 +625,15 @@ _KV_SQL = {
     "snap_time_travel": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
+    """,
+    # the change feed across the delete is exactly the deleted rows
+    # (unfiltered range — the window edges cut day-buckets mid-file, so
+    # the rewrite re-materializes survivors that MUST cancel out)
+    "snap_changes": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT *, 'delete' AS _change_type FROM ts
+      WHERE series_id IN ('click', 'view')
+        AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15}
     """,
     # a data observer over the store's append dir sees exactly the
     # written rows
@@ -2683,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["src_tail_last_n"] = _src_tail_last_n
     out["del_roundtrip"] = _del_roundtrip
     out["snap_time_travel"] = _snap_time_travel
+    out["snap_changes"] = _snap_changes
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip

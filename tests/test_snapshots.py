@@ -384,3 +384,53 @@ def test_log_matches_model_under_random_op_sequences(ops):
     final = snapshots.latest(root)
     if final is not None:
         assert not final.tombstones
+
+
+def test_change_feed_appends_deletes_and_compaction(spark, tmp_path):
+    """changes(from, to) is the NET row diff: appends are inserts, a
+    partial delete reports ONLY the removed rows (survivors a rewrite
+    re-materialized cancel out), and compaction — pure re-layout —
+    reports nothing."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "cdf"))
+    st = eng.store
+    for t in (100, 200, 300):
+        eng.post(f"/ts/a/at/{t}", {"value": float(t)})
+    v_loaded = st.history("ts_numeric")[0].version
+
+    # append-only range: all inserts, no comparison needed
+    cf = st.changes("ts_numeric", 0, v_loaded)
+    got = {(r.timestamp, r._change_type) for r in cf.collect()}
+    assert got == {(200, "insert"), (300, "insert")}
+
+    # partial delete: exactly the removed row, as a delete
+    eng.delete("/ts/a/range/150/250")
+    v_del = st.history("ts_numeric")[0].version
+    cf = st.changes("ts_numeric", v_loaded, v_del)
+    assert [(r.timestamp, r.value, r._change_type) for r in cf.collect()] == [
+        (200, 200.0, "delete")
+    ]
+
+    # compaction (bytes retained) is invisible to the feed
+    eng.post("/ts/a/at/400", {"value": 400.0})
+    st.compact("ts_numeric", vacuum_retention_s=3600)
+    v_now = st.history("ts_numeric")[0].version
+    got = {(r.timestamp, r._change_type) for r in st.changes("ts_numeric", v_del, v_now).collect()}
+    assert got == {(400, "insert")}
+
+    # full span collapses to the net content change
+    got = {(r.timestamp, r._change_type) for r in st.changes("ts_numeric", 0).collect()}
+    assert got == {(300, "insert"), (400, "insert")}
+
+
+def test_change_feed_refuses_vacuumed_range(spark, tmp_path):
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.errors import BadRequest
+
+    eng = ZestEngine(spark, str(tmp_path / "cdfv"))
+    eng.post("/ts/a/at/100", {"value": 1.0})
+    eng.delete("/ts/a/since/0")
+    eng.store.vacuum("ts_numeric", retention_s=0.0)
+    with pytest.raises(BadRequest, match="reclaimed"):
+        eng.store.changes("ts_numeric", 0, 1).collect()

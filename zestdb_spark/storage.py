@@ -530,6 +530,84 @@ class ZestStore:
         self._log_write(table, None)
         return snap
 
+    def _read_files(self, table: str, files: "list[str]") -> DataFrame:
+        """Full-read-schema frame over an explicit file subset of a
+        table (the churned-files fast path for ``changes``)."""
+        schema = self._read_schema(table)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        path = self._path(table)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*[os.path.join(path, f) for f in files])
+        )
+
+    def changes(
+        self, table: str, from_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """NET row-level change feed between two snapshot versions
+        (Delta's collapsed change data feed): canonical columns plus a
+        ``_change_type`` of ``insert`` or ``delete``. The incremental-
+        pipeline primitive — a downstream consumer processes only what
+        changed since the version it last saw, never rescanning the
+        table.
+
+        Cost ∝ CHURNED files only: the endpoint manifests are diffed,
+        and only files added or removed across the range are read.
+        Rows a rewrite merely re-materialized (delete survivors,
+        compaction output) appear bit-identically in both the added
+        and removed file sets, so the multiset difference
+        (``exceptAll``) cancels them exactly (the diff is NET table
+        content: a delete+identical-reinsert inside the range
+        correctly nets to nothing); an
+        append-only range short-circuits to a plain scan of the new
+        files with no comparison at all. Both endpoint versions must
+        still be within vacuum's retention (loud refusal otherwise,
+        like time travel)."""
+        if table not in _MANIFESTED:
+            raise BadRequest(f"{table!r} is not under snapshot control")
+        path = self._path(table)
+        snaps = {}
+        for v in (from_version, to_version):
+            if v is None:
+                snap = self._snapshot(table)
+                if snap is None:
+                    raise BadRequest(f"{table!r} has no snapshot log yet")
+            else:
+                snap = snapshots.read_version(path, v)
+                if snap is None:
+                    raise BadRequest(
+                        f"{table!r} has no readable version {v} "
+                        "(never committed, or pruned by vacuum)"
+                    )
+            snaps[v] = snap
+        a, b = snaps[from_version], snaps[to_version]
+        added = sorted(set(b.files) - set(a.files))
+        removed = sorted(set(a.files) - set(b.files))
+        gone = [
+            f
+            for f in (*added, *removed)
+            if not os.path.exists(os.path.join(path, f))
+        ]
+        if gone:
+            raise BadRequest(
+                f"changes {a.version}->{b.version} of {table!r} are no longer "
+                f"readable: {len(gone)} churned files were reclaimed by "
+                f"vacuum (first: {gone[0]!r})"
+            )
+        cols = [f.name for f in _TABLES[table].fields]
+        new_rows = self._read_files(table, added).select(*cols)
+        old_rows = self._read_files(table, removed).select(*cols)
+        if not removed:  # append-only range: every new-file row inserts
+            inserts, deletes = new_rows, old_rows
+        else:
+            inserts = new_rows.exceptAll(old_rows)
+            deletes = old_rows.exceptAll(new_rows)
+        return inserts.withColumn("_change_type", F.lit("insert")).unionAll(
+            deletes.withColumn("_change_type", F.lit("delete"))
+        )
+
     def vacuum(self, table: str, retention_s: float = snapshots.DEFAULT_RETENTION_S):
         """Physically reclaim tombstoned files and crashed-writer
         orphans older than ``retention_s`` (the Delta VACUUM contract:
@@ -781,7 +859,12 @@ class ZestStore:
             op="delete",
         )
 
-    def compact(self, table: str, target_files: int = 1) -> int:
+    def compact(
+        self,
+        table: str,
+        target_files: int = 1,
+        vacuum_retention_s: float = 0.0,
+    ) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
         partition's small files down to ``target_files`` — the
         reference's shard overlap-merge (timeseries.re:64-111), which
@@ -789,6 +872,12 @@ class ZestStore:
         shards; here it's an explicit OPTIMIZE-style pass (per-write
         appends accumulate one file per request, like one git commit
         per shard write).
+
+        ``vacuum_retention_s=0`` (default) reclaims the replaced
+        byte-duplicates immediately; pass a positive retention to keep
+        them, which preserves time travel / ``changes()`` readability
+        across the compaction boundary (Delta's documented
+        VACUUM-breaks-CDF hazard, same trade).
 
         Partition-scoped like ts_delete: only leaves with more than
         ``target_files`` data files are re-read and atomically swapped;
@@ -843,7 +932,7 @@ class ZestStore:
                 # immediate maintenance vacuum intentionally waives
                 # (exactly Delta's OPTIMIZE + VACUUM 0 HOURS posture).
                 self._commit(table, adds=adds, removes=removes, op="compact")
-                self.vacuum(table, retention_s=0.0)
+                self.vacuum(table, retention_s=vacuum_retention_s)
         return done
 
     def audit_append(self, record: tuple) -> None:
