@@ -335,6 +335,46 @@ def _observe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(*cols)
 
 
+def _stream_changes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-offset streaming source under the correctness gate
+    (sources/changes_source.py): ingest the events mapping, subscribe a
+    zest_changes stream (catch-up from version -1 = full current
+    content), then DELETE a range and drain again — the rewrite's
+    survivor files must stay silent (append purity at the offset
+    level), so the subscriber's table is exactly the original ingest.
+    Oracle: the plain full-scan SQL over events."""
+    import tempfile
+    import uuid
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.sources import register
+
+    register(spark)
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_cs_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    name = f"cs_{uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("zest_changes")
+        .option("root", eng.store._path("ts_numeric"))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        eng.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cols = [f.name for f in fixtures.ts_numeric_from_events(spark, sf_dir).schema.fields]
+    return spark.table(name).select(*cols)
+
+
 def _kv_del_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 under the correctness gate: bulk-load the nation KV mapping
     (one id-partitioned distributed write, one provenance row), then
@@ -617,6 +657,12 @@ _KV_SQL = {
     # boundaries the file source picks, the store ends up with exactly
     # the input rows
     "stream_ingest_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
+    """,
+    # the manifest-offset stream's catch-up + append-only follow is
+    # content-exact: a post-subscription delete must not re-notify
+    "stream_changes_roundtrip": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
     """,
@@ -2716,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["del_roundtrip"] = _del_roundtrip
     out["snap_time_travel"] = _snap_time_travel
     out["snap_changes"] = _snap_changes
+    out["stream_changes_roundtrip"] = _stream_changes_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip

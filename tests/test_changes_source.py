@@ -1,0 +1,112 @@
+"""zest_changes streaming source (sources/changes_source.py): manifest
+versions as exactly-once Structured Streaming offsets; append files
+only (rw-* rewrites invisible); loud failure on vacuum-pruned offsets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from zestdb_spark import snapshots
+from zestdb_spark.sources.changes_source import ZestChangesStreamReader
+
+
+def _reader(root: str, **opts) -> ZestChangesStreamReader:
+    return ZestChangesStreamReader({"root": root, **opts})
+
+
+def test_stream_follows_appends_and_ignores_rewrites(spark, tmp_path):
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.sources import register
+
+    register(spark)
+    eng = ZestEngine(spark, str(tmp_path / "cs"))
+    for t in (100, 200, 300):
+        eng.post(f"/ts/a/at/{t}", {"value": float(t)})
+
+    q = (
+        spark.readStream.format("zest_changes")
+        .option("root", eng.store._path("ts_numeric"))
+        .load()
+        .writeStream.format("memory")
+        .queryName("changes_t1")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.series_id, r.timestamp, r.value) for r in spark.sql("SELECT * FROM changes_t1").collect()}
+        assert got == {("a", 100, 100.0), ("a", 200, 200.0), ("a", 300, 300.0)}
+
+        # a partial delete commits a rewrite: the feed must stay silent
+        eng.delete("/ts/a/range/150/250")
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM changes_t1").count() == 3
+
+        # a genuine append lands exactly once
+        eng.post("/ts/b/at/400", {"value": 4.0})
+        q.processAllAvailable()
+        got = {(r.series_id, r.timestamp) for r in spark.sql("SELECT * FROM changes_t1").collect()}
+        assert got == {("a", 100), ("a", 200), ("a", 300), ("b", 400)}
+    finally:
+        q.stop()
+
+
+def test_offsets_walk_per_version_diffs(spark, tmp_path):
+    """Planner unit contract: (s, e] walks each manifest pair, keeps
+    part-* adds only, and an append DELIVERED then deleted in-window is
+    still delivered (a live observer would have seen it)."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "po"))
+    eng.post("/ts/a/at/100", {"value": 1.0})              # v0
+    eng.post("/ts/a/at/200", {"value": 2.0})              # v1
+    eng.delete("/ts/a/range/150/250")                     # v2: removes v1's file
+    root = eng.store._path("ts_numeric")
+
+    r = _reader(root)
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 2}
+
+    # catch-up from -1 replays CURRENT content: the delete rewrote
+    # bucket 0 into one rw- survivor file (holding row 100) — that is
+    # the whole live table, and a new subscriber must get it
+    live = [p.path for p in r.partitions({"version": -1}, {"version": 2})]
+    assert len(live) == 1 and os.path.basename(live[0]).startswith("rw-")
+
+    # per-version walk ACROSS the delete: v1's append is delivered even
+    # though v2 removed it; the rewrite's rw- files never appear
+    walked = [p.path for p in r.partitions({"version": 0}, {"version": 2})]
+    assert len(walked) == 1 and "part-" in os.path.basename(walked[0])
+
+    # empty range plans nothing
+    assert r.partitions({"version": 2}, {"version": 2}) == []
+
+
+def test_pruned_offset_fails_loudly(spark, tmp_path):
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "pr"))
+    eng.post("/ts/a/at/100", {"value": 1.0})
+    eng.delete("/ts/a/since/0")
+    root = eng.store._path("ts_numeric")
+    # simulate vacuum pruning the stream's next manifest
+    os.unlink(os.path.join(root, "_zest_log", "v%012d.json" % 0))
+    r = _reader(root)
+    with pytest.raises(RuntimeError, match="pruned"):
+        r.partitions({"version": 0}, {"version": 1})
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "sv"))
+    eng.post("/ts/a/at/100", {"value": 1.0})  # v0 — history to skip
+    root = eng.store._path("ts_numeric")
+    head = snapshots.latest(root).version
+    r = _reader(root, startingVersion=str(head))
+    assert r.initialOffset() == {"version": head}
+    eng.post("/ts/a/at/200", {"value": 2.0})
+    new = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(new) == 1  # only the post-start append

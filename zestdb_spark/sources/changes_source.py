@@ -1,0 +1,197 @@
+"""Streaming append feed over the snapshot-manifest log.
+
+The reference's data observers are live per-POST notifications
+(src/server.re:778-793): every payload written while observing reaches
+the subscriber, and maintenance (delete rewrites, shard merges) never
+re-notifies. The engine's directory-watching observer stream
+(streaming/observe.py) reproduces that, but a FILE listing is a weak
+offset — it cannot replay from a point in time, and it trusts mtimes.
+The manifest log (zestdb_spark/snapshots.py) gives the exact primitive
+a streaming source wants: a totally-ordered, replayable commit
+sequence. This Spark 4 Python streaming data source
+(``pyspark.sql.datasource.DataSourceStreamReader``) turns it into a
+Structured Streaming offset:
+
+- **offset** = manifest version: JSON ``{"version": N}``, checkpointed
+  by Spark, so a restarted query resumes EXACTLY-ONCE from the last
+  committed table version — no file-listing state, no mtime trust.
+- **batch planning** walks the per-version manifest diffs from
+  ``start`` to ``end`` and keeps files Spark's appends wrote
+  (``part-*``): rewrite re-materializations (delete survivors,
+  compactions, restores) are staged as ``rw-*`` (storage.py
+  ``_stage_move``) and never enter the feed — append purity at the
+  offset level, not post-hoc dedup.
+- **reading** is one Arrow task per appended file — embarrassingly
+  parallel, scan-local, no shuffle; rows carry the canonical columns
+  (series_id decoded from the partition path).
+
+A stream started at version -1 (the default) first replays the CURRENT
+table content (all live files, survivors included), then follows new
+append commits — the same catch-up a new reference observer gets from
+a full read plus its subscription. Pass
+``startingVersion`` = latest committed version to follow only new
+writes. If a lagging stream's next manifests were pruned by vacuum the
+source fails loudly with the missing version rather than silently
+skipping commits.
+
+Usage::
+
+    from zestdb_spark.sources import register
+    register(spark)
+    q = (spark.readStream.format("zest_changes")
+         .option("root", store_root)            # .../ts_numeric dir
+         .load()
+         .writeStream...)
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from zestdb_spark import snapshots
+from zestdb_spark.sources.tail_source import _LAYOUTS
+
+
+class _AppendedFile(InputPartition):
+    def __init__(self, path: str, series_id: str, cols: tuple):
+        self.path = path
+        self.series_id = series_id
+        self.cols = cols
+
+
+def _is_append(rel: str) -> bool:
+    return os.path.basename(rel).startswith("part-")
+
+
+def _series_of(rel: str) -> str:
+    head, _, _ = rel.partition("/")
+    if head.startswith("series_id="):
+        return unquote(head[len("series_id="):])
+    return ""
+
+
+class ZestChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options["root"]
+        self.table = options.get("table", "ts_numeric")
+        if self.table not in _LAYOUTS:
+            raise ValueError(f"table must be one of {sorted(_LAYOUTS)}")
+        self.cols = _LAYOUTS[self.table][0]
+        self.starting = int(options.get("startingVersion", -1))
+
+    # ------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        snap = snapshots.latest(self.root)
+        if snap is None:  # table not written yet — hold at the start
+            return {"version": self.starting}
+        return {"version": snap.version}
+
+    def commit(self, end: dict) -> None:
+        pass  # data files are the store's; Spark checkpoints the offset
+
+    # ------------------------------------------------------ planning
+
+    def _appended_between(self, s: int, e: int) -> list[str]:
+        """Relpaths of the files the batch (s, e] delivers. s == -1 is
+        the initial catch-up: ALL live files of version e — the full
+        current table content, rewrite-survivor files included, exactly
+        the "full read plus subscription" a new reference observer
+        performs (and it needs no historical manifests). Afterwards
+        each consecutive manifest pair is diffed keeping only append
+        (``part-*``) adds, so an append that a later in-window delete
+        already removed is still delivered — a live observer would have
+        seen it — while rewrites stay silent."""
+        end_snap = snapshots.read_version(self.root, e)
+        if end_snap is None:
+            raise RuntimeError(
+                f"zest_changes: manifest version {e} of {self.root} is "
+                "unreadable (pruned by vacuum?) — restart the stream"
+            )
+        if s < 0:
+            return list(end_snap.files)
+        out: list[str] = []
+        prev = snapshots.read_version(self.root, s)
+        if prev is None:
+            raise RuntimeError(
+                f"zest_changes: the stream's next offset (version {s}) was "
+                f"pruned by vacuum under {self.root}; the feed cannot prove "
+                "it saw every commit — restart from a fresh checkpoint"
+            )
+        prev_files = set(prev.files)
+        for v in range(s + 1, e + 1):
+            snap = snapshots.read_version(self.root, v)
+            if snap is None:
+                raise RuntimeError(
+                    f"zest_changes: manifest version {v} of {self.root} was "
+                    "pruned by vacuum mid-stream — restart from a fresh "
+                    "checkpoint"
+                )
+            out.extend(
+                f for f in snap.files if f not in prev_files and _is_append(f)
+            )
+            prev_files = set(snap.files)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        return [
+            _AppendedFile(os.path.join(self.root, rel), _series_of(rel), self.cols)
+            for rel in self._appended_between(s, e)
+        ]
+
+    # ------------------------------------------------------- reading
+
+    def read(self, partition: _AppendedFile):
+        if partition is None:  # empty batch → one None-partition call
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _types = {
+            "timestamp": pa.int64(),
+            "value": pa.float64(),
+            "tag_name": pa.string(),
+            "tag_value": pa.string(),
+            "data": pa.string(),
+        }
+        canonical = pa.schema([pa.field(c, _types[c]) for c in partition.cols])
+        table = pq.read_table(partition.path, columns=list(partition.cols))
+        table = table.cast(canonical)
+        table = table.add_column(
+            0, "series_id", pa.array([partition.series_id] * table.num_rows)
+        )
+        return iter(table.to_batches())
+
+
+class ZestChangesDataSource(DataSource):
+    """``spark.readStream.format("zest_changes")`` — see module
+    docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zest_changes"
+
+    def schema(self) -> str:
+        table = self.options.get("table", "ts_numeric")
+        if table not in _LAYOUTS:
+            raise ValueError(
+                f"zest_changes: table must be one of {sorted(_LAYOUTS)}, "
+                f"got {table!r}"
+            )
+        return _LAYOUTS[table][1]
+
+    def streamReader(self, schema) -> ZestChangesStreamReader:
+        return ZestChangesStreamReader(self.options)
