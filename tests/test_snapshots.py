@@ -434,3 +434,30 @@ def test_change_feed_refuses_vacuumed_range(spark, tmp_path):
     eng.store.vacuum("ts_numeric", retention_s=0.0)
     with pytest.raises(BadRequest, match="reclaimed"):
         eng.store.changes("ts_numeric", 0, 1).collect()
+
+
+def test_kv_namespace_time_travel_and_changes(spark, tmp_path):
+    """The manifest features work on the id-partitioned KV layout too:
+    pin the pre-delete version, diff the namespace rewrite."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "kvtt"))
+    st = eng.store
+    eng.post("/kv/ns1/k1", {"v": 1})
+    eng.post("/kv/ns1/k2", {"v": 2})
+    eng.post("/kv/ns2/k1", {"v": 3})
+    pre = st.history("kv_json")[0].version
+    eng.delete("/kv/ns1/k1")
+
+    old = {(r.id, r.key) for r in st.load("kv_json", version=pre).collect()}
+    assert old == {("ns1", "k1"), ("ns1", "k2"), ("ns2", "k1")}
+    now = {(r.id, r.key) for r in st.load("kv_json").collect()}
+    assert now == {("ns1", "k2"), ("ns2", "k1")}
+
+    # the namespace rewrite re-materialized k2 — it must cancel, and
+    # ns2 (untouched partition) must not even be read
+    diff = [(r.id, r.key, r._change_type) for r in st.changes("kv_json", pre).collect()]
+    assert diff == [("ns1", "k1", "delete")]
+
+    st.restore("kv_json", pre)
+    assert {(r.id, r.key) for r in st.load("kv_json").collect()} == old
