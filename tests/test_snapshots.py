@@ -69,7 +69,7 @@ def test_commit_cas_merges_concurrent_adders(tmp_path):
     the os.link CAS gives one of them a conflict, it retries on the
     moved head, and the final manifest holds both file sets."""
     t = str(tmp_path / "race")
-    n_threads, per_thread = 8, 5
+    n_threads, per_thread = 16, 8
     for i in range(n_threads):
         for j in range(per_thread):
             _touch(t, f"id=t{i}/f{j}.parquet")
@@ -461,3 +461,16 @@ def test_kv_namespace_time_travel_and_changes(spark, tmp_path):
 
     st.restore("kv_json", pre)
     assert {(r.id, r.key) for r in st.load("kv_json").collect()} == old
+
+
+def test_history_df_surface(spark, tmp_path):
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "hdf"))
+    eng.post("/ts/a/at/100", {"value": 1.0})
+    eng.post("/ts/a/at/200", {"value": 2.0})
+    eng.delete("/ts/a/range/150/250")
+    df = eng.store.history_df("ts_numeric")
+    rows = {r.version: r for r in df.collect()}
+    assert rows[0].op == "append" and rows[2].op == "delete"
+    assert rows[2].n_tombstones > 0 and all(r.created_ms > 0 for r in rows.values())

@@ -189,7 +189,14 @@ def commit(
     do — storage.py) since their removes are computed from a read."""
     d = _log_dir(table_dir)
     os.makedirs(d, exist_ok=True)
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
+        if attempt:
+            # losers of a CAS round re-list, re-read, and re-serialize
+            # the whole manifest; under heavy fan-in (every executor
+            # core appending at once) that convoy can burn the retry
+            # budget. A short linear backoff staggered by pid breaks
+            # the lockstep without adding meaningful append latency.
+            time.sleep(min(0.2, 0.002 * attempt * (1 + os.getpid() % 7)))
         cur = latest(table_dir)
         if cur is None:
             base_files = list_data_files(table_dir)

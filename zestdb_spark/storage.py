@@ -492,6 +492,28 @@ class ZestStore:
             raise KeyError(f"{table!r} is not under snapshot control")
         return snapshots.history(self._path(table))
 
+    def history_df(self, table: str) -> DataFrame:
+        """``history`` as a DataFrame — the analytic face of the commit
+        log (version, created_ms, op, live-file and tombstone counts),
+        joinable against ``write_log`` provenance. Control-plane sized:
+        one row per retained manifest."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("created_ms", T.LongType(), False),
+                T.StructField("op", T.StringType(), True),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("n_tombstones", T.LongType(), False),
+            ]
+        )
+        rows = [
+            (s.version, s.created_ms, s.op or None, len(s.files), len(s.tombstones))
+            for s in self.history(table)
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def restore(self, table: str, version: int) -> "snapshots.Snapshot":
         """Roll the table back to a past snapshot as a NEW commit
         (Delta's RESTORE; `git revert` on the reference's store —
