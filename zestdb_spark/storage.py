@@ -605,6 +605,11 @@ class ZestStore:
                     )
             snaps[v] = snap
         a, b = snaps[from_version], snaps[to_version]
+        if b.version < a.version:
+            raise BadRequest(
+                f"changes: from_version {a.version} is newer than "
+                f"to_version {b.version} (use restore() to roll back)"
+            )
         added = sorted(set(b.files) - set(a.files))
         removed = sorted(set(a.files) - set(b.files))
         gone = [
