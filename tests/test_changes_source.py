@@ -157,3 +157,47 @@ def test_restart_resumes_exactly_once(spark, tmp_path):
     # not replayed after the restart, the missed appends were not dropped
     got = {(r.series_id, r.timestamp) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 100), ("a", 200), ("b", 300)}
+
+
+def test_composes_with_windowed_rollup(spark, tmp_path):
+    """The source is an ordinary streaming DataFrame: event-time
+    windowed aggregation with watermark runs straight on it."""
+    import pyspark.sql.functions as F
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.sources import register
+    from zestdb_spark.streaming import observe
+
+    register(spark)
+    eng = ZestEngine(spark, str(tmp_path / "cw"))
+    base = 1_704_067_200_000  # 2024-01-01T00:00Z
+    for minute, v in ((1, 1.0), (2, 2.0), (7, 10.0)):
+        eng.post(f"/ts/s1/at/{base + minute * 60_000}", {"value": v})
+
+    stream = (
+        spark.readStream.format("zest_changes")
+        .option("root", eng.store._path("ts_numeric"))
+        .load()
+        .select(
+            "series_id",
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+            "value",
+        )
+    )
+    agg = observe.windowed_rollup(stream, "5 minutes", "10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cs_rollup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            (r["series_id"], r["window"].start.minute): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM cs_rollup").collect()
+        }
+        assert out[("s1", 0)] == (2, 3.0)
+        assert out[("s1", 5)] == (1, 10.0)
+    finally:
+        q.stop()
