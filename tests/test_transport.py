@@ -295,3 +295,37 @@ def test_serve_entrypoint_end_to_end(spark, tmp_path):
         cli.close()
     finally:
         srv.stop()
+
+
+def test_maintenance_vacuum_loop(spark, tmp_path):
+    """serve's --vacuum-interval loop: tombstoned bytes are reclaimed
+    in the background; stopping the event ends the thread."""
+    import os
+    import time as _time
+
+    from zestdb_spark import snapshots
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.serve import start_maintenance
+
+    eng = ZestEngine(spark, str(tmp_path / "maint"))
+    eng.post("/ts/a/at/100", {"value": 1.0})
+    eng.delete("/ts/a/since/0")  # tombstones the appended file
+    table_dir = eng.store._path("ts_numeric")
+    assert snapshots.latest(table_dir).tombstones  # dead bytes on disk
+
+    ev, thread = start_maintenance(eng.store, interval_s=0.05, retention_s=0.0)
+    try:
+        deadline = _time.time() + 10
+        while snapshots.latest(table_dir).tombstones and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert not snapshots.latest(table_dir).tombstones
+        dead = [
+            f
+            for f in snapshots.list_data_files(table_dir)
+            if f not in set(snapshots.latest(table_dir).files)
+        ]
+        assert dead == []  # bytes physically gone
+    finally:
+        ev.set()
+    thread.join(timeout=5)
+    assert not thread.is_alive()

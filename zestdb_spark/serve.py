@@ -64,9 +64,52 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: this hostname, like the reference server)",
     )
     p.add_argument(
+        "--vacuum-interval",
+        type=float,
+        default=0.0,
+        help="seconds between maintenance vacuums of every data table "
+        "(0 disables, the default — the reference's git store keeps "
+        "all history; opt in to reclaim tombstoned/orphaned files)",
+    )
+    p.add_argument(
+        "--vacuum-retention",
+        type=float,
+        default=None,
+        help="tombstone retention for the maintenance vacuum in seconds "
+        "(default: the store's standard retention window)",
+    )
+    p.add_argument(
         "--app-name", default="zestdb_spark_server", help="Spark application name"
     )
     return p
+
+
+def start_maintenance(store, interval_s: float, retention_s=None, stop_event=None):
+    """Background maintenance: vacuum every manifested table each
+    ``interval_s`` (the ops loop a long-running server needs, since
+    tombstones and crashed-writer orphans otherwise accumulate
+    forever). Returns (stop_event, thread); set the event to stop."""
+    import threading as _threading
+
+    from zestdb_spark import snapshots
+    from zestdb_spark.storage import _MANIFESTED
+
+    ev = stop_event or _threading.Event()
+    retention = (
+        snapshots.DEFAULT_RETENTION_S if retention_s is None else retention_s
+    )
+
+    def loop():
+        while not ev.wait(interval_s):
+            for table in sorted(_MANIFESTED):
+                try:
+                    store.vacuum(table, retention_s=retention)
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    print(f"maintenance vacuum of {table} failed: {exc}", flush=True)
+
+    t = _threading.Thread(target=loop, daemon=True, name="zest-vacuum")
+    t.start()
+    return ev, t
 
 
 def main(argv: list[str] | None = None, *, block: bool = True):
@@ -115,6 +158,12 @@ def main(argv: list[str] | None = None, *, block: bool = True):
         f"[{mech}]",
         flush=True,
     )
+    maint = None
+    if args.vacuum_interval > 0:
+        maint, _ = start_maintenance(
+            engine.store, args.vacuum_interval, args.vacuum_retention
+        )
+
     if not block:
         return server
 
@@ -122,6 +171,8 @@ def main(argv: list[str] | None = None, *, block: bool = True):
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: stop.set())
     stop.wait()
+    if maint is not None:
+        maint.set()
     server.stop()
     spark.stop()
     return server
