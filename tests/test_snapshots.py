@@ -474,3 +474,17 @@ def test_history_df_surface(spark, tmp_path):
     rows = {r.version: r for r in df.collect()}
     assert rows[0].op == "append" and rows[2].op == "delete"
     assert rows[2].n_tombstones > 0 and all(r.created_ms > 0 for r in rows.values())
+
+
+def test_blob_table_time_travel(spark, tmp_path):
+    """ts_blob rides the same manifest machinery."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "blobtt"))
+    eng.post("/ts/blob/cam1/at/1000", {"frame": 1})
+    pre = eng.store.history("ts_blob")[0].version
+    eng.post("/ts/blob/cam1/at/2000", {"frame": 2})
+    assert eng.store.load("ts_blob").count() == 2
+    assert eng.store.load("ts_blob", version=pre).count() == 1
+    diff = eng.store.changes("ts_blob", pre)
+    assert [r._change_type for r in diff.collect()] == ["insert"]

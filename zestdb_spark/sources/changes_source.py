@@ -28,7 +28,11 @@ Structured Streaming offset:
 A stream started at version -1 (the default) first replays the CURRENT
 table content (all live files, survivors included), then follows new
 append commits — the same catch-up a new reference observer gets from
-a full read plus its subscription. Pass
+a full read plus its subscription. Each micro-batch spans every
+version committed since the last one (no maxFilesPerTrigger-style
+admission bound yet: a stream resuming behind a huge backlog gets it
+as one batch — acceptable because partitions are per-file tasks, but a
+production source would cap versions per batch via latestOffset). Pass
 ``startingVersion`` = latest committed version to follow only new
 writes. If a lagging stream's next manifests were pruned by vacuum the
 source fails loudly with the missing version rather than silently
