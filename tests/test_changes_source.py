@@ -201,3 +201,32 @@ def test_composes_with_windowed_rollup(spark, tmp_path):
         assert out[("s1", 5)] == (1, 10.0)
     finally:
         q.stop()
+
+
+def test_max_versions_per_batch_paces_offsets(spark, tmp_path):
+    """Admission control: latestOffset advances at most
+    maxVersionsPerBatch past the last planned batch, and repeated
+    trigger rounds still converge to the head."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "mv"))
+    for i in range(5):
+        eng.post(f"/ts/a/at/{(i + 1) * 1000}", {"value": float(i)})  # v0..v4
+
+    r = _reader(eng.store._path("ts_numeric"), maxVersionsPerBatch="2")
+    cur = r.initialOffset()
+    seen = 0
+    rounds = 0
+    while True:
+        nxt = r.latestOffset()
+        if nxt == cur:
+            break
+        assert nxt["version"] - cur["version"] <= 2
+        seen += len(r.partitions(cur, nxt))
+        cur = nxt
+        rounds += 1
+    assert cur == {"version": 4}
+    # capped catch-up replays content AS OF v1 (2 files), then the
+    # diff batches deliver v2..v4 — every append exactly once
+    assert seen == 5
+    assert rounds == 3  # the backlog was actually split up

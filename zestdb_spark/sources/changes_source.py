@@ -28,11 +28,11 @@ Structured Streaming offset:
 A stream started at version -1 (the default) first replays the CURRENT
 table content (all live files, survivors included), then follows new
 append commits — the same catch-up a new reference observer gets from
-a full read plus its subscription. Each micro-batch spans every
-version committed since the last one (no maxFilesPerTrigger-style
-admission bound yet: a stream resuming behind a huge backlog gets it
-as one batch — acceptable because partitions are per-file tasks, but a
-production source would cap versions per batch via latestOffset). Pass
+a full read plus its subscription. ``maxVersionsPerBatch`` bounds how
+many table versions one micro-batch may span (maxFilesPerTrigger's
+role; bounded batches converge because the engine keeps triggering
+until offsets stop advancing); unset, each batch spans everything
+committed since the last. Pass
 ``startingVersion`` = latest committed version to follow only new
 writes. If a lagging stream's next manifests were pruned by vacuum the
 source fails loudly with the missing version rather than silently
@@ -89,6 +89,18 @@ class ZestChangesStreamReader(DataSourceStreamReader):
             raise ValueError(f"table must be one of {sorted(_LAYOUTS)}")
         self.cols = _LAYOUTS[self.table][0]
         self.starting = int(options.get("startingVersion", -1))
+        #: admission control: cap how many table versions one
+        #: micro-batch may span (maxFilesPerTrigger's role). Bounded
+        #: batches still converge — the engine keeps triggering until
+        #: offsets stop advancing, and a capped catch-up just replays
+        #: full content AS OF the capped version, then walks diffs.
+        #: Best-effort across restarts: the cursor restarts at
+        #: startingVersion and is re-learned from the first
+        #: partitions() call, so only the very first post-restart
+        #: batch can exceed the cap.
+        mv = options.get("maxVersionsPerBatch")
+        self.max_versions = int(mv) if mv is not None else None
+        self._cursor: "int | None" = self.starting
 
     # ------------------------------------------------------- offsets
 
@@ -99,7 +111,10 @@ class ZestChangesStreamReader(DataSourceStreamReader):
         snap = snapshots.latest(self.root)
         if snap is None:  # table not written yet — hold at the start
             return {"version": self.starting}
-        return {"version": snap.version}
+        head = snap.version
+        if self.max_versions is not None and self._cursor is not None:
+            head = min(head, self._cursor + self.max_versions)
+        return {"version": head}
 
     def commit(self, end: dict) -> None:
         pass  # data files are the store's; Spark checkpoints the offset
@@ -149,6 +164,7 @@ class ZestChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        self._cursor = e  # the next latestOffset() paces from here
         if e <= s:
             return []
         return [
