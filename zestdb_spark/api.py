@@ -183,9 +183,19 @@ class ZestEngine:
         if len(parts) >= 3 and parts[1] == "ts":
             plan = compile_path(path)
             table = "ts_numeric" if plan.store == "numeric" else "ts_blob"
+            # scan hints from the compiled plan: the store's manifest
+            # stats prune non-matching files before Spark plans the
+            # read (superset contract — plan_to_dataframe still applies
+            # the exact series/window predicates)
+            w = plan.window
             df = plan_to_dataframe(
                 plan,
-                self.store.load(table),
+                self.store.load(
+                    table,
+                    since_ms=w.from_ms if w.op in ("since", "range") else None,
+                    until_ms=w.to_ms if w.op == "range" else None,
+                    series=set(plan.ids),
+                ),
                 sort=plan.agg is None,
                 window_df=self._tail_window(plan, table),
             )

@@ -78,7 +78,7 @@ ORPHAN_MIN_AGE_S = 600.0
 class Snapshot:
     """One resolved manifest version."""
 
-    __slots__ = ("version", "files", "tombstones", "created_ms", "op")
+    __slots__ = ("version", "files", "tombstones", "created_ms", "op", "stats")
 
     def __init__(
         self,
@@ -87,12 +87,19 @@ class Snapshot:
         tombstones: dict[str, int],
         created_ms: int = 0,
         op: str = "",
+        stats: "dict[str, dict] | None" = None,
     ):
         self.version = version
         self.files = files  # sorted relative paths, the live file set
         self.tombstones = tombstones  # relpath -> removal time (ms)
         self.created_ms = created_ms
         self.op = op  # what published it: append/delete/compact/...
+        # per-file column statistics for manifest-level data skipping
+        # (Delta/Iceberg file stats): relpath -> {"rows": n,
+        # "min": {col: v}, "max": {col: v}}. Only files whose writer
+        # collected stats appear; a reader must treat a MISSING entry
+        # as "could match anything" (pre-stats files, bootstrap).
+        self.stats = stats or {}
 
 
 class CommitConflict(Exception):
@@ -147,6 +154,7 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
         doc.get("tombstones", {}),
         doc.get("created_ms", 0),
         doc.get("op", ""),
+        doc.get("stats", {}),
     )
 
 
@@ -176,12 +184,20 @@ def commit(
     drop_tombstones: "list[str]" = (),
     max_retries: int = 50,
     op: str = "",
+    stats: "dict[str, dict] | None" = None,
 ) -> Snapshot:
     """Publish the next version: live files = (current − removes) +
     adds; removed files join the tombstone map stamped now;
     ``drop_tombstones`` prunes records whose files vacuum physically
     deleted. First commit on a pre-log table bootstraps from a tree
     walk, so existing stores upgrade in place on their next write.
+
+    ``stats`` carries per-file column statistics for the ADDED files
+    (relpath -> {"rows", "min": {col: v}, "max": {col: v}}); surviving
+    files keep their recorded stats, removed files drop theirs, and
+    files committed without stats simply have no entry (readers must
+    keep them when pruning). Stats merge under the same CAS semantics
+    as the file list itself.
 
     CAS loop: on FileExistsError the current head moved — re-resolve
     and retry on top of it. Concurrent APPENDS therefore merge (both
@@ -217,12 +233,23 @@ def commit(
         # its tombstone must go, or a later vacuum would delete it
         for f in files:
             tombstones.pop(f, None)
+        live = set(files)
+        base_stats = cur.stats if cur is not None else {}
+        merged_stats = {
+            rel: s for rel, s in base_stats.items() if rel in live
+        }
+        if stats:
+            for rel, s in stats.items():
+                if rel in live:
+                    merged_stats[rel] = s
         doc = {
             "version": version,
             "created_ms": now,
             "files": files,
             "tombstones": tombstones,
         }
+        if merged_stats:
+            doc["stats"] = merged_stats
         if op:
             doc["op"] = op
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
@@ -233,7 +260,7 @@ def commit(
         final = os.path.join(d, _V_FMT % version)
         try:
             os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
-            return Snapshot(version, files, tombstones, now, op)
+            return Snapshot(version, files, tombstones, now, op, merged_stats)
         except FileExistsError:
             continue  # CAS miss — somebody else published this version
         finally:

@@ -76,9 +76,71 @@ _MANIFESTED = frozenset(
     ("ts_numeric", "ts_blob", "kv_json", "kv_text", "kv_binary", "catalog_items")
 )
 
+#: columns whose per-file min/max are recorded in the manifest at
+#: commit time (Delta/Iceberg file statistics). ``timestamp`` is the
+#: query dimension of every since/range read; ``value`` is free to
+#: collect and lets a future numeric predicate skip too. Collection
+#: reads the parquet FOOTER the writer already produced — no data
+#: scan — so it is O(files touched) per commit; on a cluster the same
+#: numbers would be gathered by the write tasks themselves.
+_STATS_COLS = {
+    "ts_numeric": ("timestamp", "value"),
+    "ts_blob": ("timestamp",),
+}
+
 
 def now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _footer_stats(path: str, cols: tuple) -> "dict | None":
+    """Per-file min/max/rows for ``cols`` read from the parquet FOOTER
+    the writer already produced (no data scan). A column is dropped
+    from the result when any row group lacks usable min/max for it
+    (missing stats, non-finite floats, non-scalar types) — pruning
+    must stay conservative, and a dropped column just means "no claim".
+    Returns None when the footer itself is unreadable."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    usable = set(cols)
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if name not in usable:
+                continue
+            st = col.statistics
+            lo = st.min if st is not None and st.has_min_max else None
+            hi = st.max if st is not None and st.has_min_max else None
+            bad = (
+                lo is None
+                or isinstance(lo, bool)
+                or not isinstance(lo, (int, float))
+                or (isinstance(lo, float) and not math.isfinite(lo))
+                or (isinstance(hi, float) and not math.isfinite(hi))
+            )
+            if bad:
+                usable.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    out: dict = {"rows": md.num_rows}
+    got = {k for k in usable if k in mins}
+    if got:
+        out["min"] = {k: mins[k] for k in sorted(got)}
+        out["max"] = {k: maxs[k] for k in sorted(got)}
+    return out
 
 
 def _bucket_of(ms: int) -> int:
@@ -193,7 +255,53 @@ class ZestStore:
             not f.startswith((".", "_")) for f in os.listdir(p)
         )
 
-    def _read_table(self, table: str, version: Optional[int] = None) -> DataFrame:
+    @staticmethod
+    def _file_may_match(
+        rel: str,
+        stat: "dict | None",
+        since_ms: Optional[int],
+        until_ms: Optional[int],
+        series,
+    ) -> bool:
+        """Can this manifest file contain a row matching the scan hint?
+        Three conservative checks, each skipped when its evidence is
+        absent: the partition values encoded in the relpath (series_id,
+        day bucket — the reference's per-series directory walk,
+        timeseries.re:197-231), then the file's recorded timestamp
+        min/max (manifest stats). Both window bounds are INCLUSIVE
+        (P3/P4 semantics). No evidence → True (never prune blind)."""
+        parts = ZestStore._rel_parts(rel)
+        sid = parts.get("series_id")
+        if series is not None and sid is not None and sid not in series:
+            return False
+        tb = parts.get("time_bucket")
+        if tb is not None:
+            try:
+                b = int(tb)
+            except ValueError:
+                b = None
+            if b is not None:
+                if since_ms is not None and b < _bucket_of(since_ms):
+                    return False
+                if until_ms is not None and b > _bucket_of(until_ms):
+                    return False
+        if stat:
+            lo = (stat.get("min") or {}).get("timestamp")
+            hi = (stat.get("max") or {}).get("timestamp")
+            if until_ms is not None and lo is not None and lo > until_ms:
+                return False
+            if since_ms is not None and hi is not None and hi < since_ms:
+                return False
+        return True
+
+    def _read_table(
+        self,
+        table: str,
+        version: Optional[int] = None,
+        since_ms: Optional[int] = None,
+        until_ms: Optional[int] = None,
+        series=None,
+    ) -> DataFrame:
         """Full-read-schema frame of a table. Manifested tables read
         EXACTLY the manifest's file set (one consistent snapshot,
         pinned at DataFrame creation — a rewrite committing later
@@ -227,27 +335,61 @@ class ZestStore:
         else:
             snap = self._snapshot(table)
         if snap is not None:
-            if not snap.files:
+            files = snap.files
+            if since_ms is not None or until_ms is not None or series is not None:
+                # manifest-level data skipping (Delta/Iceberg file
+                # stats): drop files the hint provably cannot match
+                # BEFORE Spark ever lists or plans them. At 100 TB the
+                # job's planning cost becomes O(matching files), not
+                # O(table files) — Spark's own partition pruning and
+                # row-group skipping still run on whatever survives.
+                # Contract: the result is a SUPERSET of matching rows
+                # (whole surviving files); callers apply exact filters.
+                files = [
+                    f
+                    for f in files
+                    if self._file_may_match(
+                        f, snap.stats.get(f), since_ms, until_ms, series
+                    )
+                ]
+            if not files:
                 return self.spark.createDataFrame([], schema)
             return (
                 self.spark.read.schema(schema)
                 .option("basePath", path)
-                .parquet(*[os.path.join(path, f) for f in snap.files])
+                .parquet(*[os.path.join(path, f) for f in files])
             )
         if not self._exists(table):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
-    def load(self, table: str, version: Optional[int] = None) -> DataFrame:
+    def load(
+        self,
+        table: str,
+        version: Optional[int] = None,
+        *,
+        since_ms: Optional[int] = None,
+        until_ms: Optional[int] = None,
+        series=None,
+    ) -> DataFrame:
         """Read a table (empty frame with the right schema if unwritten).
         The partition columns are pruned back out so callers always see
         the canonical schema. ``version`` time-travels to a past
-        snapshot (see ``_read_table``)."""
+        snapshot (see ``_read_table``).
+
+        ``since_ms``/``until_ms`` (inclusive) and ``series`` are SCAN
+        HINTS: the manifest's per-file stats and relpath partition
+        values drop files that provably cannot match before Spark plans
+        the read. The frame still contains every row of the surviving
+        files — a superset of the exact answer — so callers apply their
+        exact predicate as always; the hint only shrinks the file list
+        (correctness is hint-independent, pinned by
+        tests/test_stats_pruning.py)."""
         if table not in _TABLES:
             raise KeyError(table)
-        return self._read_table(table, version).select(
-            *[f.name for f in _TABLES[table].fields]
-        )
+        return self._read_table(
+            table, version, since_ms=since_ms, until_ms=until_ms, series=series
+        ).select(*[f.name for f in _TABLES[table].fields])
 
     def _read_schema(self, table: str):
         base = _TABLES[table]
@@ -447,8 +589,31 @@ class ZestStore:
         self, table: str, adds=(), removes=(), op: str = ""
     ) -> "snapshots.Snapshot":
         return snapshots.commit(
-            self._path(table), list(adds), list(removes), op=op
+            self._path(table),
+            list(adds),
+            list(removes),
+            op=op,
+            stats=self._stats_for(table, adds),
         )
+
+    def _stats_for(self, table: str, rels) -> "dict | None":
+        """Manifest file statistics for freshly committed files
+        (Delta/Iceberg data skipping, snapshots.Snapshot.stats): read
+        each add's parquet footer for the table's _STATS_COLS min/max.
+        Works for every commit path for free — appends, delete
+        survivors, compactions, AND restore (whose adds are old files
+        still on disk, so re-added files regain stats even when the
+        restored-to manifest predates stats collection)."""
+        cols = _STATS_COLS.get(table)
+        if not cols or not rels:
+            return None
+        root = self._path(table)
+        out = {}
+        for rel in rels:
+            s = _footer_stats(os.path.join(root, rel), cols)
+            if s is not None:
+                out[rel] = s
+        return out or None
 
     def _append_log(self, table: str, df: DataFrame) -> None:
         """Append to an UNMANIFESTED log table (audit, write_log) via a
