@@ -248,6 +248,38 @@ def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric", version=pre_delete)
 
 
+def _snap_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping under the correctness gate: bulk-ingest
+    the events mapping into a fresh store (every commit records
+    per-file timestamp min/max from the parquet footers —
+    snapshots.Snapshot.stats, the Delta/Iceberg file-statistics
+    recipe), then run a range read whose scan is HINTED so the
+    manifest prunes non-matching files before Spark plans the read
+    (storage.ZestStore.load; the reference's per-series interval-index
+    walk, src/timeseries/timeseries.re:197-231). Pruning is a superset
+    contract — the plan still applies the exact series/window
+    predicates — so the result must be bit-identical to the plain
+    ts_range oracle over events."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_prune_"))
+    eng.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    plan = compile_path(f"/ts/purchase,view/range/{_T_JAN10}/{_T_JAN20}")
+    hinted = eng.store.load(
+        "ts_numeric",
+        since_ms=_T_JAN10,
+        until_ms=_T_JAN20,
+        series={"purchase", "view"},
+    )
+    return plan_to_dataframe(plan, hinted, sort=True)
+
+
 def _snap_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the correctness gate: ingest the events
     mapping, DELETE a filtered range, then ask the store what changed
@@ -666,6 +698,12 @@ _KV_SQL = {
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
     """,
+    # a hinted (manifest-stats-pruned) range read is bit-identical to
+    # the plain range read — pruning only shrinks the planned file set
+    "snap_pruned_read": plan_to_duckdb_sql(
+        compile_path(f"/ts/purchase,view/range/{_T_JAN10}/{_T_JAN20}"),
+        fixtures.TS_NUMERIC_FROM_EVENTS_SQL,
+    ),
     # a read pinned to the pre-delete snapshot version sees the FULL
     # ingest, bit-for-bit, no matter what the later delete removed
     "snap_time_travel": f"""
@@ -2697,8 +2735,13 @@ GRADED_WINDOW: list[str] = [
     # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
     # agg family keeps FIVE graded rows: count, mean, sd, li_range_sum,
     # li_range_median) to give the two newest first-class extension
-    # ops — the mergeable quantile sketch and DSIR — driver evidence
-    "agg_count", "agg_mean", "agg_sd",
+    # ops — the mergeable quantile sketch and DSIR — driver evidence.
+    # Round-7 swap #3: agg_mean (A5 — derivable family sibling of the
+    # four graded aggregates count/sd/sum/median) demoted to the tail
+    # so manifest-stats data skipping (snap_pruned_read: a hinted
+    # range read over the store must be bit-identical to the plain
+    # ts_range oracle) carries DIRECT driver evidence
+    "agg_count", "snap_pruned_read", "agg_sd",
     "sk_quantiles", "corpus_dsir",
     "blob_last_n",
     # lineitem volume mapping (covers last/n, sum, median, length)
@@ -2761,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["src_tail_last_n"] = _src_tail_last_n
     out["del_roundtrip"] = _del_roundtrip
     out["snap_time_travel"] = _snap_time_travel
+    out["snap_pruned_read"] = _snap_pruned_read
     out["snap_changes"] = _snap_changes
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
