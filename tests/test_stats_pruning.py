@@ -236,3 +236,37 @@ def test_snapshot_commit_merges_stats_under_cas(tmp_path):
     # stats offered for a file that is not live are ignored
     snapshots.commit(d, stats={"ghost.parquet": s_a})
     assert snapshots.latest(d).stats == {"b.parquet": s_b}
+
+
+def test_compact_clusters_by_time(spark, tmp_path):
+    """Compaction range-partitions + sorts by timestamp, so the merged
+    files' manifest stats are tight and DISJOINT — post-maintenance, a
+    time hint isolates single files even inside one day-leaf."""
+    eng = ZestEngine(spark, str(tmp_path / "s"))
+    # interleaved appends inside ONE day bucket
+    eng.ingest_bulk(
+        _mk_rows(spark, [("a", t, t) for t in (100, 5000, 200, 6000)]),
+        path="/ts/bulk/one",
+        client="t",
+    )
+    eng.ingest_bulk(
+        _mk_rows(spark, [("a", t, t) for t in (150, 5500, 250, 6500)]),
+        path="/ts/bulk/two",
+        client="t",
+    )
+    eng.store.compact("ts_numeric", target_files=2)
+    snap = eng.store._snapshot("ts_numeric")
+    assert len(snap.files) == 2
+    spans = sorted(
+        (snap.stats[r]["min"]["timestamp"], snap.stats[r]["max"]["timestamp"])
+        for r in snap.files
+    )
+    # disjoint, ordered ranges — the clustering contract
+    assert spans[0][1] < spans[1][0]
+    # content preserved verbatim
+    assert _collect(eng.store.load("ts_numeric")) == sorted(
+        ("a", t, float(t)) for t in (100, 150, 200, 250, 5000, 5500, 6000, 6500)
+    )
+    # and a narrow hint now isolates one file within the leaf
+    hinted = eng.store.load("ts_numeric", since_ms=5000)
+    assert len(hinted.inputFiles()) == 1

@@ -1103,10 +1103,18 @@ class ZestStore:
             for leaf_rel, files in sorted(leaves.items()):
                 if not leaf_rel or len(files) <= target_files:
                     continue
+                # CLUSTER while merging: range-partition + sort by
+                # timestamp, so the output files carry tight, DISJOINT
+                # timestamp min/max — manifest-stats skipping
+                # (snapshots stats), parquet row-group pruning, and the
+                # zest_tail footer walk all get maximally selective
+                # bounds after maintenance (Delta's OPTIMIZE ZORDER,
+                # one dimension). Content is still preserved verbatim.
                 merged = (
                     self.spark.read.schema(leaf_schema)
                     .parquet(*[os.path.join(real, f) for f in files])
-                    .coalesce(target_files)
+                    .repartitionByRange(target_files, "timestamp")
+                    .sortWithinPartitions("timestamp")
                 )
                 adds += self._stage_move(table, merged, dest_rel=leaf_rel, rewrite=True)
                 removes += files
