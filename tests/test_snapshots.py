@@ -488,3 +488,90 @@ def test_blob_table_time_travel(spark, tmp_path):
     assert eng.store.load("ts_blob", version=pre).count() == 1
     diff = eng.store.changes("ts_blob", pre)
     assert [r._change_type for r in diff.collect()] == ["insert"]
+
+
+# ----------------------------------------------------- delta log entries
+
+
+def _raw_doc(root, v):
+    with open(os.path.join(root, "_zest_log", "v%012d.json" % v)) as f:
+        return json.load(f)
+
+
+def test_delta_entries_between_checkpoints(tmp_path):
+    """The log is Delta-shaped: full snapshot at bootstrap and every
+    CHECKPOINT_EVERY versions, O(churn) delta entries between — and
+    every version resolves to exactly the same state either way."""
+    d = str(tmp_path / "t")
+    n = 2 * snapshots.CHECKPOINT_EVERY + 8
+    for i in range(n):
+        _touch(d, f"f{i}.parquet")
+        snapshots.commit(d, adds=[f"f{i}.parquet"], op="append")
+    for v in range(n):
+        doc = _raw_doc(d, v)
+        assert bool(doc.get("delta")) == (v % snapshots.CHECKPOINT_EVERY != 0)
+        if doc.get("delta"):
+            assert "files" not in doc  # O(churn) metadata, not O(live)
+            assert doc["adds"] == [f"f{v}.parquet"]
+    head = snapshots.latest(d)
+    assert head.version == n - 1
+    assert head.files == sorted(f"f{i}.parquet" for i in range(n))
+    # mid-chain time travel replays the delta chain exactly
+    mid = snapshots.CHECKPOINT_EVERY + 5
+    snap = snapshots.read_version(d, mid)
+    assert snap.files == sorted(f"f{i}.parquet" for i in range(mid + 1))
+    assert snap.op == "append"
+
+
+def test_delta_chain_with_removes_and_stats(tmp_path):
+    """Removes, re-adds, and per-file stats all replay through delta
+    chains bit-for-bit (the writer and reader share one fold)."""
+    d = str(tmp_path / "t")
+    model_live: dict[str, dict | None] = {}
+    states = {}
+    for i in range(snapshots.CHECKPOINT_EVERY + 6):
+        rel = f"f{i}.parquet"
+        _touch(d, rel)
+        st = {"rows": 1, "min": {"timestamp": i}, "max": {"timestamp": i}}
+        removes = [f"f{i - 2}.parquet"] if i >= 2 and i % 3 == 0 else []
+        snapshots.commit(
+            d, adds=[rel], removes=removes, stats={rel: st}, op="w"
+        )
+        model_live[rel] = st
+        for r in removes:
+            model_live.pop(r, None)
+        states[i] = dict(model_live)
+    for v, want in states.items():
+        snap = snapshots.read_version(d, v)
+        assert snap is not None, v
+        assert snap.files == sorted(want), v
+        assert snap.stats == want, v
+    # history() resolves the same states via its incremental fold
+    for snap in snapshots.history(d):
+        assert snap.files == sorted(states[snap.version])
+        assert snap.stats == states[snap.version]
+
+
+def test_vacuum_never_breaks_delta_chains(tmp_path):
+    """Aging out every manifest leaves the head's whole chain intact:
+    pruning stops at the checkpoint anchoring the oldest retained
+    version, so everything still readable resolves."""
+    d = str(tmp_path / "t")
+    n = 2 * snapshots.CHECKPOINT_EVERY + 7  # head at v39, checkpoint v32
+    for i in range(n):
+        _touch(d, f"f{i}.parquet")
+        snapshots.commit(d, adds=[f"f{i}.parquet"], op="append")
+    # age every version file past any retention
+    past = time.time() - 7200
+    for v in range(n):
+        os.utime(os.path.join(d, "_zest_log", "v%012d.json" % v), (past, past))
+    snapshots.vacuum(d, retention_s=0)
+    anchor = (n - 1) - (n - 1) % snapshots.CHECKPOINT_EVERY
+    for v in range(n):
+        snap = snapshots.read_version(d, v)
+        if v < anchor:
+            assert snap is None, f"v{v} should be pruned"
+        else:
+            assert snap is not None, f"v{v} must stay resolvable"
+            assert snap.files == sorted(f"f{i}.parquet" for i in range(v + 1))
+    assert snapshots.latest(d).version == n - 1

@@ -36,12 +36,16 @@ table-format recipe (Delta/Iceberg, simplified to a single node):
   write there IS a git commit). History depth is bounded by vacuum's
   manifest retention.
 
-Version files are full snapshots, not deltas: one read resolves the
-table, one write commits it. That is O(live files) metadata per commit
-— the honest single-node trade; at cluster scale the same design
-swaps in delta entries + periodic checkpoints (what Delta's JSON log
-does) without touching callers, which is the point of keeping this
-behind ZestStore's ``_commit``/``_manifest_files`` seam.
+Version files are DELTA entries (this commit's adds/removes/stats —
+O(churn) metadata) with a FULL snapshot checkpointed every
+``CHECKPOINT_EVERY`` versions and at bootstrap (exactly Delta's JSON
+log + checkpoint recipe): append cost is independent of the table's
+live file count, and resolution walks back at most one checkpoint
+interval then replays forward through the same ``_apply`` fold the
+committer used — writer and reader share one merge function, so
+replay cannot diverge. ``vacuum`` prunes manifests only below the
+checkpoint anchoring the oldest retained version, so no surviving
+delta's chain ever breaks.
 
 This module is deliberately Spark-free (pure stdlib) so the tail
 source (sources/tail_source.py) can resolve snapshots inside executor
@@ -73,6 +77,14 @@ DEFAULT_RETENTION_S = 600.0
 #: not eat it out from under the committer. Tombstoned files have no
 #: such race — once tombstoned they are never re-referenced.
 ORPHAN_MIN_AGE_S = 600.0
+
+#: write a FULL snapshot (checkpoint) every this-many versions; the
+#: versions between are DELTA entries recording only the commit's own
+#: adds/removes — O(churn) metadata per commit instead of O(live
+#: files), which is what makes a high-file-count table's append cost
+#: independent of its size (Delta's JSON log + checkpoint.parquet
+#: recipe). Resolution reads at most this many version files.
+CHECKPOINT_EVERY = 16
 
 
 class Snapshot:
@@ -140,22 +152,105 @@ def _versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_version(table_dir: str, version: int) -> "Snapshot | None":
-    """Load one specific manifest version (None = never committed, or
-    pruned by vacuum past its retention)."""
+def _read_doc(table_dir: str, version: int) -> "dict | None":
     try:
         with open(os.path.join(_log_dir(table_dir), _V_FMT % version)) as f:
-            doc = json.load(f)
+            return json.load(f)
     except (FileNotFoundError, NotADirectoryError):
         return None
-    return Snapshot(
+
+
+def _apply(files, tombstones, stats, delta: dict):
+    """Fold ONE commit record over a resolved (files, tombstones,
+    stats) state → (files SET, tombstones, stats). Pure (inputs are
+    copied), O(record churn) beyond the copies, and shared by the
+    WRITER (to compute the state it returns / checkpoints) and the
+    READER (to replay delta chains) — one merge function, so replay
+    can never diverge from what the committer computed. Relies on the
+    state invariants every commit maintains: no live file carries a
+    tombstone, and stats keys ⊆ live files."""
+    files = set(files)
+    tombstones = dict(tombstones)
+    stats = dict(stats)
+    removed = delta.get("removes", ())
+    now = delta.get("created_ms", 0)
+    files.difference_update(removed)
+    for r in removed:
+        tombstones[r] = now
+        stats.pop(r, None)
+    for t in delta.get("drop_tombstones", ()):
+        tombstones.pop(t, None)
+    adds = delta.get("adds", ())
+    files.update(adds)
+    # a re-added file (restore to an old version) is LIVE again —
+    # its tombstone must go, or a later vacuum would delete it
+    for f in adds:
+        tombstones.pop(f, None)
+    for rel, s in (delta.get("stats") or {}).items():
+        if rel in files:
+            stats[rel] = s
+    return files, tombstones, stats
+
+
+def _full_state(doc: dict):
+    return doc["files"], doc.get("tombstones", {}), doc.get("stats", {})
+
+
+#: resolved-version cache. Version files are IMMUTABLE once linked
+#: into the log (the CAS create-if-absent guarantees it), so a
+#: resolved Snapshot can be reused freely within the process; a hit
+#: only re-checks that vacuum hasn't pruned the version file. Sized
+#: for the hot path — sequential commits/reads on a handful of
+#: tables — where each head resolves from the cached previous head
+#: with ONE O(churn) fold instead of a full chain replay. Callers
+#: must treat returned Snapshots as immutable (they do).
+_RESOLVE_CACHE: "dict[tuple[str, int], Snapshot]" = {}
+_RESOLVE_CACHE_MAX = 8
+
+
+def _cache_put(key: "tuple[str, int]", snap: "Snapshot") -> None:
+    _RESOLVE_CACHE.pop(key, None)
+    _RESOLVE_CACHE[key] = snap
+    while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
+        _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+
+
+def read_version(table_dir: str, version: int) -> "Snapshot | None":
+    """Load one specific manifest version (None = never committed, or
+    pruned by vacuum past its retention). A DELTA entry resolves
+    against version-1 (cache-hit in the hot sequential case, else a
+    walk back to the nearest full checkpoint — ≤ CHECKPOINT_EVERY
+    reads) and replays forward; a broken chain — the base pruned —
+    reads as None, same as a pruned full snapshot."""
+    key = (os.path.abspath(table_dir), version)
+    hit = _RESOLVE_CACHE.get(key)
+    if hit is not None:
+        if os.path.exists(os.path.join(_log_dir(table_dir), _V_FMT % version)):
+            return hit
+        _RESOLVE_CACHE.pop(key, None)  # vacuum pruned it — stay faithful
+        return None
+    doc = _read_doc(table_dir, version)
+    if doc is None:
+        return None
+    if doc.get("delta"):
+        base = read_version(table_dir, version - 1)
+        if base is None:
+            return None  # chain broken: the delta's base was pruned
+        files, tombstones, stats = _apply(
+            base.files, base.tombstones, base.stats, doc
+        )
+    else:
+        files, tombstones, stats = _full_state(doc)
+    snap = Snapshot(
         version,
-        doc["files"],
-        doc.get("tombstones", {}),
+        sorted(files),
+        tombstones,
         doc.get("created_ms", 0),
         doc.get("op", ""),
-        doc.get("stats", {}),
+        stats,
     )
+    _cache_put(key, snap)
+    return snap
 
 
 def latest(table_dir: str) -> "Snapshot | None":
@@ -169,12 +264,41 @@ def history(table_dir: str) -> "list[Snapshot]":
     """Every retained manifest version, newest first — the table's
     commit log (the reference reads the same story from `git log` on
     its Irmin store; Delta calls this DESCRIBE HISTORY). Bounded by
-    vacuum's manifest retention."""
-    return [
-        s
-        for v in reversed(_versions(table_dir))
-        if (s := read_version(table_dir, v)) is not None
-    ]
+    vacuum's manifest retention. Resolves ASCENDING with one
+    incremental fold — O(versions) doc reads total, not O(versions ×
+    chain length)."""
+    out: list[Snapshot] = []
+    state = None
+    prev_v = None
+    for v in _versions(table_dir):
+        doc = _read_doc(table_dir, v)
+        if doc is None:
+            state, prev_v = None, None  # raced a vacuum prune — re-anchor
+            continue
+        if not doc.get("delta"):
+            state = _full_state(doc)
+        elif state is not None and prev_v == v - 1:
+            state = _apply(*state, doc)
+        else:
+            # a delta with no folded predecessor (oldest retained is
+            # mid-chain, or a gap): resolve via its own base walk
+            snap = read_version(table_dir, v)
+            if snap is None:
+                state, prev_v = None, None
+                continue
+            state = (snap.files, snap.tombstones, snap.stats)
+        out.append(
+            Snapshot(
+                v,
+                sorted(state[0]),
+                state[1],
+                doc.get("created_ms", 0),
+                doc.get("op", ""),
+                state[2],
+            )
+        )
+        prev_v = v
+    return list(reversed(out))
 
 
 def commit(
@@ -214,44 +338,52 @@ def commit(
             # the lockstep without adding meaningful append latency.
             time.sleep(min(0.2, 0.002 * attempt * (1 + os.getpid() % 7)))
         cur = latest(table_dir)
+        add_set = set(adds)
         if cur is None:
-            base_files = list_data_files(table_dir)
             # the bootstrap listing must not claim files we are adding
             # in this same commit (they are already on disk by now)
-            base_files = [f for f in base_files if f not in set(adds)]
-            version, tombstones = 0, {}
+            base_files = [f for f in list_data_files(table_dir) if f not in add_set]
+            base = (base_files, {}, {})
+            version = 0
         else:
-            base_files, version, tombstones = cur.files, cur.version + 1, dict(cur.tombstones)
-        removed = set(removes)
+            base = (cur.files, cur.tombstones, cur.stats)
+            version = cur.version + 1
         now = int(time.time() * 1000)
-        for r in removed:
-            tombstones[r] = now
-        for t in drop_tombstones:
-            tombstones.pop(t, None)
-        files = sorted((set(base_files) - removed) | set(adds))
-        # a re-added file (restore to an old version) is LIVE again —
-        # its tombstone must go, or a later vacuum would delete it
-        for f in files:
-            tombstones.pop(f, None)
-        live = set(files)
-        base_stats = cur.stats if cur is not None else {}
-        merged_stats = {
-            rel: s for rel, s in base_stats.items() if rel in live
-        }
-        if stats:
-            for rel, s in stats.items():
-                if rel in live:
-                    merged_stats[rel] = s
-        doc = {
+        record = {
             "version": version,
             "created_ms": now,
-            "files": files,
-            "tombstones": tombstones,
+            "adds": sorted(add_set),
+            "removes": sorted(set(removes)),
         }
-        if merged_stats:
-            doc["stats"] = merged_stats
+        if drop_tombstones:
+            record["drop_tombstones"] = sorted(set(drop_tombstones))
+        if stats:
+            rec_stats = {k: v for k, v in stats.items() if k in add_set}
+            if rec_stats:
+                record["stats"] = rec_stats
         if op:
-            doc["op"] = op
+            record["op"] = op
+        file_set, tombstones, merged_stats = _apply(*base, record)
+        files = sorted(file_set)
+        if cur is None or version % CHECKPOINT_EVERY == 0:
+            # FULL snapshot (checkpoint): one read resolves the table.
+            # The bootstrap commit must be one — its base state exists
+            # nowhere else. O(live files) metadata, amortized.
+            doc = {
+                "version": version,
+                "created_ms": now,
+                "files": files,
+                "tombstones": tombstones,
+            }
+            if merged_stats:
+                doc["stats"] = merged_stats
+            if op:
+                doc["op"] = op
+        else:
+            # DELTA entry: O(this commit's churn) metadata, whatever
+            # the table's live file count
+            doc = dict(record)
+            doc["delta"] = True
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -260,7 +392,11 @@ def commit(
         final = os.path.join(d, _V_FMT % version)
         try:
             os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
-            return Snapshot(version, files, tombstones, now, op, merged_stats)
+            snap = Snapshot(version, files, tombstones, now, op, merged_stats)
+            # seed the resolve cache: the NEXT commit/read folds from
+            # this head with one O(churn) step instead of a chain walk
+            _cache_put((os.path.abspath(table_dir), version), snap)
+            return snap
         except FileExistsError:
             continue  # CAS miss — somebody else published this version
         finally:
@@ -307,26 +443,44 @@ def vacuum(
     # manifests older than the newest one covering the retention window
     # can no longer be a reader's pin — prune them. They keep the
     # orphan-age floor regardless of the caller's data retention, so an
-    # aggressive maintenance vacuum (compact's retention_s=0) reclaims
+    # aggressive maintenance vacuum (compact's vacuum(0)) reclaims
     # bytes without erasing the recent history/time-travel log.
     d = _log_dir(table_dir)
     manifest_age = max(retention_s, ORPHAN_MIN_AGE_S)
-    for n in sorted(os.listdir(d)):
-        if not (n.startswith(_V_PREFIX) and n.endswith(_V_SUFFIX)):
-            if n.startswith(".tmp-"):
-                full = os.path.join(d, n)
-                with contextlib.suppress(OSError):
-                    if os.path.getmtime(full) <= now - orphan_age:
-                        os.unlink(full)
-            continue
+    for n in os.listdir(d):
+        if n.startswith(".tmp-"):
+            full = os.path.join(d, n)
+            with contextlib.suppress(OSError):
+                if os.path.getmtime(full) <= now - orphan_age:
+                    os.unlink(full)
+    vs = _versions(table_dir)
+
+    def _age_ok(v: int) -> bool:  # old enough that no reader pins it
         try:
-            v = int(n[len(_V_PREFIX):-len(_V_SUFFIX)])
-        except ValueError:
-            continue
-        full = os.path.join(d, n)
-        with contextlib.suppress(OSError):
-            if v < snap.version and os.path.getmtime(full) <= now - manifest_age:
-                os.unlink(full)
+            mt = os.path.getmtime(os.path.join(d, _V_FMT % v))
+        except OSError:
+            return False
+        return mt <= now - manifest_age
+
+    kept = {v for v in vs if not _age_ok(v)} | {snap.version}
+    oldest_kept = min(kept)
+    # a DELTA entry resolves by walking back to its nearest full
+    # checkpoint — prune only BELOW the checkpoint anchoring the
+    # oldest version a reader may still pin, so every kept version
+    # stays resolvable (the overhang is < CHECKPOINT_EVERY entries)
+    floor = None
+    for v in sorted(vs, reverse=True):
+        if v <= oldest_kept:
+            doc = _read_doc(table_dir, v)
+            if doc is not None and not doc.get("delta"):
+                floor = v
+                break
+    if floor is None:
+        floor = oldest_kept
+    for v in vs:
+        if v < floor:
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(d, _V_FMT % v))
     _prune_empty_dirs(table_dir)
     return (len(deleted), orphans)
 
