@@ -575,3 +575,22 @@ def test_vacuum_never_breaks_delta_chains(tmp_path):
             assert snap is not None, f"v{v} must stay resolvable"
             assert snap.files == sorted(f"f{i}.parquet" for i in range(v + 1))
     assert snapshots.latest(d).version == n - 1
+
+
+def test_resolve_cache_survives_store_rebuild(tmp_path):
+    """The resolve cache validates the version FILE identity, so a
+    store deleted and rebuilt at the same path never serves stale
+    state, and a vacuum-pruned version still reads as None."""
+    import shutil
+
+    d = str(tmp_path / "t")
+    _touch(d, "old.parquet")
+    snapshots.commit(d, adds=["old.parquet"], op="append")
+    assert snapshots.read_version(d, 0).files == ["old.parquet"]
+    shutil.rmtree(d)
+    _touch(d, "new.parquet")
+    time.sleep(0.01)  # distinct mtime_ns for the rebuilt log
+    snapshots.commit(d, adds=["new.parquet"], op="append")
+    assert snapshots.read_version(d, 0).files == ["new.parquet"]
+    os.unlink(os.path.join(d, "_zest_log", "v%012d.json" % 0))
+    assert snapshots.read_version(d, 0) is None

@@ -204,13 +204,24 @@ def _full_state(doc: dict):
 #: tables — where each head resolves from the cached previous head
 #: with ONE O(churn) fold instead of a full chain replay. Callers
 #: must treat returned Snapshots as immutable (they do).
-_RESOLVE_CACHE: "dict[tuple[str, int], Snapshot]" = {}
+_RESOLVE_CACHE: "dict[tuple[str, int], tuple[tuple, Snapshot]]" = {}
 _RESOLVE_CACHE_MAX = 8
 
 
-def _cache_put(key: "tuple[str, int]", snap: "Snapshot") -> None:
+def _file_ident(table_dir: str, version: int) -> "tuple | None":
+    """(size, mtime_ns) of a version file — None when absent. Guards
+    the cache against a store DELETED and rebuilt at the same path
+    (same version number, different contents)."""
+    try:
+        st = os.stat(os.path.join(_log_dir(table_dir), _V_FMT % version))
+    except OSError:
+        return None
+    return (st.st_size, st.st_mtime_ns)
+
+
+def _cache_put(key: "tuple[str, int]", ident: tuple, snap: "Snapshot") -> None:
     _RESOLVE_CACHE.pop(key, None)
-    _RESOLVE_CACHE[key] = snap
+    _RESOLVE_CACHE[key] = (ident, snap)
     while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
         _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
 
@@ -225,10 +236,10 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
     key = (os.path.abspath(table_dir), version)
     hit = _RESOLVE_CACHE.get(key)
     if hit is not None:
-        if os.path.exists(os.path.join(_log_dir(table_dir), _V_FMT % version)):
-            return hit
-        _RESOLVE_CACHE.pop(key, None)  # vacuum pruned it — stay faithful
-        return None
+        ident, snap = hit
+        if _file_ident(table_dir, version) == ident:
+            return snap
+        _RESOLVE_CACHE.pop(key, None)  # pruned or a rebuilt store — re-read
     doc = _read_doc(table_dir, version)
     if doc is None:
         return None
@@ -249,7 +260,9 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
         doc.get("op", ""),
         stats,
     )
-    _cache_put(key, snap)
+    ident = _file_ident(table_dir, version)
+    if ident is not None:  # vanished mid-read → don't cache an absent file
+        _cache_put(key, ident, snap)
     return snap
 
 
@@ -395,7 +408,9 @@ def commit(
             snap = Snapshot(version, files, tombstones, now, op, merged_stats)
             # seed the resolve cache: the NEXT commit/read folds from
             # this head with one O(churn) step instead of a chain walk
-            _cache_put((os.path.abspath(table_dir), version), snap)
+            ident = _file_ident(table_dir, version)
+            if ident is not None:
+                _cache_put((os.path.abspath(table_dir), version), ident, snap)
             return snap
         except FileExistsError:
             continue  # CAS miss — somebody else published this version
