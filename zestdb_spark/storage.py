@@ -608,11 +608,26 @@ class ZestStore:
         if not cols or not rels:
             return None
         root = self._path(table)
-        out = {}
-        for rel in rels:
-            s = _footer_stats(os.path.join(root, rel), cols)
-            if s is not None:
-                out[rel] = s
+        rels = list(rels)
+        if len(rels) > 64:
+            # footer reads are tiny I/O round trips — a bulk commit
+            # (bootstrap, big ingest) collects them concurrently
+            # instead of serially (~0.14 ms/file serial; threads cut
+            # wall time ~8×). Per-write commits skip the pool cost.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                stats = pool.map(
+                    lambda rel: _footer_stats(os.path.join(root, rel), cols),
+                    rels,
+                )
+                out = {rel: s for rel, s in zip(rels, stats) if s is not None}
+        else:
+            out = {}
+            for rel in rels:
+                s = _footer_stats(os.path.join(root, rel), cols)
+                if s is not None:
+                    out[rel] = s
         return out or None
 
     def _append_log(self, table: str, df: DataFrame) -> None:
