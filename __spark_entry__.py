@@ -280,6 +280,39 @@ def _snap_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_to_dataframe(plan, hinted, sort=True)
 
 
+def _snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (upsert) under the correctness gate: bulk-ingest the
+    events mapping, then merge an update batch — the Jan-10..15
+    click/view rows with doubled values and a rewritten tag — through
+    ``ZestStore.merge_rows`` (Delta's MERGE with whole-row replacement
+    on (series_id, timestamp); candidate files stats-pruned, only
+    key-hit files rewritten, one atomic commit — storage.py). The
+    update predicate is key-closed (series+timestamp only), so the
+    merged table must equal updates ∪ complement — exactly the SQL
+    oracle's UNION ALL. The reference corrects a bad point by POSTing
+    at its explicit timestamp (src/server.re 'at' route); this is that
+    correction as one distributed batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_mrg_"))
+    src = fixtures.ts_numeric_from_events(spark, sf_dir)
+    eng.ingest_bulk(src, path="/ts/bulk/events", client="loader")
+    updates = (
+        src.filter(
+            F.col("series_id").isin("click", "view")
+            & F.col("timestamp").between(_T_JAN10, _T_JAN15)
+        )
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("tag_value", F.lit("merged"))
+    )
+    eng.store.merge_rows("ts_numeric", updates)
+    return eng.store.load("ts_numeric")
+
+
 def _snap_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the correctness gate: ingest the events
     mapping, DELETE a filtered range, then ask the store what changed
@@ -709,6 +742,23 @@ _KV_SQL = {
     "snap_time_travel": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
       SELECT * FROM ts
+    """,
+    # keyed MERGE: the update predicate is key-closed (series+timestamp
+    # only), so the merged table is exactly updates ∪ complement
+    "snap_merge": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      upd AS (
+        SELECT series_id, "timestamp", value * 2 AS value,
+               tag_name, 'merged' AS tag_value
+        FROM ts
+        WHERE series_id IN ('click', 'view')
+          AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15})
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM ts
+      WHERE NOT coalesce(
+        series_id IN ('click', 'view')
+        AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15}, false)
     """,
     # the change feed across the delete is exactly the deleted rows
     # (unfiltered range — the window edges cut day-buckets mid-file, so
@@ -2744,8 +2794,13 @@ GRADED_WINDOW: list[str] = [
     "agg_count", "snap_pruned_read", "agg_sd",
     "sk_quantiles", "corpus_dsir",
     "blob_last_n",
-    # lineitem volume mapping (covers last/n, sum, median, length)
-    "li_last_n_multi", "li_range_sum", "li_range_median", "li_length",
+    # lineitem volume mapping (covers last/n, sum, median). Round-7
+    # swap #4: li_length (A8 — the same count shape as graded A2
+    # agg_count, on the volume mapping) demoted to the tail so the
+    # table format's keyed MERGE (snap_merge: stats-pruned candidate
+    # files, key-hit-only rewrite, one atomic commit) carries DIRECT
+    # driver evidence
+    "li_last_n_multi", "li_range_sum", "li_range_median", "snap_merge",
     # KV / catalog / the three front-ends. Round-7 swap: kv_text_read
     # (S4 text variant — the family keeps kv_read/kv_keys/kv_count
     # graded) demoted for wire_roundtrip, so the new ZMTP transport
@@ -2805,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["del_roundtrip"] = _del_roundtrip
     out["snap_time_travel"] = _snap_time_travel
     out["snap_pruned_read"] = _snap_pruned_read
+    out["snap_merge"] = _snap_merge
     out["snap_changes"] = _snap_changes
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip

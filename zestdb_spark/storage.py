@@ -39,7 +39,7 @@ import shutil
 import time
 import uuid
 from typing import Any, Optional
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -887,6 +887,112 @@ class ZestStore:
         rows = self.spark.createDataFrame([(series_id, ts, data)], S.TS_BLOB)
         self._append_ts("ts_blob", rows, 1)
         return ts
+
+    #: merge_rows collects the update batch's distinct series only while
+    #: the set is small enough to serve as a useful pruning hint; past
+    #: this the hint degrades to the timestamp bounds alone (never an
+    #: unbounded driver collect).
+    _MERGE_SERIES_HINT_CAP = 4096
+
+    def merge_rows(self, table: str, updates: DataFrame) -> int:
+        """Keyed MERGE (upsert) into a TS table — Delta's ``MERGE WHEN
+        MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT`` with
+        whole-row replacement on the natural key ``(series_id,
+        timestamp)``: every live row whose key appears in ``updates``
+        is replaced by the update rows, every other update row is
+        inserted, all in ONE atomic snapshot commit. Duplicate keys are
+        well-defined on both sides: all matched live rows are removed,
+        all update rows land (replace-by-key, the KV upsert contract
+        lifted to TS — the reference corrects a bad point by writing at
+        its explicit timestamp, src/server.re:832-858 'at' route).
+
+        Scale shape (the Delta MERGE recipe, cost ∝ touched files +
+        update batch, never table size):
+        1. the update batch's key bounds — min/max timestamp plus the
+           series set when small — prune the manifest to CANDIDATE
+           files through the same stats/partition checks as read-side
+           data skipping (``_file_may_match``);
+        2. only candidates that contain an ACTUALLY matched key are
+           rewritten (an ``input_file_name`` semi-join narrows the
+           churn to provably-hit files);
+        3. the survivor rewrite (``rw-*``, maintenance — observers
+           stay quiet) and the inserted batch (``part-*``, a genuine
+           append observers should see) publish in one commit; a crash
+           anywhere before it leaves the table fully OLD (staged files
+           are unreferenced until the manifest swap).
+
+        Returns the number of data files rewritten."""
+        if table not in ("ts_numeric", "ts_blob"):
+            raise KeyError(f"merge_rows targets TS tables, not {table!r}")
+        fields = _TABLES[table].fields
+        updates = updates.select(*[F.col(f.name).cast(f.dataType) for f in fields])
+        if updates.isEmpty():
+            return 0
+        updates = updates.persist()
+        try:
+            lo, hi = updates.agg(F.min("timestamp"), F.max("timestamp")).first()
+            sids = updates.select("series_id").distinct()
+            sample = sids.limit(self._MERGE_SERIES_HINT_CAP + 1).collect()
+            series = (
+                {r[0] for r in sample}
+                if len(sample) <= self._MERGE_SERIES_HINT_CAP
+                else None
+            )
+            keys = updates.select("series_id", "timestamp").distinct()
+            real = self._path(table)
+            with self._rewrite_lock(table):
+                live = self._live_files(table)
+                snap = self._snapshot(table)
+                stats = snap.stats if snap is not None else {}
+                candidates = [
+                    f
+                    for f in live
+                    if self._file_may_match(f, stats.get(f), lo, hi, series)
+                ]
+                touched: list[str] = []
+                if candidates:
+                    cand = self._read_files(table, candidates).withColumn(
+                        "_zest_file", F.input_file_name()
+                    )
+                    hit = (
+                        cand.join(keys, ["series_id", "timestamp"], "semi")
+                        .select("_zest_file")
+                        .distinct()
+                        .collect()
+                    )
+                    touched = sorted(self._rel_of_uri(real, r[0]) for r in hit)
+                adds: list[str] = []
+                if touched:
+                    survivors = self._read_files(table, touched).join(
+                        keys, ["series_id", "timestamp"], "left_anti"
+                    )
+                    adds += self._stage_move(
+                        table, survivors, ("series_id", "time_bucket"), rewrite=True
+                    )
+                wid = self._next_write_id()
+                stamped = (
+                    updates.withColumn(
+                        "time_bucket", (F.col("timestamp") / _DAY_MS).cast("long")
+                    ).withColumn("write_id", F.lit(wid))
+                )
+                adds += self._stage_move(
+                    table, stamped, ("series_id", "time_bucket")
+                )
+                self._commit(table, adds=adds, removes=touched, op="merge")
+            self._log_write(table, None, wid)
+            return len(touched)
+        finally:
+            updates.unpersist()
+
+    @staticmethod
+    def _rel_of_uri(table_path: str, uri: str) -> str:
+        """Manifest relpath of an ``input_file_name()`` URI — reverse
+        the file-URI escaping (Hive-escaped partition dir names like
+        ``series_id=a%3Db`` contain ``%``, which the URI layer escapes
+        AGAIN as ``%25``; unquoting the URI path restores the on-disk
+        name exactly)."""
+        p = urlparse(uri)
+        return os.path.relpath(unquote(p.path), table_path)
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         """Whole-table rewrite (catalog only — href-keyed, control-plane
