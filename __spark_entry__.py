@@ -806,6 +806,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_ops,
         dedup,
         multimodal,
+        probe,
         similarity,
         sketches,
         textstats,
@@ -813,6 +814,27 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def docs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def text_probe_fit1(spark, sf_dir):
+        """Train the quality probe ON the corpus and return the fitted
+        coefficients (q6-floored): one feature (stopword_ratio) against
+        the text_quality score, ridge 0 — so the oracle can replay the
+        fit through the closed-form simple-regression identities over
+        the SAME exact decimal sums the one-pass trainer accumulates."""
+        import math
+
+        from zestdb_spark.functions.textstats import quality_exprs
+
+        _, ratio, score = quality_exprs()
+        feats = docs(spark, sf_dir).select(ratio.alias("x"), score.alias("y"))
+        m = probe.fit_probe(feats, "y", ["x"], ridge=0.0)
+        row = [
+            (
+                math.floor(m["intercept"] * 1e6) / 1e6,
+                math.floor(m["weights"]["x"] * 1e6) / 1e6,
+            )
+        ]
+        return spark.createDataFrame(row, "intercept double, slope double")
 
     def embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1119,6 +1141,24 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda s, d: textstats.repetition_stats(docs(s, d)),
         "text_top_ngram": lambda s, d: textstats.top_ngram_frac(docs(s, d)),
         "text_gopher": lambda s, d: textstats.gopher_quality(docs(s, d)),
+        # model-based quality filtering (FineWeb/DCLM recipe): score
+        # the corpus with a linear probe compiled into the scan as
+        # literals — the deployment shape after fit_probe trains it
+        "text_probe_score": lambda s, d: probe.score_probe(
+            probe.quality_features(docs(s, d)),
+            {
+                "intercept": 0.05,
+                "weights": {
+                    "stopword_ratio": 0.4,
+                    "punct_ratio": -0.3,
+                    "dup_token_frac": -0.2,
+                    "length_credit": 0.5,
+                },
+            },
+        ),
+        # ...and the TRAINER under the gate: the one-pass normal-
+        # equation fit vs DuckDB's closed-form simple regression
+        "text_probe_fit1": text_probe_fit1,
         "text_redact": lambda s, d: textstats.redact_pii(docs(s, d)),
         "text_url_stats": lambda s, d: textstats.url_stats(docs(s, d)),
         "text_strip_markup": lambda s, d: textstats.strip_markup(docs(s, d)),
@@ -1640,6 +1680,60 @@ _EXT_SQL: dict[str, str] = {
              floor(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
                    / greatest(len(text), 1) * 1000000.0) / 1000000.0 AS punct_ratio
       FROM documents
+    """,
+    # the probe features replay the graded textstats arithmetic; the
+    # score is the literal linear model left-folded in the same order
+    # score_probe builds its expression
+    "text_probe_score": f"""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text,' '), x -> x <> '') AS toks,
+               {_HITS['en']} AS hits
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               floor(hits / greatest(len(toks), 1) * 1000000.0) / 1000000.0
+                 AS stopword_ratio,
+               floor(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / greatest(len(text), 1) * 1000000.0) / 1000000.0
+                 AS punct_ratio,
+               floor((len(toks) - len(list_distinct(toks)))
+                     / greatest(len(toks), 1) * 1000000.0) / 1000000.0
+                 AS dup_token_frac,
+               least(len(toks), 400) / 400 AS length_credit
+        FROM t)
+      SELECT doc_id, stopword_ratio, punct_ratio, dup_token_frac,
+             length_credit,
+             floor((0.05 + 0.4 * stopword_ratio + (-0.3) * punct_ratio
+                    + (-0.2) * dup_token_frac + 0.5 * length_credit)
+                   * 1000000.0) / 1000000.0 AS probe_score
+      FROM f
+    """,
+    # one-feature ridge-0 fit: the trainer's exact decimal sums feed
+    # the closed-form simple-regression identities; q6 floors absorb
+    # the two engines' solver-order float differences
+    "text_probe_fit1": f"""
+      WITH t AS (
+        SELECT len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
+               {_HITS['en']} AS hits
+        FROM documents),
+      f AS (
+        SELECT floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 AS x,
+               floor((floor(hits / greatest(n, 1) * 1000000.0) / 1000000.0 * 0.5
+                      + least(n, 400) / 400 * 0.5) * 1000000.0) / 1000000.0 AS y
+        FROM t),
+      s AS (
+        SELECT count(*)::DOUBLE AS n,
+               CAST(sum(CAST(1.0 * x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(1.0 * y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM f)
+      SELECT floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   * 1000000.0) / 1000000.0 AS intercept,
+             floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   * 1000000.0) / 1000000.0 AS slope
+      FROM s
     """,
     "text_quality": f"""
       WITH t AS (
@@ -2829,8 +2923,14 @@ GRADED_WINDOW: list[str] = [
     # embedding-dedup is graded via its SCALE path (SemDeDup clustered
     # prune) — the O(n²) dedup_embedding_cosine baseline moved to the
     # tail (still selfcheck-exact); same bar (0.45), better 100 TB story
+    # Round-7 swap #5: sim_topk_bruteforce (the O(n·k) ANN baseline —
+    # the family keeps BOTH scale paths graded: IVF + bucketed LSH)
+    # demoted to the tail so the trained quality probe's deployment
+    # shape (text_probe_score: literal linear model scored scan-local)
+    # carries driver evidence; the TRAINER itself is the tail row
+    # text_probe_fit1 (closed-form-oracle fit on exact decimal sums)
     "dedup_exact", "dedup_minhash", "dedup_semantic",
-    "sim_topk_bruteforce", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
+    "text_probe_score", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
     # retrieval family graded via BM25 (tf_idf demoted to the tail —
     # same term-weighting family, BM25 is the member a user would run)
     "text_quality", "text_langid", "text_gopher", "text_winnow",
