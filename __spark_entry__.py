@@ -1224,6 +1224,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": lambda s, d: corpus_ops.mix_upsample(
             docs(s, d), {"src0": 2.5, "src1": 0.25, "src2": 0.0}
         ),
+        # temperature-based source mixing (q_s ∝ √c_s): the derived
+        # per-source epoch weights are quantized at every step, so the
+        # oracle recomputes them from the same counts bit-for-bit
+        "corpus_temp_mix": lambda s, d: corpus_ops.temperature_mix(
+            docs(s, d), alpha=0.5
+        ),
         # Okapi BM25 retrieval for a literal term query: one stats
         # aggregate (1-row broadcast) + one scoring scan ending in
         # TakeOrderedAndProject — zero shuffles
@@ -2771,6 +2777,38 @@ _EXT_SQL: dict[str, str] = {
         SELECT doc_id, source, wi, wf,
                unnest(range(0, wi + CASE WHEN wf > 0 THEN 1 ELSE 0 END)) AS copy
         FROM w)
+      SELECT doc_id, source, CAST(copy AS INTEGER) AS copy
+      FROM f
+      WHERE copy < wi
+         OR {_BUCKET_SQL.format(expr="CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)", mod=1000000)} < wf
+    """,
+    # temperature mixing: recompute the quantized weight pipeline from
+    # the same group counts (sqrt is IEEE-correctly-rounded in both
+    # engines; q sums are exact integers), then replay mix_upsample's
+    # wi/wf fan-out
+    "corpus_temp_mix": f"""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      q AS (
+        SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS qs
+        FROM c),
+      s AS (SELECT sum(qs) AS sq, sum(n) AS nt FROM q),
+      w AS (
+        SELECT source,
+               floor(((qs / sq) * nt) / n * 1000000.0) / 1000000.0 AS wt
+        FROM q, s),
+      wif AS (
+        SELECT source,
+               CAST(floor(wt) AS BIGINT) AS wi,
+               CAST(round((wt % 1) * 1000000.0, 0) AS BIGINT) AS wf
+        FROM w),
+      dw AS (
+        SELECT d.doc_id, d.source, wi, wf
+        FROM documents d JOIN wif USING (source)),
+      f AS (
+        SELECT doc_id, source, wi, wf,
+               unnest(range(0, wi + CASE WHEN wf > 0 THEN 1 ELSE 0 END)) AS copy
+        FROM dw)
       SELECT doc_id, source, CAST(copy AS INTEGER) AS copy
       FROM f
       WHERE copy < wi

@@ -463,3 +463,62 @@ def test_weighted_sample_merge_law(spark):
         .collect()
     )
     assert whole == rerank
+
+
+# ------------------------------------------------------ temperature_mix
+
+def test_temperature_mix_alpha1_is_near_identity(spark):
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 10 = 0 THEN 'rare' ELSE 'big' END AS source"
+    )
+    out = corpus_ops.temperature_mix(df, alpha=1.0)
+    # α=1 weights quantize to ~1.0 (floor can shave ≤1e-6 per doc)
+    assert abs(out.count() - 2000) <= 2
+
+
+def test_temperature_mix_alpha_half_upsamples_rare(spark):
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 10 = 0 THEN 'rare' ELSE 'big' END AS source"
+    )
+    out = corpus_ops.temperature_mix(df, alpha=0.5)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # q_rare = sqrt(200)/(sqrt(200)+sqrt(1800)) = 0.25 of the target.
+    # Fractional copies are hash-Bernoulli per doc, so the realized
+    # counts deviate like a binomial (σ≈7 rare / σ≈16 big) — bound at
+    # ~3.5σ; the mix is still bit-deterministic across runs
+    assert abs(by["rare"] - 500) <= 25
+    assert abs(by["big"] - 1500) <= 55
+    assert abs(sum(by.values()) - 2000) <= 60
+
+
+def test_temperature_mix_alpha0_is_uniform(spark):
+    df = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 30 = 0 THEN 'a' WHEN id % 3 = 0 THEN 'b' "
+        "ELSE 'c' END AS source",
+    )
+    out = corpus_ops.temperature_mix(df, alpha=0.0)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    for g in ("a", "b", "c"):
+        # hash-Bernoulli fractional copies: σ up to ~22 per group
+        assert abs(by[g] - 1000) <= 75
+
+
+def test_temperature_mix_deterministic_and_scaled_target(spark):
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 5 = 0 THEN 's1' ELSE 's2' END AS source"
+    )
+    a = sorted(map(tuple, corpus_ops.temperature_mix(df, 0.5, total_rows=1000).collect()))
+    b = sorted(map(tuple, corpus_ops.temperature_mix(df, 0.5, total_rows=1000).collect()))
+    assert a == b
+    assert abs(len(a) - 1000) <= 40
+
+
+def test_temperature_mix_guards(spark):
+    df = spark.range(10).selectExpr("id AS doc_id", "'s' AS source")
+    with pytest.raises(ValueError, match="alpha"):
+        corpus_ops.temperature_mix(df, alpha=-0.1)
+    empty = corpus_ops.temperature_mix(df.filter("doc_id < 0"))
+    assert empty.count() == 0

@@ -335,3 +335,40 @@ def test_rewrite_lock_busy_and_stale_reclaim(spark, tmp_path):
     eng.post("/ts/a/at/1000", {"value": 1.0})  # append path — no lock
     eng.delete("/ts/a/since/0")  # ts_numeric lock, independent
     os.unlink(lock)
+
+
+def test_compact_scoped_to_series_and_window(spark, tmp_path):
+    """OPTIMIZE ... WHERE: series/since/until scope restricts
+    maintenance to matching leaves — the nightly 'compact yesterday's
+    hot partitions' job must not churn the cold 99% of the table."""
+    eng = ZestEngine(spark, str(tmp_path / "scstore"))
+    day = 86_400_000
+    for series in ("a", "b"):
+        for d in (0, 1):
+            for i in range(3):  # 3 files per (series, day) leaf
+                eng.post(f"/ts/{series}/at/{d * day + i * 1000}", {"value": 1.0})
+    before = sorted(map(tuple, eng.store.load_with_provenance("ts_numeric").collect()))
+
+    # scope: series a only, day-1 window only → exactly one leaf
+    done = eng.store.compact(
+        "ts_numeric", series={"a"}, since_ms=day, until_ms=day + 10_000
+    )
+    assert done == 1
+    live = eng.store._live_files("ts_numeric")
+    by_leaf = {}
+    for rel in live:
+        by_leaf.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
+    assert len(by_leaf["series_id=a/time_bucket=1"]) == 1
+    # everything out of scope still has its 3 per-write files
+    for leaf in (
+        "series_id=a/time_bucket=0",
+        "series_id=b/time_bucket=0",
+        "series_id=b/time_bucket=1",
+    ):
+        assert len(by_leaf[leaf]) == 3, leaf
+    # content preserved verbatim
+    after = sorted(map(tuple, eng.store.load_with_provenance("ts_numeric").collect()))
+    assert after == before
+    # widening the scope finishes the job; a second pass is a no-op
+    assert eng.store.compact("ts_numeric") == 3
+    assert eng.store.compact("ts_numeric") == 0

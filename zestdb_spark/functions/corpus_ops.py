@@ -449,6 +449,56 @@ def mix_upsample(
     return fanned.filter(keep).select("doc_id", group_col, "copy")
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    total_rows: int | None = None,
+) -> DataFrame:
+    """(doc_id, <group_col>, copy): temperature-based source mixing —
+    the multilingual-LM sampling knob (exponentiated sampling, e.g.
+    mBERT/mT5's q_s ∝ p_s^α) made executable: sample group ``s`` with
+    probability ``q_s = c_s^α / Σ_t c_t^α`` at a target corpus size
+    (default: preserve the input size), which upsamples rare sources
+    and downsamples dominant ones as α → 0. The derived per-group
+    epoch weights feed ``mix_upsample``, so materialization inherits
+    its guarantees: hash-of-(doc_id, copy) membership (never rand()),
+    scan-local fan-out, zero shuffles beyond the one bounded
+    group-count aggregate.
+
+    Replayability: the driver-side weight arithmetic is quantized at
+    every step — ``q_s = floor(c_s^α·10⁶)`` summed exactly as
+    integers, then ``w_s = floor(((q_s/S)·target)/c_s·10⁶)/10⁶`` —
+    so an oracle engine recomputing the same expression tree from the
+    same counts reproduces the weights bit-for-bit (α = 0.5 uses
+    sqrt, which IEEE 754 rounds correctly in every engine; other α go
+    through pow, whose last-ulp behavior is libm-specific — still
+    deterministic per platform, just not oracle-portable).
+
+    The group-count collect is model-sized (sources are a
+    control-plane enumeration, like the IVF codebook), never
+    corpus-sized."""
+    import math
+
+    if alpha < 0:
+        raise ValueError("temperature_mix: alpha must be >= 0")
+    counts = {
+        r[0]: r[1] for r in docs.groupBy(group_col).agg(F.count("*")).collect()
+    }
+    if not counts:
+        return mix_upsample(docs, {}, group_col=group_col, default_weight=0.0)
+    n_total = sum(counts.values())
+    target = n_total if total_rows is None else int(total_rows)
+    power = math.sqrt if alpha == 0.5 else (lambda c: math.pow(c, alpha))
+    q = {g: math.floor(power(c) * 1_000_000) for g, c in counts.items()}
+    s = sum(q.values())
+    weights = {
+        g: math.floor(((q[g] / s) * target) / counts[g] * 1_000_000) / 1_000_000
+        for g in counts
+    }
+    return mix_upsample(docs, weights, group_col=group_col, default_weight=0.0)
+
+
 def scrub_dup_spans(
     docs: DataFrame, n: int = 8, min_docs: int = 2, skew_safe: bool = False
 ) -> DataFrame:

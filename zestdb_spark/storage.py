@@ -1177,6 +1177,9 @@ class ZestStore:
         table: str,
         target_files: int = 1,
         vacuum_retention_s: float = 0.0,
+        series=None,
+        since_ms: Optional[int] = None,
+        until_ms: Optional[int] = None,
     ) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
         partition's small files down to ``target_files`` — the
@@ -1196,9 +1199,34 @@ class ZestStore:
         ``target_files`` data files are re-read and atomically swapped;
         everything else stays byte-identical. Row content (including
         provenance stamps) is preserved verbatim. Returns the number of
-        leaves compacted."""
+        leaves compacted.
+
+        ``series``/``since_ms``/``until_ms`` SCOPE the maintenance to
+        matching leaves (Delta's ``OPTIMIZE ... WHERE``): at 100 TB the
+        nightly job compacts yesterday's hot partitions, not the whole
+        table — the window bounds select whole day-buckets
+        (conservatively: any leaf the inclusive window overlaps)."""
         if table not in ("ts_numeric", "ts_blob"):
             raise KeyError(f"compact targets TS tables, not {table!r}")
+        from_bucket = None if since_ms is None else _bucket_of(since_ms)
+        to_bucket = None if until_ms is None else _bucket_of(until_ms)
+        series = None if series is None else set(series)
+
+        def in_scope(leaf_rel: str) -> bool:
+            parts = self._rel_parts(leaf_rel + "/x")
+            sid, tb = parts.get("series_id"), parts.get("time_bucket")
+            if series is not None and sid is not None and sid not in series:
+                return False
+            try:
+                b = int(tb) if tb is not None else None
+            except ValueError:
+                b = None
+            if b is not None:
+                if from_bucket is not None and b < from_bucket:
+                    return False
+                if to_bucket is not None and b > to_bucket:
+                    return False
+            return True
         if not self._exists(table):
             return 0
         from pyspark.sql import types as T
@@ -1223,6 +1251,8 @@ class ZestStore:
             removes: list[str] = []
             for leaf_rel, files in sorted(leaves.items()):
                 if not leaf_rel or len(files) <= target_files:
+                    continue
+                if not in_scope(leaf_rel):
                     continue
                 # CLUSTER while merging: range-partition + sort by
                 # timestamp, so the output files carry tight, DISJOINT
