@@ -839,6 +839,26 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def emb_covariance(spark, sf_dir):
+        """Exact embedding moments (PCA's input) under the gate: the
+        first-4-dims slice of similarity.embedding_moments' one-pass
+        decimal accumulation, returned as the 1-row frame the fit
+        consumes — the oracle recomputes identical decimal sums."""
+        e = embs(spark, sf_dir)
+        x = [
+            F.element_at(F.col("embedding"), i + 1).cast("double")
+            for i in range(4)
+        ]
+        dec = "decimal(38,12)"
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i in range(4):
+            aggs.append(F.sum(x[i].cast(dec)).cast("double").alias(f"s{i}"))
+            for j in range(i, 4):
+                aggs.append(
+                    F.sum((x[i] * x[j]).cast(dec)).cast("double").alias(f"m{i}{j}")
+                )
+        return e.agg(*aggs)
+
     def dedup_exact(spark, sf_dir):
         d = docs(spark, sf_dir).select("doc_id", "text")
         recrawl = d.unionAll(d.select(F.col("doc_id") + 1000000, "text"))
@@ -1133,6 +1153,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF coarse quantization ANN: deterministic codebook (smallest
         # vec_ids) + sequential-fold probe ranking → fully oracle-able
         "sim_topk_ivf": lambda s, d: similarity.ivf_topk(embs(s, d), 0, 10),
+        # PCA deployment shape: scan-local projection onto a literal
+        # basis (dot-fold minus the driver-folded centering constant);
+        # the FIT's exact one-pass moments are graded via emb_covariance
+        "sim_pca_project": lambda s, d: similarity.pca_project(
+            embs(s, d), _pca_fixed_model()
+        ),
+        "emb_covariance": emb_covariance,
         "text_token_count": lambda s, d: textstats.token_count(docs(s, d)),
         "text_token_count_bpe": lambda s, d: textstats.token_count_bpe(docs(s, d)),
         "text_punct_ratio": lambda s, d: textstats.punct_ratio(docs(s, d)),
@@ -1435,6 +1462,57 @@ def _planes_values_sql(nbits: int = 8, dim: int = 64) -> str:
         for i in range(nbits)
     )
     return f"(VALUES {rows}) planes(i, pv)"
+
+
+def _pca_fixed_model(k: int = 2, dim: int = 64) -> dict:
+    """A fixed, fully-literal PCA model (unit-normalized hyperplane
+    rows + a small rational mean) shared verbatim by the Spark query
+    and the DuckDB oracle — the deployment shape of pca_project with
+    none of the eigendecomposition's oracle-unfriendliness (the FIT is
+    covered by emb_covariance's exact moments + tests/test_pca.py)."""
+    import numpy as np
+
+    from zestdb_spark.functions.similarity import _hyperplanes
+
+    basis = []
+    for row in _hyperplanes(k, dim):
+        nrm = float(np.sqrt(float(np.dot(row, row))))
+        basis.append([float(x) / nrm for x in row])
+    mean = [((i % 7) - 3) / 100.0 for i in range(dim)]
+    return {"mean": mean, "basis": basis}
+
+
+def _emb_cov_sql(dims: int = 4) -> str:
+    cols = ["count(*) AS n"]
+    for i in range(dims):
+        cols.append(
+            f"CAST(sum(CAST(v[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) AS s{i}"
+        )
+        for j in range(i, dims):
+            cols.append(
+                f"CAST(sum(CAST(v[{i + 1}] * v[{j + 1}] AS DECIMAL(38,12))) "
+                f"AS DOUBLE) AS m{i}{j}"
+            )
+    return (
+        "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        "SELECT " + ", ".join(cols) + " FROM e"
+    )
+
+
+def _pca_project_sql() -> str:
+    m = _pca_fixed_model()
+    parts = []
+    for j, b in enumerate(m["basis"]):
+        c = sum(mm * x for mm, x in zip(m["mean"], b))
+        arr = "[" + ", ".join(repr(float(x)) for x in b) + "]::DOUBLE[]"
+        parts.append(
+            f"floor((list_dot_product(v, {arr}) - {c!r}) * 1000000.0) "
+            f"/ 1000000.0 AS p{j}"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) SELECT vec_id, " + ", ".join(parts) + " FROM e"
+    )
 
 
 #: Filtered token list shared by the gopher-rule oracles.
@@ -1915,6 +1993,8 @@ _EXT_SQL: dict[str, str] = {
       WHERE floor(list_dot_product(a.v, c.v) / (a.norm * c.norm) * 1000000.0)
               / 1000000.0 >= 0.45
     """,
+    "sim_pca_project": _pca_project_sql(),
+    "emb_covariance": _emb_cov_sql(),
     "sim_topk_ivf": f"""
       WITH {_EMB_NORM_CTE},
       cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm

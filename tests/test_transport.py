@@ -329,3 +329,35 @@ def test_maintenance_vacuum_loop(spark, tmp_path):
         ev.set()
     thread.join(timeout=5)
     assert not thread.is_alive()
+
+
+def test_maintenance_compact_tick(spark, tmp_path):
+    """serve's --compact-every: the maintenance loop compacts
+    many-file leaves down to one file and keeps serving content
+    verbatim."""
+    import time as _time
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.serve import start_maintenance
+
+    eng = ZestEngine(spark, str(tmp_path / "cmaint"))
+    for i in range(3):  # three per-write files in one leaf
+        eng.post(f"/ts/a/at/{i * 1000}", {"value": float(i)})
+    assert len(eng.store._live_files("ts_numeric")) == 3
+
+    ev, thread = start_maintenance(
+        eng.store, interval_s=0.05, retention_s=0.0, compact_every=1
+    )
+    try:
+        deadline = _time.time() + 20
+        while len(eng.store._live_files("ts_numeric")) > 1 and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert len(eng.store._live_files("ts_numeric")) == 1
+        got = sorted(
+            (r.series_id, r.timestamp, r.value)
+            for r in eng.store.load("ts_numeric").collect()
+        )
+        assert got == [("a", 0, 0.0), ("a", 1000, 1.0), ("a", 2000, 2.0)]
+    finally:
+        ev.set()
+    thread.join(timeout=5)

@@ -359,3 +359,85 @@ def lsh_bucketed_pairs(embs: DataFrame, tau: float, nbits: int = 8, dim: int = 6
         # dedup here would add a full extra shuffle over the candidate
         # set on the designated 100 TB path for nothing
     )
+
+
+# --------------------------------------------------------------- PCA
+
+def embedding_moments(embs: DataFrame, dim: int, vec: str = "embedding"):
+    """Exact first and second moments of the embedding distribution in
+    ONE aggregation pass: returns ``(n, s, m2)`` where ``s[i] = Σ v[i]``
+    and ``m2[i][j] = Σ v[i]·v[j]`` (upper triangle mirrored), all
+    accumulated as DECIMAL(38,12) — so the moments (and everything
+    derived from them) are bit-identical under any partitioning or
+    retry, the same order-free-accumulation contract as the trained
+    quality probe. dim(dim+3)/2 running sums, map-side combined, one
+    1-row result; no row ever reaches the driver."""
+    x = [F.element_at(F.col(vec), i + 1).cast("double") for i in range(dim)]
+    dec = "decimal(38,12)"
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(dim):
+        aggs.append(F.sum(x[i].cast(dec)).alias(f"_s_{i}"))
+        for j in range(i, dim):
+            aggs.append(F.sum((x[i] * x[j]).cast(dec)).alias(f"_m_{i}_{j}"))
+    row = embs.agg(*aggs).first()
+    n = row["_n"]
+    if not n:
+        return 0, np.zeros(dim), np.zeros((dim, dim))
+    s = np.array([float(row[f"_s_{i}"]) for i in range(dim)])
+    m2 = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            m2[i, j] = m2[j, i] = float(row[f"_m_{i}_{j}"])
+    return n, s, m2
+
+
+def fit_pca(embs: DataFrame, k: int, dim: int, vec: str = "embedding") -> dict:
+    """Principal components from the exact one-pass moments: the
+    driver work is a dim×dim symmetric eigendecomposition (numpy eigh
+    on the covariance ``m2/n − μμᵀ``), model-sized like the IVF
+    codebook collect. Returns ``{"mean", "basis", "explained"}`` with
+    ``basis`` the top-``k`` eigenvectors (rows, descending eigenvalue;
+    sign fixed so each vector's largest-|coord| entry is positive —
+    eigenvectors are sign-ambiguous and the fix makes the model
+    deterministic). The scale shape for embedding whitening /
+    dimensionality reduction before ANN: one corpus pass to fit, one
+    scan-local projection to apply."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"fit_pca: need 1 <= k <= dim, got k={k} dim={dim}")
+    n, s, m2 = embedding_moments(embs, dim, vec)
+    if not n:
+        raise ValueError("fit_pca: empty embedding frame")
+    mu = s / n
+    cov = m2 / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    basis = []
+    for idx in order:
+        b = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(b)))
+        if b[pivot] < 0:
+            b = -b
+        basis.append([float(x) for x in b])
+    total = float(vals.sum()) or 1.0
+    return {
+        "mean": [float(x) for x in mu],
+        "basis": basis,
+        "explained": [float(vals[i] / total) for i in order],
+    }
+
+
+def pca_project(embs: DataFrame, model: dict, vec: str = "embedding") -> DataFrame:
+    """(vec_id, p0..p{k-1}): project onto the fitted components —
+    scan-local, zero shuffles, the literal basis compiled into the
+    plan. Each coordinate is computed as ``dot(v, bⱼ) − dot(μ, bⱼ)``
+    (the centering constant folded on the driver): algebraically the
+    centered projection, and expressed this way so the fold order is
+    the same left-to-right array fold the oracle's list_dot_product
+    uses — bit-exact replay, q6-floored like every similarity score."""
+    v = F.col(vec).cast("array<double>")
+    cols = [F.col("vec_id")]
+    for j, b in enumerate(model["basis"]):
+        blit = F.array(*[F.lit(float(x)) for x in b])
+        c = sum(float(m) * float(x) for m, x in zip(model["mean"], b))
+        cols.append(q6(dot(v, blit) - F.lit(float(c))).alias(f"p{j}"))
+    return embs.select(*cols)

@@ -79,20 +79,47 @@ def build_parser() -> argparse.ArgumentParser:
         "(default: the store's standard retention window)",
     )
     p.add_argument(
+        "--compact-every",
+        type=int,
+        default=0,
+        help="compact the TS tables every Nth maintenance tick "
+        "(0 disables, the default; needs --vacuum-interval > 0)",
+    )
+    p.add_argument(
+        "--compact-window-ms",
+        type=int,
+        default=0,
+        help="scope maintenance compaction to the trailing window "
+        "(ms) — compact only the hot recent day-buckets; 0 compacts "
+        "the whole table",
+    )
+    p.add_argument(
         "--app-name", default="zestdb_spark_server", help="Spark application name"
     )
     return p
 
 
-def start_maintenance(store, interval_s: float, retention_s=None, stop_event=None):
+def start_maintenance(
+    store,
+    interval_s: float,
+    retention_s=None,
+    stop_event=None,
+    compact_every: int = 0,
+    compact_window_ms: int = 0,
+):
     """Background maintenance: vacuum every manifested table each
     ``interval_s`` (the ops loop a long-running server needs, since
     tombstones and crashed-writer orphans otherwise accumulate
-    forever). Returns (stop_event, thread); set the event to stop."""
+    forever). With ``compact_every`` = N > 0, every Nth tick also
+    compacts the TS tables — scoped to the trailing
+    ``compact_window_ms`` when given (the OPTIMIZE-the-hot-partitions
+    posture: per-write appends accumulate one file per request, and
+    only recent day-buckets keep receiving them), whole-table
+    otherwise. Returns (stop_event, thread); set the event to stop."""
     import threading as _threading
 
     from zestdb_spark import snapshots
-    from zestdb_spark.storage import _MANIFESTED
+    from zestdb_spark.storage import _MANIFESTED, now_ms
 
     ev = stop_event or _threading.Event()
     retention = (
@@ -100,7 +127,23 @@ def start_maintenance(store, interval_s: float, retention_s=None, stop_event=Non
     )
 
     def loop():
+        tick = 0
         while not ev.wait(interval_s):
+            tick += 1
+            if compact_every and tick % compact_every == 0:
+                since = now_ms() - compact_window_ms if compact_window_ms else None
+                for table in ("ts_numeric", "ts_blob"):
+                    try:
+                        store.compact(
+                            table,
+                            vacuum_retention_s=retention,
+                            since_ms=since,
+                        )
+                    except Exception as exc:  # noqa: BLE001 — keep serving
+                        print(
+                            f"maintenance compact of {table} failed: {exc}",
+                            flush=True,
+                        )
             for table in sorted(_MANIFESTED):
                 try:
                     store.vacuum(table, retention_s=retention)
@@ -161,7 +204,11 @@ def main(argv: list[str] | None = None, *, block: bool = True):
     maint = None
     if args.vacuum_interval > 0:
         maint, _ = start_maintenance(
-            engine.store, args.vacuum_interval, args.vacuum_retention
+            engine.store,
+            args.vacuum_interval,
+            args.vacuum_retention,
+            compact_every=args.compact_every,
+            compact_window_ms=args.compact_window_ms,
         )
 
     if not block:
