@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     # components → canonical survivor) and the equi-depth histogram
     "dedup_keep",
     "tbl_histogram_eq",
+    # round-7 continuation: the three new scan-shaped training ops —
+    # trained-probe scoring, temperature mixing, PCA projection
+    "text_probe_score",
+    "corpus_temp_mix",
+    "sim_pca_project",
 ]
 
 
