@@ -313,6 +313,32 @@ def _snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.store.load("ts_numeric")
 
 
+def _snap_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the correctness gate: bulk-ingest the events
+    mapping, clone the table into a second store (hard-linked files +
+    a fresh version-0 manifest — storage.clone_table), then DELETE a
+    range from the SOURCE and vacuum it immediately. The clone must
+    still read the full pre-delete ingest bit-for-bit — independence
+    is the whole contract (the reference's store is a git repo, where
+    this is `git worktree`)."""
+    import tempfile
+
+    from zestdb_spark.api import ZestEngine
+
+    base = tempfile.mkdtemp(prefix="zest_clone_")
+    src = ZestEngine(spark, f"{base}/src")
+    dst = ZestEngine(spark, f"{base}/dst")
+    src.ingest_bulk(
+        fixtures.ts_numeric_from_events(spark, sf_dir),
+        path="/ts/bulk/events",
+        client="loader",
+    )
+    src.store.clone_table("ts_numeric", dst.store)
+    src.delete(f"/ts/click,view/range/{_T_JAN10}/{_T_JAN15}")
+    src.store.vacuum("ts_numeric", retention_s=0.0)
+    return dst.store.load("ts_numeric")
+
+
 def _snap_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the correctness gate: ingest the events
     mapping, DELETE a filtered range, then ask the store what changed
@@ -759,6 +785,13 @@ _KV_SQL = {
       WHERE NOT coalesce(
         series_id IN ('click', 'view')
         AND "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN15}, false)
+    """,
+    # a shallow clone taken before the source's delete+vacuum still
+    # reads the FULL ingest — hard-linked files survive the source's
+    # reclaim
+    "snap_clone": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})
+      SELECT * FROM ts
     """,
     # the change feed across the delete is exactly the deleted rows
     # (unfiltered range — the window edges cut day-buckets mid-file, so
@@ -3079,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["snap_time_travel"] = _snap_time_travel
     out["snap_pruned_read"] = _snap_pruned_read
     out["snap_merge"] = _snap_merge
+    out["snap_clone"] = _snap_clone
     out["snap_changes"] = _snap_changes
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip

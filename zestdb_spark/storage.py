@@ -732,6 +732,72 @@ class ZestStore:
         self._log_write(table, None)
         return snap
 
+    def clone_table(
+        self, table: str, dest: "ZestStore", version: Optional[int] = None
+    ) -> "snapshots.Snapshot":
+        """SHALLOW CLONE (Delta's nomenclature): materialize this
+        table — optionally AS OF a past ``version`` — in ``dest`` by
+        hard-linking the snapshot's live data files and publishing a
+        fresh version-0 manifest over them. O(files) metadata work,
+        zero data copied (copy fallback only across filesystems); the
+        cheap backup/branching primitive (`git worktree` on the
+        reference's store).
+
+        The clone and the source are fully independent afterwards:
+        every write path in this engine creates NEW files (parquet
+        files are immutable — appends, rewrites, compactions all
+        stage-and-commit fresh files), so neither side can ever
+        modify bytes the other reads, and vacuum only unlinks its own
+        directory entries (the inode survives while the other side's
+        link exists)."""
+        if table not in _TABLES:
+            raise KeyError(table)
+        if dest._exists(table):
+            raise BadRequest(
+                f"clone target already has data for {table!r} — clone "
+                "only into an empty table"
+            )
+        src_dir = self._path(table)
+        if version is not None:
+            if table not in _MANIFESTED:
+                raise BadRequest(f"{table!r} is not under snapshot control")
+            snap = snapshots.read_version(src_dir, version)
+            if snap is None:
+                raise BadRequest(
+                    f"{table!r} has no clonable version {version} "
+                    "(never committed, or pruned by vacuum)"
+                )
+            gone = [
+                f for f in snap.files if not os.path.exists(os.path.join(src_dir, f))
+            ]
+            if gone:
+                raise BadRequest(
+                    f"version {version} of {table!r} is no longer clonable: "
+                    f"{len(gone)} of its files were reclaimed by vacuum "
+                    f"(first: {gone[0]!r})"
+                )
+        else:
+            self._live_files(table)  # bootstrap pre-manifest layouts
+            snap = self._snapshot(table)
+        files = list(snap.files) if snap is not None else []
+        dst_dir = dest._path(table)
+        for rel in files:
+            src = os.path.join(src_dir, rel)
+            dst = os.path.join(dst_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device (EXDEV) or FS without links
+                shutil.copy2(src, dst)
+        stats = (
+            {rel: snap.stats[rel] for rel in files if rel in snap.stats}
+            if snap is not None
+            else {}
+        )
+        return snapshots.commit(
+            dst_dir, adds=files, op="clone", stats=stats or None
+        )
+
     def _read_files(self, table: str, files: "list[str]") -> DataFrame:
         """Full-read-schema frame over an explicit file subset of a
         table (the churned-files fast path for ``changes``)."""
