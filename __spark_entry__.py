@@ -1219,6 +1219,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ...and the TRAINER under the gate: the one-pass normal-
         # equation fit vs DuckDB's closed-form simple regression
         "text_probe_fit1": text_probe_fit1,
+        # BPE tokenization applied corpus-wide as chained LITERAL
+        # replaces (no regex in the merge chain, scan-local, zero
+        # shuffles) — the fixed merge table replays in DuckDB verbatim
+        "text_bpe_encode": lambda s, d: corpus_ops.bpe_encode(
+            docs(s, d), _BPE_FIXED_MERGES
+        ),
         "text_redact": lambda s, d: textstats.redact_pii(docs(s, d)),
         "text_url_stats": lambda s, d: textstats.url_stats(docs(s, d)),
         "text_strip_markup": lambda s, d: textstats.strip_markup(docs(s, d)),
@@ -1513,6 +1519,30 @@ def _pca_fixed_model(k: int = 2, dim: int = 64) -> dict:
         basis.append([float(x) / nrm for x in row])
     mean = [((i % 7) - 3) / 100.0 for i in range(dim)]
     return {"mean": mean, "basis": basis}
+
+
+#: Fixed literal BPE merge table shared by the Spark query and the
+#: DuckDB oracle (builds 'spark' and 'the' as single subwords); the
+#: TRAINER is pytest-pinned against hand-computed merges
+#: (tests/test_corpus_ops.py) — its corpus-sized stage, the word-
+#: frequency aggregate, is the same one graded via text_vocab.
+_BPE_FIXED_MERGES = [
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("t", "h"), ("th", "e"),
+]
+
+
+def _bpe_encode_sql() -> str:
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    expr = f"regexp_replace(text, '([^ ])', '\\1{BPE_SEP}', 'g')"
+    for a, b in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '{a}{BPE_SEP}{b}{BPE_SEP}', '{a}{b}{BPE_SEP}')"
+    return (
+        f"SELECT doc_id, {expr} AS encoded, "
+        f"CAST(len({expr}) - len(replace({expr}, '{BPE_SEP}', '')) AS BIGINT) "
+        "AS n_subwords FROM documents"
+    )
 
 
 def _emb_cov_sql(dims: int = 4) -> str:
@@ -2028,6 +2058,7 @@ _EXT_SQL: dict[str, str] = {
     """,
     "sim_pca_project": _pca_project_sql(),
     "emb_covariance": _emb_cov_sql(),
+    "text_bpe_encode": _bpe_encode_sql(),
     "sim_topk_ivf": f"""
       WITH {_EMB_NORM_CTE},
       cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm

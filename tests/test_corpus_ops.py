@@ -522,3 +522,55 @@ def test_temperature_mix_guards(spark):
         corpus_ops.temperature_mix(df, alpha=-0.1)
     empty = corpus_ops.temperature_mix(df.filter("doc_id < 0"))
     assert empty.count() == 0
+
+
+# ------------------------------------------------------------ BPE train/encode
+
+def test_bpe_train_matches_hand_computation(spark):
+    # corpus: 'abab abab ab' — pair counts over words {abab:2, ab:1}:
+    # (a,b)=5 → merge; then (ab,ab)=2 → merge; then nothing ≥ 2
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab")], "doc_id long, text string"
+    )
+    merges = corpus_ops.bpe_train(df, n_merges=10)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_train_tie_breaks_lexicographically(spark):
+    # 'ab' and 'cd' both appear twice; the smaller pair merges first
+    df = spark.createDataFrame([(1, "ab cd ab cd")], "doc_id long, text string")
+    merges = corpus_ops.bpe_train(df, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_encode_roundtrip_and_counts(spark):
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "xyz")], "doc_id long, text string"
+    )
+    merges = corpus_ops.bpe_train(df, n_merges=10)
+    rows = {r.doc_id: r for r in corpus_ops.bpe_encode(df, merges).collect()}
+    # stripping separators recovers the original text exactly
+    assert rows[1].encoded.replace(BPE_SEP, "") == "abab abab ab"
+    # doc 1: 'abab'→1 subword ×2, 'ab'→1 subword → 3 total
+    assert rows[1].n_subwords == 3
+    # doc 2: no merges apply → one subword per char
+    assert rows[2].n_subwords == 3
+
+
+def test_bpe_encode_never_crosses_word_boundaries(spark):
+    # the pair (b, a) occurs INSIDE 'aba' but also across 'ab a' —
+    # only the within-word occurrence may merge
+    df = spark.createDataFrame([(1, "ab ab ab aba")], "doc_id long, text string")
+    merges = corpus_ops.bpe_train(df, n_merges=1)
+    assert merges == [("a", "b")]
+    row = corpus_ops.bpe_encode(df, merges).first()
+    # 'ab'×3 → 1 subword each; 'aba' → ab + a = 2 subwords
+    assert row.n_subwords == 5
+
+
+def test_bpe_encode_empty_merges_counts_chars(spark):
+    df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    row = corpus_ops.bpe_encode(df, []).first()
+    assert row.n_subwords == 3

@@ -449,6 +449,92 @@ def mix_upsample(
     return fanned.filter(keep).select("doc_id", group_col, "copy")
 
 
+#: Symbol separator for the BPE working representation — a control
+#: character that cannot occur in whitespace-tokenized text, so merges
+#: can never cross word boundaries (words stay ' '-separated).
+BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 32, text: str = "text"
+) -> list[tuple[str, str]]:
+    """Train a byte-pair encoding merge table on the corpus: Spark does
+    the corpus-sized work (ONE distinct-word frequency aggregate —
+    map-side combined, output Zipf-bounded like text_vocab's), and the
+    classic BPE loop (Sennrich et al. 2016) runs on the driver over
+    that bounded word-frequency table, exactly the fastBPE/subword-nmt
+    shape. Fully deterministic: integer frequencies, ties broken by
+    the lexicographically smallest pair. Returns ``[(left, right),
+    ...]`` in merge order — feed to ``bpe_encode``."""
+    rows = (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest (left, right) pair
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        merged = a + b
+        nxt: dict[tuple, int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text: str = "text"
+) -> DataFrame:
+    """(doc_id, encoded, n_subwords): apply a BPE merge table to the
+    whole corpus as a chain of LITERAL string replaces — scan-local,
+    whole-stage codegen, zero shuffles, and bit-replayable in any
+    engine with the same left-to-right non-overlapping replace
+    semantics (no regex involved, so no metacharacter hazards).
+
+    Representation: every non-space character is suffixed with the
+    ``BPE_SEP`` control byte (``'ab cd'`` → ``'a␟b␟ c␟d␟'``); merge
+    (a, b) is then the literal replace ``'a␟b␟' → 'ab␟'``. Word
+    boundaries (spaces) never carry the separator, so merges cannot
+    cross words. ``n_subwords`` counts the separators left after all
+    merges; ``encoded`` keeps the full subword stream (split on the
+    separator to materialize token arrays)."""
+    rep = F.regexp_replace(F.col(text), "([^ ])", "$1" + BPE_SEP)
+    for a, b in merges:
+        rep = F.replace(
+            rep, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
+        )
+    n = (F.length(rep) - F.length(F.replace(rep, F.lit(BPE_SEP), F.lit("")))).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id", rep.alias("encoded"), n.alias("n_subwords")
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     alpha: float = 0.5,
