@@ -100,3 +100,9 @@ def test_clone_vacuumed_version_refuses(spark, pair):
     src.store.vacuum("ts_numeric", retention_s=0.0)
     with pytest.raises(BadRequest, match="no longer clonable|no clonable"):
         src.store.clone_table("ts_numeric", dst.store, version=v0)
+
+
+def test_clone_refuses_append_only_logs(spark, pair):
+    src, dst = pair
+    with pytest.raises(BadRequest, match="append-only log"):
+        src.store.clone_table("audit", dst.store)

@@ -752,6 +752,11 @@ class ZestStore:
         link exists)."""
         if table not in _TABLES:
             raise KeyError(table)
+        if table not in _MANIFESTED:
+            raise BadRequest(
+                f"{table!r} is an append-only log, not under snapshot "
+                "control — copy its directory instead of cloning"
+            )
         if dest._exists(table):
             raise BadRequest(
                 f"clone target already has data for {table!r} — clone "
