@@ -1535,7 +1535,10 @@ _BPE_FIXED_MERGES = [
 def _bpe_encode_sql() -> str:
     from zestdb_spark.functions.corpus_ops import BPE_SEP
 
-    expr = f"regexp_replace(text, '([^ ])', '\\1{BPE_SEP}', 'g')"
+    expr = (
+        f"regexp_replace(replace(text, '{BPE_SEP}', ''), "
+        f"'([^ ])', '\\1{BPE_SEP}', 'g')"
+    )
     for a, b in _BPE_FIXED_MERGES:
         expr = f"replace({expr}, '{a}{BPE_SEP}{b}{BPE_SEP}', '{a}{b}{BPE_SEP}')"
     return (

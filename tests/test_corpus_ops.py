@@ -574,3 +574,34 @@ def test_bpe_encode_empty_merges_counts_chars(spark):
     df = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
     row = corpus_ops.bpe_encode(df, []).first()
     assert row.n_subwords == 3
+
+
+def test_bpe_encode_strips_stray_separators(spark):
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    df = spark.createDataFrame(
+        [(1, f"a{BPE_SEP}b c")], "doc_id long, text string"
+    )
+    row = corpus_ops.bpe_encode(df, []).first()
+    assert row.encoded.replace(BPE_SEP, "") == "ab c"
+    assert row.n_subwords == 3
+
+
+def test_probe_fit_drops_null_rows(spark):
+    import math
+
+    from pyspark.sql import types as T
+
+    from zestdb_spark.functions import probe
+
+    schema = T.StructType(
+        [
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    clean = [(float(i % 10) / 10, 1.0 + 2.0 * (i % 10) / 10) for i in range(50)]
+    dirty = clean + [(None, 5.0), (0.3, None), (None, None)]
+    m = probe.fit_probe(spark.createDataFrame(dirty, schema), "y", ["x1"], 1e-9)
+    assert m["n_rows"] == 50
+    assert math.isclose(m["weights"]["x1"], 2.0, abs_tol=1e-6)

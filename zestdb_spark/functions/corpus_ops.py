@@ -522,7 +522,14 @@ def bpe_encode(
     cross words. ``n_subwords`` counts the separators left after all
     merges; ``encoded`` keeps the full subword stream (split on the
     separator to materialize token arrays)."""
-    rep = F.regexp_replace(F.col(text), "([^ ])", "$1" + BPE_SEP)
+    # strip any stray separator bytes from the input first — a document
+    # that already contains the control char would otherwise corrupt
+    # the symbol stream (and the subword count)
+    rep = F.regexp_replace(
+        F.replace(F.col(text), F.lit(BPE_SEP), F.lit("")),
+        "([^ ])",
+        "$1" + BPE_SEP,
+    )
     for a, b in merges:
         rep = F.replace(
             rep, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)

@@ -92,6 +92,10 @@ def fit_probe(
     features = list(features)
     if not features:
         raise BadRequest("fit_probe needs at least one feature column")
+    # a NULL anywhere would silently skew the normal equations (SQL
+    # sums skip NULLs while count(*) doesn't) — drop incomplete rows
+    # up front, deterministically
+    feats = feats.na.drop(subset=[*features, label])
     xs: list[Column] = [F.lit(1.0).cast("double")] + [
         F.col(c).cast("double") for c in features
     ]
