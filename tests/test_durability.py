@@ -372,3 +372,34 @@ def test_compact_scoped_to_series_and_window(spark, tmp_path):
     # widening the scope finishes the job; a second pass is a no-op
     assert eng.store.compact("ts_numeric") == 3
     assert eng.store.compact("ts_numeric") == 0
+
+
+def test_compact_target_bytes_sizing(spark, tmp_path):
+    """target_bytes switches per-leaf sizing to bin-packing: a leaf
+    whose bytes exceed the target keeps multiple roughly-target files;
+    a leaf already within budget per file is skipped entirely."""
+    import os as _os
+
+    eng = ZestEngine(spark, str(tmp_path / "bstore"))
+    for i in range(6):  # six small files in one leaf
+        eng.post(f"/ts/a/at/{i * 1000}", {"value": float(i)})
+    root = eng.store._path("ts_numeric")
+    files = eng.store._live_files("ts_numeric")
+    per_file = _os.path.getsize(_os.path.join(root, files[0]))
+    leaf_bytes = sum(
+        _os.path.getsize(_os.path.join(root, f)) for f in files
+    )
+
+    # target = half the leaf → exactly 2 output files
+    target = -(-leaf_bytes // 2)
+    assert eng.store.compact("ts_numeric", target_bytes=target) == 1
+    after = eng.store._live_files("ts_numeric")
+    assert len(after) == 2
+    # content preserved
+    got = sorted(r.value for r in eng.store.load("ts_numeric").collect())
+    assert got == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    # a generous target that each file already satisfies → no-op
+    assert (
+        eng.store.compact("ts_numeric", target_bytes=per_file * 100) == 0
+        or len(eng.store._live_files("ts_numeric")) == 1
+    )

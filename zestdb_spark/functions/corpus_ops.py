@@ -456,7 +456,10 @@ BPE_SEP = "\x1f"
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 32, text: str = "text"
+    docs: DataFrame,
+    n_merges: int = 32,
+    text: str = "text",
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train a byte-pair encoding merge table on the corpus: Spark does
     the corpus-sized work (ONE distinct-word frequency aggregate —
@@ -465,12 +468,21 @@ def bpe_train(
     that bounded word-frequency table, exactly the fastBPE/subword-nmt
     shape. Fully deterministic: integer frequencies, ties broken by
     the lexicographically smallest pair. Returns ``[(left, right),
-    ...]`` in merge order — feed to ``bpe_encode``."""
+    ...]`` in merge order — feed to ``bpe_encode``.
+
+    ``max_vocab`` bounds the driver collect at crawl scale: training
+    sees the ``max_vocab`` most frequent distinct words (deterministic
+    order: count desc, word asc — TakeOrderedAndProject, never a full
+    sort). A raw 100 TB crawl has unbounded junk-token cardinality;
+    the frequency tail it drops cannot win a merge anyway (pair
+    counts are dominated by the head of the Zipf curve)."""
     rows = (
         docs.select(F.explode(F.split(F.col(text), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
         .collect()
     )
     vocab = {tuple(r["w"]): r["c"] for r in rows}

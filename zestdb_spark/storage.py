@@ -1251,6 +1251,7 @@ class ZestStore:
         series=None,
         since_ms: Optional[int] = None,
         until_ms: Optional[int] = None,
+        target_bytes: Optional[int] = None,
     ) -> int:
         """S7 maintenance: merge each (series_id, time_bucket) leaf
         partition's small files down to ``target_files`` — the
@@ -1276,7 +1277,14 @@ class ZestStore:
         matching leaves (Delta's ``OPTIMIZE ... WHERE``): at 100 TB the
         nightly job compacts yesterday's hot partitions, not the whole
         table — the window bounds select whole day-buckets
-        (conservatively: any leaf the inclusive window overlaps)."""
+        (conservatively: any leaf the inclusive window overlaps).
+
+        ``target_bytes`` switches the per-leaf sizing from a fixed
+        file COUNT to a target file SIZE (Delta's
+        ``maxFileSize`` / OPTIMIZE bin-packing posture): each leaf
+        merges to ``ceil(leaf_bytes / target_bytes)`` files, so big
+        leaves keep parallel, roughly-target-sized files instead of
+        one giant one, and already-well-packed leaves are skipped."""
         if table not in ("ts_numeric", "ts_blob"):
             raise KeyError(f"compact targets TS tables, not {table!r}")
         from_bucket = None if since_ms is None else _bucket_of(since_ms)
@@ -1321,7 +1329,15 @@ class ZestStore:
             adds: list[str] = []
             removes: list[str] = []
             for leaf_rel, files in sorted(leaves.items()):
-                if not leaf_rel or len(files) <= target_files:
+                if not leaf_rel:
+                    continue
+                n_out = target_files
+                if target_bytes is not None:
+                    leaf_bytes = sum(
+                        os.path.getsize(os.path.join(real, f)) for f in files
+                    )
+                    n_out = max(1, -(-leaf_bytes // target_bytes))
+                if len(files) <= n_out:
                     continue
                 if not in_scope(leaf_rel):
                     continue
@@ -1335,7 +1351,7 @@ class ZestStore:
                 merged = (
                     self.spark.read.schema(leaf_schema)
                     .parquet(*[os.path.join(real, f) for f in files])
-                    .repartitionByRange(target_files, "timestamp")
+                    .repartitionByRange(n_out, "timestamp")
                     .sortWithinPartitions("timestamp")
                 )
                 adds += self._stage_move(table, merged, dest_rel=leaf_rel, rewrite=True)
