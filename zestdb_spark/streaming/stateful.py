@@ -76,3 +76,81 @@ def running_series_stats(stream_df):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ------------------------------------------------------ session windows
+
+SESSION_OUTPUT = (
+    "series_id string, session_start long, session_end long, n_events long"
+)
+SESSION_STATE = "start long, end long, n long"
+
+
+def _update_sessions(gap_ms: int):
+    """Build the per-key session updater for ``gap_ms`` (module-level
+    factory so the closure pickles cleanly to executors)."""
+
+    def update(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: Any):
+        import pandas as _pd
+
+        out = []
+        if state.hasTimedOut:
+            # the key went quiet past the gap: emit the open session
+            # and drop the state — the canonical session-window close
+            start, end, n = state.get
+            state.remove()
+            out.append((key[0], start, end, n))
+            yield _pd.DataFrame(
+                out, columns=["series_id", "session_start", "session_end", "n_events"]
+            )
+            return
+
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        ts = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts.extend(int(t) for t in pdf["timestamp"])
+        for t in sorted(ts):
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= gap_ms:
+                end, n = max(end, t), n + 1
+            else:
+                out.append((key[0], start, end, n))
+                start, end, n = t, t, 1
+        if start is not None:
+            state.update((start, end, n))
+            # close the open session if the key stays quiet for a full
+            # gap of PROCESSING time (event-time watermark closure is
+            # the windowed-rollup tier's job; this is the low-latency
+            # "user went idle" semantics)
+            state.setTimeoutDuration(gap_ms)
+        yield _pd.DataFrame(
+            out, columns=["series_id", "session_start", "session_end", "n_events"]
+        )
+
+    return update
+
+
+def streaming_sessions(stream_df, gap_ms: int = 30 * 60 * 1000):
+    """Streaming sessionization with idle-timeout closure — the
+    canonical custom-stateful-operator shape Spark itself only offers
+    through ``(flatMap)GroupsWithState``: events for a key extend the
+    open session while gaps stay ≤ ``gap_ms``; a longer IN-BATCH gap
+    emits the finished session immediately, and a key that goes quiet
+    for ``gap_ms`` of processing time emits its open session through
+    the state timeout. The batch operator ``temporal.sessionize``
+    computes the same windows over completed data; this is its
+    incremental face, state ∝ open sessions (one tuple per active
+    key), exactly what survives on a 1000-executor state store."""
+    return stream_df.groupBy("series_id").applyInPandasWithState(
+        _update_sessions(int(gap_ms)),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
