@@ -1,0 +1,33 @@
+"""The examples/pretraining_pipeline.py walkthrough must keep running
+end-to-end — it is the composition surface a reference user adopts
+first, so a break in any stage's contract shows up here even if the
+stage's own unit tests still pass in isolation."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def test_example_pipeline_runs_and_narrows(spark):
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "pretraining_pipeline.py"
+    )
+    spec = importlib.util.spec_from_file_location("example_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    counts = mod.run(spark, "/root/testdata/sf0.001")
+    # each filter stage narrows (or holds) and nothing collapses to 0
+    assert (
+        counts["raw"]
+        >= counts["rule_gated"]
+        >= counts["probe_kept"]
+        >= counts["deduped"]
+        >= counts["decontaminated"]
+        > 0
+    )
+    # the probe cut keeps roughly half of the gated docs (median split)
+    assert counts["probe_kept"] >= counts["rule_gated"] * 0.4
+    assert counts["bpe_merges"] > 0
+    assert counts["sequences"] > 0

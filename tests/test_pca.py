@@ -101,3 +101,17 @@ def test_fit_guards(spark):
         similarity.fit_pca(df, k=9, dim=6)
     with pytest.raises(ValueError, match="empty"):
         similarity.fit_pca(df.filter("vec_id < 0"), k=1, dim=6)
+
+
+def test_whitened_projection_has_unit_variance(spark):
+    import pyspark.sql.functions as F
+
+    df = _embs(spark, _planted(400))
+    m = similarity.fit_pca(df, k=2, dim=6)
+    proj = similarity.pca_project(df, m, whiten=True)
+    for c in ("p0", "p1"):
+        s = proj.agg(
+            F.avg(c).alias("mu"), F.avg(F.col(c) * F.col(c)).alias("m2")
+        ).first()
+        var = s.m2 - s.mu * s.mu
+        assert abs(var - 1.0) < 0.02, (c, var)

@@ -423,20 +423,37 @@ def fit_pca(embs: DataFrame, k: int, dim: int, vec: str = "embedding") -> dict:
         "mean": [float(x) for x in mu],
         "basis": basis,
         "explained": [float(vals[i] / total) for i in order],
+        "eigenvalues": [float(vals[i]) for i in order],
     }
 
 
-def pca_project(embs: DataFrame, model: dict, vec: str = "embedding") -> DataFrame:
+def pca_project(
+    embs: DataFrame, model: dict, vec: str = "embedding", whiten: bool = False
+) -> DataFrame:
     """(vec_id, p0..p{k-1}): project onto the fitted components —
     scan-local, zero shuffles, the literal basis compiled into the
     plan. Each coordinate is computed as ``dot(v, bⱼ) − dot(μ, bⱼ)``
     (the centering constant folded on the driver): algebraically the
     centered projection, and expressed this way so the fold order is
     the same left-to-right array fold the oracle's list_dot_product
-    uses — bit-exact replay, q6-floored like every similarity score."""
+    uses — bit-exact replay, q6-floored like every similarity score.
+
+    ``whiten=True`` folds ``1/√λⱼ`` into each basis vector on the
+    driver (requires a fit_pca model with eigenvalues) — unit-variance
+    coordinates, the standard pre-conditioning before cosine ANN or
+    k-means on projected embeddings."""
     v = F.col(vec).cast("array<double>")
+    basis = model["basis"]
+    if whiten:
+        import math
+
+        ev = model["eigenvalues"]
+        basis = [
+            [x / math.sqrt(l) if l > 0 else 0.0 for x in b]
+            for b, l in zip(basis, ev)
+        ]
     cols = [F.col("vec_id")]
-    for j, b in enumerate(model["basis"]):
+    for j, b in enumerate(basis):
         blit = F.array(*[F.lit(float(x)) for x in b])
         c = sum(float(m) * float(x) for m, x in zip(model["mean"], b))
         cols.append(q6(dot(v, blit) - F.lit(float(c))).alias(f"p{j}"))
