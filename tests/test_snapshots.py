@@ -594,3 +594,67 @@ def test_resolve_cache_survives_store_rebuild(tmp_path):
     assert snapshots.read_version(d, 0).files == ["new.parquet"]
     os.unlink(os.path.join(d, "_zest_log", "v%012d.json" % 0))
     assert snapshots.read_version(d, 0) is None
+
+
+def test_timestamp_as_of_and_table_stats(spark, tmp_path):
+    """TIMESTAMP AS OF resolves against commit times; table_stats
+    summarizes from the manifest without scanning data."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.errors import BadRequest
+    from zestdb_spark.schema import TS_NUMERIC
+
+    eng = ZestEngine(spark, str(tmp_path / "asof"))
+    eng.store.write_numeric_bulk(
+        spark.createDataFrame([("a", 1000, 1.0, None, None)], TS_NUMERIC)
+    )
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    eng.store.write_numeric_bulk(
+        spark.createDataFrame([("a", 2000, 2.0, None, None)], TS_NUMERIC)
+    )
+
+    v = eng.store.version_at("ts_numeric", t_between)
+    rows = eng.store.load("ts_numeric", as_of_ms=t_between).collect()
+    assert [r.timestamp for r in rows] == [1000]
+    assert v == eng.store.history("ts_numeric")[-1].version
+    with _pytest.raises(BadRequest, match="no retained snapshot"):
+        eng.store.version_at("ts_numeric", 0)
+    with _pytest.raises(BadRequest, match="not both"):
+        eng.store.load("ts_numeric", version=v, as_of_ms=t_between)
+
+    stats = eng.store.table_stats("ts_numeric")
+    assert stats["n_files"] == 2 and stats["rows"] == 2
+    assert stats["bytes"] > 0 and stats["n_tombstones"] == 0
+    assert stats["min"]["timestamp"] == 1000
+    assert stats["max"]["timestamp"] == 2000
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os as _os
+
+    from zestdb_spark import snapshots as _snapshots
+    from zestdb_spark.api import ZestEngine
+    from zestdb_spark.schema import TS_NUMERIC
+
+    eng = ZestEngine(spark, str(tmp_path / "dry"))
+    eng.store.write_numeric_bulk(
+        spark.createDataFrame([("a", 1000, 1.0, None, None)], TS_NUMERIC)
+    )
+    eng.delete("/ts/a/since/0")  # tombstones the file
+    table_dir = eng.store._path("ts_numeric")
+    before = set(_snapshots.list_data_files(table_dir))
+
+    dead, orphans = eng.store.vacuum("ts_numeric", retention_s=0.0, dry_run=True)
+    assert dead == 1 and orphans == 0
+    # nothing deleted, no new commit
+    assert set(_snapshots.list_data_files(table_dir)) == before
+    assert eng.store.history("ts_numeric")[0].op == "delete"
+
+    dead2, _ = eng.store.vacuum("ts_numeric", retention_s=0.0)
+    assert dead2 == 1 or not _snapshots.latest(table_dir).tombstones
+    assert len(_snapshots.list_data_files(table_dir)) < len(before) or not before
+    assert _os.path.isdir(table_dir)

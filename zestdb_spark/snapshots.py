@@ -421,7 +421,7 @@ def commit(
 
 
 def vacuum(
-    table_dir: str, retention_s: float = DEFAULT_RETENTION_S
+    table_dir: str, retention_s: float = DEFAULT_RETENTION_S, dry_run: bool = False
 ) -> "tuple[int, int]":
     """Physically delete (a) tombstoned files whose removal is older
     than ``retention_s`` and (b) ORPHANS — data files on disk that no
@@ -429,7 +429,12 @@ def vacuum(
     (a crashed writer staged them but never committed). Old manifest
     versions past retention are pruned too. Prunes emptied partition
     dirs. Returns (files_deleted, orphans_deleted). No-op without a
-    log (nothing defines liveness, so nothing is provably dead)."""
+    log (nothing defines liveness, so nothing is provably dead).
+
+    ``dry_run=True`` computes the same counts and deletes NOTHING —
+    Delta's ``VACUUM ... DRY RUN``, the look-before-you-reclaim an
+    operator runs when time travel / change-feed readers might still
+    pin the window."""
     snap = latest(table_dir)
     if snap is None:
         return (0, 0)
@@ -438,8 +443,9 @@ def vacuum(
     dead = [p for p, t in snap.tombstones.items() if t <= cutoff_ms]
     deleted = []
     for rel in dead:
-        with contextlib.suppress(OSError):
-            os.unlink(os.path.join(table_dir, rel))
+        if not dry_run:
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(table_dir, rel))
         deleted.append(rel)
     live = set(snap.files)
     tomb = set(snap.tombstones)
@@ -451,8 +457,11 @@ def vacuum(
         full = os.path.join(table_dir, rel)
         with contextlib.suppress(OSError):
             if os.path.getmtime(full) <= now - orphan_age:
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 orphans += 1
+    if dry_run:
+        return (len(deleted), orphans)
     if deleted:
         commit(table_dir, drop_tombstones=deleted, op="vacuum")
     # manifests older than the newest one covering the retention window

@@ -368,6 +368,7 @@ class ZestStore:
         table: str,
         version: Optional[int] = None,
         *,
+        as_of_ms: Optional[int] = None,
         since_ms: Optional[int] = None,
         until_ms: Optional[int] = None,
         series=None,
@@ -387,6 +388,10 @@ class ZestStore:
         tests/test_stats_pruning.py)."""
         if table not in _TABLES:
             raise KeyError(table)
+        if as_of_ms is not None:
+            if version is not None:
+                raise BadRequest("pass version OR as_of_ms, not both")
+            version = self.version_at(table, as_of_ms)
         return self._read_table(
             table, version, since_ms=since_ms, until_ms=until_ms, series=series
         ).select(*[f.name for f in _TABLES[table].fields])
@@ -886,14 +891,79 @@ class ZestStore:
             deletes.withColumn("_change_type", F.lit("delete"))
         )
 
-    def vacuum(self, table: str, retention_s: float = snapshots.DEFAULT_RETENTION_S):
+    def vacuum(
+        self,
+        table: str,
+        retention_s: float = snapshots.DEFAULT_RETENTION_S,
+        dry_run: bool = False,
+    ):
         """Physically reclaim tombstoned files and crashed-writer
         orphans older than ``retention_s`` (the Delta VACUUM contract:
         readers pinned to a snapshot newer than the retention window
-        are safe; see snapshots.vacuum for the append-orphan floor)."""
+        are safe; see snapshots.vacuum for the append-orphan floor).
+        ``dry_run=True`` returns the (tombstones, orphans) counts that
+        WOULD be reclaimed without deleting anything."""
         if table not in _MANIFESTED:
             raise KeyError(f"{table!r} is not under snapshot control")
-        return snapshots.vacuum(self._path(table), retention_s)
+        return snapshots.vacuum(self._path(table), retention_s, dry_run=dry_run)
+
+    def version_at(self, table: str, ts_ms: int) -> int:
+        """The snapshot version that was live at wall-clock ``ts_ms``
+        (Delta's TIMESTAMP AS OF, resolved against the retained commit
+        log): the newest version whose commit time is ≤ the ask. Fails
+        loudly when the ask predates the oldest retained manifest —
+        vacuum prunes history, same contract as version reads."""
+        older = [
+            s for s in self.history(table) if s.created_ms <= int(ts_ms)
+        ]  # history() is newest-first
+        if not older:
+            raise BadRequest(
+                f"{table!r} has no retained snapshot at or before "
+                f"{ts_ms} (history starts later, or vacuum pruned it)"
+            )
+        return older[0].version
+
+    def table_stats(self, table: str) -> dict:
+        """O(manifest) table summary — files, bytes, rows, and the
+        stats columns' global min/max — without touching a single data
+        file's contents (bytes come from inode sizes, everything else
+        from the manifest's per-file footer stats). ``rows`` is None
+        when any live file predates stats collection (unknowable
+        without a scan — never guessed)."""
+        if table not in _MANIFESTED:
+            raise KeyError(f"{table!r} is not under snapshot control")
+        self._live_files(table)  # bootstrap pre-manifest layouts
+        snap = self._snapshot(table)
+        root = self._path(table)
+        n_bytes = 0
+        for rel in snap.files:
+            with contextlib.suppress(OSError):
+                n_bytes += os.path.getsize(os.path.join(root, rel))
+        rows: Optional[int] = 0
+        mins: dict = {}
+        maxs: dict = {}
+        for rel in snap.files:
+            st = snap.stats.get(rel)
+            if st is None or st.get("rows") is None:
+                rows = None
+            elif rows is not None:
+                rows += st["rows"]
+            if st:
+                for col, v in (st.get("min") or {}).items():
+                    if v is not None and (col not in mins or v < mins[col]):
+                        mins[col] = v
+                for col, v in (st.get("max") or {}).items():
+                    if v is not None and (col not in maxs or v > maxs[col]):
+                        maxs[col] = v
+        return {
+            "version": snap.version,
+            "n_files": len(snap.files),
+            "n_tombstones": len(snap.tombstones),
+            "bytes": n_bytes,
+            "rows": rows,
+            "min": mins,
+            "max": maxs,
+        }
 
     # ------------------------------------------------------------- writes
 
