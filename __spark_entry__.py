@@ -3072,7 +3072,13 @@ GRADED_WINDOW: list[str] = [
     # ts_range oracle) carries DIRECT driver evidence
     "agg_count", "snap_pruned_read", "agg_sd",
     "sk_quantiles", "corpus_dsir",
-    "blob_last_n",
+    # Round-8 swap: blob_last_n (T2 over the blob table — the same
+    # WindowGroupLimit shape as graded li_last_n_multi; S3 blob writes
+    # stay graded through blob content inside snap rows and the tail)
+    # demoted so the CHANGE FEED (snap_changes: net row diff between
+    # two manifest versions via churned files only — the incremental-
+    # pipeline primitive) carries DIRECT driver evidence
+    "snap_changes",
     # lineitem volume mapping (covers last/n, sum, median). Round-7
     # swap #4: li_length (A8 — the same count shape as graded A2
     # agg_count, on the volume mapping) demoted to the tail so the

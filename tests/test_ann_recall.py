@@ -1,0 +1,115 @@
+"""ANN quality harness: recall@10 of the approximate paths (IVF, LSH)
+against the brute-force truth (cosine_topk) on the driver-generated
+embeddings fixture (/root/testdata/sf0.001/embeddings.parquet, 500 ×
+64-dim, weak cluster structure — a deliberately HARD corpus: the true
+top-10 is only ~11% same-label, so recall here is a lower bound on
+what a genuinely clustered production corpus would see).
+
+Everything is deterministic (fixed planes, fixed codebook seeding,
+fixed query set), so these floors are regression tripwires for the
+tuning claims in SCALE.md, not statistical tests. Measured values at
+the time of pinning (avg over 20 fixed queries):
+
+  ivf_topk  (fps-trained codebook, n_probe 8/16): 0.81  (min 0.60)
+  lsh_topk  (nbits=6, hamming<=1 — candidate fraction ~0.11): 0.235
+  lsh_topk  (nbits=8, hamming<=1 — candidate fraction ~0.035): 0.12
+
+i.e. LSH buys ~2-3.4x over random candidate selection on structure-free
+data, IVF with half the lists probed recovers ~0.8 — and both keep
+EXACT cosine scores, so ranking within candidates is never approximate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from zestdb_spark.functions import similarity
+
+_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+_EMB = os.path.join(_SF_DIR, "embeddings.parquet")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(_EMB), reason="driver testdata not present"
+)
+
+K = 10
+QUERIES = list(range(0, 200, 10))  # 20 fixed query vec_ids
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = spark.read.parquet(_EMB).select("vec_id", "embedding").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def truth(embs):
+    """Exact top-K per query, computed once in numpy (500×64 fits any
+    driver; the Spark-side exact path is itself covered by
+    test_cosine_topk_matches_numpy)."""
+    rows = embs.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = U @ U.T
+    idx = {int(v): i for i, v in enumerate(ids)}
+    out = {}
+    for q in QUERIES:
+        qi = idx[q]
+        order = np.argsort(-S[qi])
+        order = order[order != qi][:K]
+        out[q] = set(int(x) for x in ids[order])
+    return out
+
+
+def _avg_recall(topk_fn, truth) -> float:
+    rs = []
+    for q in QUERIES:
+        got = {r["vec_id"] for r in topk_fn(q).collect()}
+        rs.append(len(got & truth[q]) / K)
+    return sum(rs) / len(rs)
+
+
+def test_ivf_trained_recall_floor(embs, truth):
+    """fps-seeded spherical k-means codebook, probing half the lists:
+    measured 0.81 — pinned above 0.75."""
+    cb = similarity.ivf_train(embs, 16, iters=2)
+    r = _avg_recall(
+        lambda q: similarity.ivf_topk(embs, q, K, 16, 8, codebook=cb), truth
+    )
+    assert r >= 0.75, f"ivf recall@10 regressed: {r:.3f}"
+
+
+def test_lsh_recall_floor_and_beats_random(embs, truth):
+    """Random-hyperplane LSH with hamming<=1 multiprobe: the candidate
+    fraction at nbits=6 is ~(1+6)/64 ~= 0.11, so random selection
+    would land recall ~0.11 — the measured 0.235 (~2.1x) is pinned
+    above 0.18, and the tighter nbits=8 variant (~0.035 fraction,
+    measured 0.12, ~3.4x random) above 0.08."""
+    r6 = _avg_recall(lambda q: similarity.lsh_topk(embs, q, K, nbits=6), truth)
+    assert r6 >= 0.18, f"lsh(6) recall@10 regressed: {r6:.3f}"
+    r8 = _avg_recall(lambda q: similarity.lsh_topk(embs, q, K, nbits=8), truth)
+    assert r8 >= 0.08, f"lsh(8) recall@10 regressed: {r8:.3f}"
+    assert r6 > (1 + 6) / 64  # strictly better than its candidate budget
+    assert r8 > (1 + 8) / 256
+
+
+def test_ivf_cell_balance(embs):
+    """The straggler guard the fps seeding exists for: no IVF cell may
+    exceed 2x the mean cell size on this corpus (measured max/mean:
+    1.31 trained vs 1.34 id-sampled; a degenerate codebook shows up
+    as one giant cell long before it shows up as bad recall)."""
+    cb = similarity.ivf_train(embs, 16, iters=2)
+    sizes = [
+        r["count"]
+        for r in similarity.ivf_assign(embs, 16, codebook=cb)
+        .groupBy("cent")
+        .count()
+        .collect()
+    ]
+    assert len(sizes) == 16  # every centroid owns a non-empty list
+    assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))

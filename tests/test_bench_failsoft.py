@@ -8,7 +8,7 @@ from __future__ import annotations
 import bench
 
 
-def test_run_suite_records_error_and_continues(spark, tmp_path):
+def test_run_pass_records_error_and_continues(spark, tmp_path):
     calls = []
 
     def ok(s, d):
@@ -23,7 +23,7 @@ def test_run_suite_records_error_and_continues(spark, tmp_path):
         return s.range(1)
 
     qs = {"ok": ok, "boom": boom, "late": late}
-    timings, errors = bench.run_suite(
+    timings, errors = bench.run_pass(
         spark, qs, ["ok", "boom", "late"], str(tmp_path), runs=1
     )
     assert isinstance(timings["ok"], float)
@@ -34,3 +34,21 @@ def test_run_suite_records_error_and_continues(spark, tmp_path):
     # the suite total in main() sums only the float slots — mirror that
     total = sum(t for t in timings.values() if isinstance(t, float))
     assert total >= 0.0
+
+def test_composite_is_per_query_min_across_passes():
+    """The noise protocol's composite: min of every float observation;
+    a query that errored everywhere keeps its error slot."""
+    passes = [
+        {"load1": 1.0, "sec": {"a": 2.0, "b": {"err": "x"}, "c": {"err": "x"}}},
+        {"load1": 1.0, "sec": {"a": 1.5, "b": 3.0, "c": {"err": "y"}}},
+    ]
+    names = ["a", "b", "c"]
+    composite = {}
+    for name in names:
+        vals = [
+            ps["sec"][name]
+            for ps in passes
+            if isinstance(ps["sec"].get(name), float)
+        ]
+        composite[name] = min(vals) if vals else passes[-1]["sec"][name]
+    assert composite == {"a": 1.5, "b": 3.0, "c": {"err": "y"}}

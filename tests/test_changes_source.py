@@ -230,3 +230,32 @@ def test_max_versions_per_batch_paces_offsets(spark, tmp_path):
     # diff batches deliver v2..v4 — every append exactly once
     assert seen == 5
     assert rounds == 3  # the backlog was actually split up
+
+
+def test_restore_commits_do_not_reenter_the_feed(spark, tmp_path):
+    """A restore re-references ORIGINAL part-* files — every one of
+    those rows was delivered when first appended, so the feed must stay
+    silent on op=restore commits (append purity), while the diff base
+    still advances so later genuine appends deliver correctly."""
+    from zestdb_spark.api import ZestEngine
+
+    eng = ZestEngine(spark, str(tmp_path / "rf"))
+    eng.post("/ts/a/at/100", {"value": 1.0})   # v0
+    eng.post("/ts/a/at/200", {"value": 2.0})   # v1
+    eng.delete("/ts/a/range/150/250")          # v2: rewrite drops row 200
+    root = eng.store._path("ts_numeric")
+
+    eng.store.restore("ts_numeric", 1)         # v3: re-adds v1's part file
+    hist = eng.store.history("ts_numeric")
+    assert hist[0].op == "restore" and hist[0].version == 3
+
+    r = _reader(root)
+    # the restore commit itself delivers NOTHING
+    assert r.partitions({"version": 2}, {"version": 3}) == []
+    # ...but a genuine append after it still flows
+    eng.post("/ts/b/at/400", {"value": 4.0})   # v4
+    parts = r.partitions({"version": 3}, {"version": 4})
+    assert len(parts) == 1 and parts[0].series_id == "b"
+    # and a window SPANNING the restore delivers only the new append
+    parts = r.partitions({"version": 2}, {"version": 4})
+    assert [p.series_id for p in parts] == ["b"]

@@ -138,6 +138,34 @@ def test_messages_roundtrip_and_replay_rejected():
     assert sess_c.decrypt(back) == (1, b"more")
 
 
+def test_nonce_counters_continue_past_handshake():
+    """spec/26: short nonces are ONE strictly-increasing sequence per
+    peer across the whole connection. The client spent 1 (HELLO) and 2
+    (INITIATE), so its first MESSAGE carries 3 — libzmq tracks
+    cn_peer_nonce from INITIATE and rejects any MESSAGE nonce <= 2;
+    symmetrically the server spent 1 (READY) so its first MESSAGE
+    carries 2 and the client's floor is 1."""
+    import struct
+
+    sess_c, sess_s, *_ = _duplex_handshake(curve.decode_key(REF_SECRET), curve.keypair())
+    wire = sess_c.encrypt(0, b"first")
+    (counter,) = struct.unpack(">Q", wire[8:16])
+    assert counter == 3  # not 1: HELLO/INITIATE consumed 1 and 2
+    assert sess_s.decrypt(wire) == (0, b"first")
+    back = sess_s.encrypt(0, b"reply")
+    (counter_s,) = struct.unpack(">Q", back[8:16])
+    assert counter_s == 2  # READY consumed server nonce 1
+    assert sess_c.decrypt(back) == (0, b"reply")
+
+    # a forged client MESSAGE reusing a handshake-era nonce (<= 2) is
+    # rejected by the server's receive floor even though the box would
+    # verify — the libzmq interop contract the floor exists for
+    forged = curve._Session(sess_c.our_sk, sess_c.their_pk, we_are_server=False)
+    forged._send_counter = 2
+    with pytest.raises(curve.CurveError, match="replayed"):
+        sess_s.decrypt(forged.encrypt(0, b"replay"))
+
+
 def test_tampered_message_rejected():
     sess_c, sess_s, *_ = _duplex_handshake(curve.decode_key(REF_SECRET), curve.keypair())
     wire = bytearray(sess_c.encrypt(0, b"payload"))
@@ -254,6 +282,10 @@ def test_allowed_clients_over_tcp():
 @pytest.fixture(scope="module")
 def curve_server(spark, tmp_path_factory):
     engine = ZestEngine(spark, str(tmp_path_factory.mktemp("curve_store")))
+    # warm the write path OUTSIDE the socket timeout: the first Spark
+    # job of a session costs seconds, and the REQ client's 10 s recv
+    # deadline must measure the transport, not executor warmup
+    engine.post("/kv/_warm/k", {"w": 1})
     srv = ZestServer(engine, curve_secret=REF_SECRET).start()
     yield srv
     srv.stop()

@@ -166,3 +166,46 @@ def test_frame_sample(spark):
     )
     rows = multimodal.frame_sample(assets, every_n_bytes=64).collect()
     assert [r["byte_offset"] for r in rows] == [0, 64, 128]
+
+
+def test_kmeans_seed_recovers_planted_clusters(spark):
+    """Three well-separated planted directions with ids adversarially
+    cluster-major (the first k ids all sit in ONE cluster — exactly the
+    failure mode of smallest-id init): farthest-point seeding + Lloyd
+    must land one centroid per planted cluster with balanced cells."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(3):
+        for j in range(30):
+            v = np.zeros(8)
+            v[c] = 1.0
+            v = v + 0.08 * rng.standard_normal(8)
+            rows.append((c * 30 + j, [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = similarity.ivf_train(embs, 3, iters=2)  # init="fps" default
+    assert [c["vec_id"] for c in cb] == [
+        c["vec_id"] for c in similarity.ivf_train(embs, 3, iters=2)
+    ]  # deterministic
+    assigned = similarity.ivf_assign(embs, 3, codebook=cb).collect()
+    cells: dict[int, set[int]] = {}
+    sizes: dict[int, int] = {}
+    for r in assigned:
+        planted = r["vec_id"] // 30
+        cells.setdefault(int(r["cent"]), set()).add(planted)
+        sizes[int(r["cent"])] = sizes.get(int(r["cent"]), 0) + 1
+    # pure 1:1 recovery, 30/30/30 balance
+    assert len(cells) == 3 and all(len(s) == 1 for s in cells.values())
+    assert sorted(sizes.values()) == [30, 30, 30]
+
+    # contrast: the legacy smallest-id INIT seeds all three centroids
+    # inside planted cluster 0 (ids 0,1,2) — before Lloyd it cannot
+    # separate the data (documents why fps is the default)
+    legacy = similarity.ivf_train(embs, 3, iters=0, init="ids")
+    legacy_cells = {
+        int(r["cent"])
+        for r in similarity.ivf_assign(embs, 3, codebook=legacy).collect()
+        if r["vec_id"] >= 30  # clusters 1 and 2
+    }
+    seeded_in_0 = {c["vec_id"] for c in legacy}
+    assert seeded_in_0 == {0, 1, 2}

@@ -251,7 +251,7 @@ def test_append_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
 
     real_commit = ZestStore._commit
 
-    def crash(self, table, adds=(), removes=(), op=""):
+    def crash(self, table, adds=(), removes=(), op="", txn=None):
         raise RuntimeError("simulated crash before the append commit")
 
     monkeypatch.setattr(ZestStore, "_commit", crash)
@@ -658,3 +658,159 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert dead2 == 1 or not _snapshots.latest(table_dir).tombstones
     assert len(_snapshots.list_data_files(table_dir)) < len(before) or not before
     assert _os.path.isdir(table_dir)
+
+
+# ---------------------------------------------------------------- r8:
+# txn watermarks (idempotent writers), vacuum-vs-rewrite coordination,
+# resolve-cache thread safety, stale-lock reclaim mutual exclusion
+
+
+def test_txn_watermarks_are_atomic_and_monotone(tmp_path):
+    """Delta's idempotent-writes recipe: (app_id, n) commits with the
+    data; replays and out-of-order stamps never roll the mark back;
+    apps track independently."""
+    t = str(tmp_path / "txn")
+    _touch(t, "f1.parquet")
+    s = snapshots.commit(t, adds=["f1.parquet"], txn=("app", 0))
+    assert s.txns == {"app": 0}
+    _touch(t, "f2.parquet")
+    s = snapshots.commit(t, adds=["f2.parquet"], txn=("app", 1))
+    assert s.txns["app"] == 1
+    _touch(t, "f3.parquet")
+    s = snapshots.commit(t, adds=["f3.parquet"], txn=("app", 0))  # replay
+    assert s.txns["app"] == 1
+    _touch(t, "f4.parquet")
+    s = snapshots.commit(t, adds=["f4.parquet"], txn=("other", 7))
+    assert s.txns == {"app": 1, "other": 7}
+    assert snapshots.latest(t).txns == {"app": 1, "other": 7}
+
+
+def test_txn_watermarks_survive_checkpoints_and_cold_replay(tmp_path):
+    """The watermark must fold through delta entries AND checkpoint
+    docs: resolve cold (cache cleared) across 2+ checkpoint intervals."""
+    t = str(tmp_path / "txn2")
+    n = 2 * snapshots.CHECKPOINT_EVERY + 3
+    for i in range(n):
+        _touch(t, f"f{i}.parquet")
+        snapshots.commit(t, adds=[f"f{i}.parquet"], txn=("app", i))
+    snapshots._RESOLVE_CACHE.clear()
+    s = snapshots.latest(t)
+    assert s.txns["app"] == n - 1
+    # and history's incremental fold agrees with the point resolve
+    hist = snapshots.history(t)
+    assert hist[0].txns["app"] == n - 1
+
+
+def test_vacuum_reclaim_orphans_flag(tmp_path):
+    """reclaim_orphans=False leaves aged unreferenced files alone —
+    the knob ZestStore.vacuum uses while a rewrite holds the lock."""
+    t = str(tmp_path / "orph")
+    _touch(t, "f1.parquet")
+    snapshots.commit(t, adds=["f1.parquet"])
+    _touch(t, "staged.parquet")  # unreferenced (an in-flight rewrite's)
+    old = time.time() - 2 * snapshots.ORPHAN_MIN_AGE_S
+    os.utime(os.path.join(t, "staged.parquet"), (old, old))
+    dead, orphans = snapshots.vacuum(t, retention_s=0.0, reclaim_orphans=False)
+    assert orphans == 0
+    assert os.path.exists(os.path.join(t, "staged.parquet"))
+    dead, orphans = snapshots.vacuum(t, retention_s=0.0)
+    assert orphans == 1
+    assert not os.path.exists(os.path.join(t, "staged.parquet"))
+
+
+def test_store_vacuum_skips_orphans_while_rewrite_in_flight(spark, tmp_path):
+    """A staged-for-longer-than-the-orphan-floor rewrite file must
+    survive a concurrent maintenance vacuum: ZestStore.vacuum sees the
+    rewrite lock and defers orphan reclaim to the next quiet vacuum."""
+    from zestdb_spark.schema import TS_NUMERIC
+    from zestdb_spark.storage import ZestStore
+
+    st = ZestStore(spark, str(tmp_path / "vlock"))
+    st.write_numeric_bulk(
+        spark.createDataFrame([("a", 1000, 1.0, None, None)], TS_NUMERIC)
+    )
+    table_dir = st._path("ts_numeric")
+    staged = os.path.join(table_dir, "series_id=a/time_bucket=0/rw-zz.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"not yet committed")
+    old = time.time() - 2 * snapshots.ORPHAN_MIN_AGE_S
+    os.utime(staged, (old, old))
+
+    with st._rewrite_lock("ts_numeric"):  # the in-flight rewrite
+        _, orphans = st.vacuum("ts_numeric", retention_s=0.0)
+        assert orphans == 0 and os.path.exists(staged)
+    _, orphans = st.vacuum("ts_numeric", retention_s=0.0)  # quiet now
+    assert orphans == 1 and not os.path.exists(staged)
+
+
+def test_resolve_cache_eviction_is_thread_safe(tmp_path):
+    """Concurrent commits across more tables than the cache holds:
+    eviction under contention must never raise (in commit() a raise
+    lands AFTER os.link published the manifest — a durably committed
+    write would be reported as failed)."""
+    errs: list = []
+
+    def worker(i: int) -> None:
+        try:
+            t = str(tmp_path / f"t{i}")
+            for j in range(25):
+                _touch(t, f"f{j}.parquet")
+                snapshots.commit(t, adds=[f"f{j}.parquet"])
+        except Exception as e:  # pragma: no cover - the bug under test
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(2 * snapshots._RESOLVE_CACHE_MAX)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    for i in range(2 * snapshots._RESOLVE_CACHE_MAX):
+        assert snapshots.latest(str(tmp_path / f"t{i}")).version == 24
+
+
+def test_stale_lock_reclaim_has_one_winner(spark, tmp_path):
+    """A dead rewriter's lock is reclaimed by exactly one waiter: the
+    sidecar mutex prevents the unlink race where waiter B deletes
+    waiter A's freshly re-acquired lock (two rewriters inside)."""
+    import subprocess
+
+    from zestdb_spark.storage import ZestStore
+
+    st = ZestStore(spark, str(tmp_path / "lockrace"))
+    # a provably-dead pid: a real child that already exited
+    child = subprocess.Popen(["true"])
+    child.wait()
+    lock_path = os.path.join(st.root, ".lock_ts_numeric")
+    with open(lock_path, "w") as f:
+        f.write(str(child.pid))
+
+    inside = [0]
+    peak = [0]
+    gate = threading.Lock()
+    errs: list = []
+
+    def worker() -> None:
+        try:
+            with st._rewrite_lock("ts_numeric", wait_s=20.0):
+                with gate:
+                    inside[0] += 1
+                    peak[0] = max(peak[0], inside[0])
+                time.sleep(0.01)
+                with gate:
+                    inside[0] -= 1
+        except Exception as e:  # pragma: no cover - the bug under test
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert peak[0] == 1  # never two holders
+    assert not os.path.exists(lock_path)
+    assert not os.path.exists(lock_path + ".reclaim")

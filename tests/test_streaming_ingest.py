@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from zestdb_spark.api import ZestEngine
@@ -99,6 +100,50 @@ def test_fresh_checkpoint_with_new_data_is_not_skipped(spark, tmp_path):
     # reset: the old row may duplicate — that is the documented
     # semantic of resetting checkpoints, never silent loss)
     assert store.load("ts_numeric").filter("series_id = 'b'").count() == 1
+
+
+def test_crash_after_commit_before_log_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash-inject the historical at-least-once window: kill the sink
+    AFTER the data's manifest commit but BEFORE the provenance log row.
+    Because the batch marker (txn) rides the SAME atomic manifest
+    commit as the data files, the redelivered batch is provably
+    committed and must be skipped — no duplicate rows, ever."""
+    src = str(tmp_path / "landing5")
+    store = ZestStore(spark, str(tmp_path / "store5"))
+    _write_batch(spark, src, "b0", [("a", 1000, 1.0), ("b", 2000, 2.0)])
+    stream = (
+        spark.readStream.schema("series_id string, timestamp long, value double")
+        .parquet(src)
+    )
+
+    def boom(self, table, n_rows, wid=None):
+        raise RuntimeError("injected crash between data commit and log row")
+
+    monkeypatch.setattr(ZestStore, "_log_write", boom)
+    q = ingest.start_ingest(stream, store, str(tmp_path / "ck_5"), trigger_once=True)
+    with pytest.raises(Exception):  # StreamingQueryException wrapping the crash
+        q.awaitTermination(120)
+    monkeypatch.undo()
+
+    # the data COMMITTED (manifest published before the crash point),
+    # and the batch watermark committed with it — atomically
+    assert store.load("ts_numeric").count() == 2
+    prov = store.load_with_provenance("ts_numeric")
+    assert prov.select("write_id").distinct().count() == 1
+
+    # restart on the SAME checkpoint: Spark redelivers batch 0 (its
+    # offset log advanced but the batch never completed) — the sink
+    # must skip it via the manifest watermark
+    q2 = ingest.start_ingest(stream, store, str(tmp_path / "ck_5"), trigger_once=True)
+    q2.awaitTermination(120)
+    assert store.load("ts_numeric").count() == 2  # no duplicates
+
+    # and the stream keeps flowing afterwards: a NEW batch still lands
+    _write_batch(spark, src, "b1", [("c", 3000, 3.0)])
+    q3 = ingest.start_ingest(stream, store, str(tmp_path / "ck_5"), trigger_once=True)
+    q3.awaitTermination(120)
+    assert store.load("ts_numeric").count() == 3
+    assert store.load("ts_numeric").filter("series_id = 'c'").count() == 1
 
 
 def test_validated_diverts_bad_rows(spark, tmp_path):

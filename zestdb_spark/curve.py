@@ -213,7 +213,11 @@ def decode_key(key: str | bytes) -> bytes:
 
 
 def _short_nonce_prefixed(prefix: bytes, counter: int) -> tuple[bytes, bytes]:
-    short = struct.pack("<Q", counter)
+    # BIG-endian: libzmq writes short nonces with put_uint64 (network
+    # byte order, wire.hpp) and enforces strictly-increasing on the
+    # same read — a little-endian counter survives loopback but trips
+    # a real libzmq peer's replay floor once the counter passes 255
+    short = struct.pack(">Q", counter)
     assert len(prefix) == 16
     return short, prefix + short
 
@@ -243,7 +247,7 @@ class _Session:
         if not command.startswith(b"\x07MESSAGE") or len(command) < 16:
             raise CurveError("expected MESSAGE command")
         short = command[8:16]
-        (counter,) = struct.unpack("<Q", short)
+        (counter,) = struct.unpack(">Q", short)  # libzmq wire order
         if counter <= self._recv_floor:
             raise CurveError("MESSAGE nonce replayed or out of order")
         plain = _open_box(
@@ -292,7 +296,14 @@ def client_handshake(
         raise CurveError("malformed READY")
     short = ready[6:14]
     meta = _open_box(ready[14:], b"CurveZMQREADY---" + short, st_pk, ct_sk)
-    return _Session(ct_sk, st_pk, we_are_server=False), meta
+    sess = _Session(ct_sk, st_pk, we_are_server=False)
+    # the client's short-nonce sequence is ONE counter across the whole
+    # connection: HELLO consumed 1, INITIATE consumed 2, so the first
+    # MESSAGE must carry 3 — libzmq tracks cn_peer_nonce from INITIATE
+    # and rejects any MESSAGE nonce <= 2 (spec/26 strictly-increasing)
+    sess._send_counter = 3
+    sess._recv_floor = 1  # READY consumed server nonce 1
+    return sess, meta
 
 
 def server_handshake(
@@ -349,4 +360,7 @@ def server_handshake(
     send_command(b"\x05READY" + short2 + _box(metadata, nonce2, ct_pk, st_sk))
     sess = _Session(st_sk, ct_pk, we_are_server=True)
     sess._send_counter = 2  # READY consumed server nonce 1
+    # client nonces 1 (HELLO) and 2 (INITIATE) are spent: enforce the
+    # libzmq receive floor so a replayed handshake-era nonce is rejected
+    sess._recv_floor = 2
     return sess, meta, c_pk

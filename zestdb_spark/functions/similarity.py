@@ -124,9 +124,9 @@ def lsh_topk(
 
 def _ivf_centroids(embs: DataFrame, n_centroids: int) -> list:
     """The coarse-quantizer codebook: a deterministic sample (the
-    ``n_centroids`` smallest vec_ids — reproducible everywhere; at real
-    scale swap for a sampled k-means pass, same downstream shape),
-    COLLECTED to the driver. The codebook is a model, not data —
+    ``n_centroids`` smallest vec_ids — reproducible everywhere; the
+    QUALITY path is ``ivf_train`` with its farthest-point hash-sample
+    seeding, same downstream shape), COLLECTED to the driver. The codebook is a model, not data —
     m·dim floats, exactly like the fixed LSH hyperplanes — so inlining
     it as literals keeps assignment scan-local instead of paying a
     crossJoin + groupBy (measured ~4× on the assignment stage)."""
@@ -153,24 +153,92 @@ def _nearest_centroid(cents: list) -> Column:
     return -F.array_max(F.array(*opts)).getField("neg")
 
 
+def kmeans_seed(
+    embs: DataFrame, n_centroids: int, sample_cap: int = 2048
+) -> list[dict]:
+    """Deterministic k-means++-style seeding WITHOUT randomness:
+    Gonzalez (1985) farthest-point traversal over a bounded md5-hash
+    sample. Two properties the smallest-vec_id placeholder lacks:
+
+    - the sample is UNBIASED w.r.t. id assignment order (smallest ids
+      at crawl scale = the oldest documents = one corner of the
+      distribution), because md5(vec_id) order is effectively uniform;
+    - the seeds are SPREAD: each next seed maximizes its minimum
+      angular distance to the chosen set, so a skewed corpus cannot
+      hand every seed to one dense region (the unbalanced-cell →
+      straggler-task failure mode of SemDeDup at scale).
+
+    Everything is reproducible with no RNG anywhere: hash order fixes
+    the sample, the traversal is greedy with lowest-vec_id tie-breaks.
+    Cost: ONE TakeOrderedAndProject collect of ``sample_cap`` rows
+    (model-sized: cap × dim floats), then O(cap · k) driver arithmetic.
+    Returns codebook rows shaped like ``_ivf_centroids`` output."""
+    sample = (
+        with_norm(embs)
+        .filter(F.col("norm") > 0.0)
+        .withColumn("_hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_hk", "vec_id")
+        .limit(int(sample_cap))
+        .select("vec_id", "v", "norm")
+        .collect()
+    )
+    if not sample:
+        return []
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    ids = np.asarray([int(r["vec_id"]) for r in sample])
+    norms = np.asarray([float(r["norm"]) for r in sample])
+    U = X / norms[:, None]  # unit vectors: cosine = dot
+    chosen = [0]  # first seed = smallest-hash row (fixed by the sample order)
+    d = 1.0 - U @ U[0]  # angular distance to the nearest chosen seed
+    d[0] = -np.inf
+    while len(chosen) < min(int(n_centroids), len(sample)):
+        # farthest-first; ties (exact-duplicate directions) break to the
+        # lowest vec_id so the traversal is total-ordered
+        best = np.lexsort((ids, -d))[0]
+        if d[best] <= 1e-12:
+            break  # no distinct direction left — a smaller codebook
+        chosen.append(int(best))
+        d = np.minimum(d, 1.0 - U @ U[best])
+        d[best] = -np.inf
+    return [
+        {
+            "vec_id": int(ids[i]),
+            "v": [float(x) for x in X[i]],
+            "norm": float(norms[i]),
+        }
+        for i in chosen
+    ]
+
+
 def ivf_train(
-    embs: DataFrame, n_centroids: int = 16, iters: int = 2
+    embs: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    init: str = "fps",
+    sample_cap: int = 2048,
 ) -> list[dict]:
     """Train the IVF codebook with ``iters`` Lloyd (k-means) rounds —
     spherical k-means (cosine assignment, mean + renormalize update).
 
-    Fully deterministic: init = the ``n_centroids`` smallest vec_ids,
-    then each round is one distributed pass (scan-local assignment
-    against the literal codebook → per-(centroid, dim) mean via
-    posexplode + groupBy) with only the m·dim codebook itself coming
-    back to the driver — the canonical Spark iterative-ML shape (the
-    data never moves; the model does). Returns codebook rows shaped
-    like ``_ivf_centroids`` output (vec_id = centroid id, v, norm).
-    """
-    cents = [
-        {"vec_id": r["vec_id"], "v": list(r["v"]), "norm": r["norm"]}
-        for r in _ivf_centroids(embs, n_centroids)
-    ]
+    Fully deterministic: init = ``kmeans_seed`` farthest-point seeding
+    over a bounded hash-sample (``init="fps"``, the default) or the
+    ``n_centroids`` smallest vec_ids (``init="ids"`` — the legacy
+    oracle-stable placeholder), then each round is one distributed
+    pass (scan-local assignment against the literal codebook →
+    per-(centroid, dim) mean via posexplode + groupBy) with only the
+    m·dim codebook itself coming back to the driver — the canonical
+    Spark iterative-ML shape (the data never moves; the model does).
+    Returns codebook rows shaped like ``_ivf_centroids`` output
+    (vec_id = centroid id, v, norm)."""
+    if init == "fps":
+        cents = kmeans_seed(embs, n_centroids, sample_cap)
+    elif init == "ids":
+        cents = [
+            {"vec_id": r["vec_id"], "v": list(r["v"]), "norm": r["norm"]}
+            for r in _ivf_centroids(embs, n_centroids)
+        ]
+    else:
+        raise ValueError(f"init must be 'fps' or 'ids', got {init!r}")
     e = with_norm(embs)
     for _ in range(iters):
         assigned = e.withColumn("cent", _nearest_centroid(cents))

@@ -57,6 +57,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -90,7 +91,9 @@ CHECKPOINT_EVERY = 16
 class Snapshot:
     """One resolved manifest version."""
 
-    __slots__ = ("version", "files", "tombstones", "created_ms", "op", "stats")
+    __slots__ = (
+        "version", "files", "tombstones", "created_ms", "op", "stats", "txns"
+    )
 
     def __init__(
         self,
@@ -100,6 +103,7 @@ class Snapshot:
         created_ms: int = 0,
         op: str = "",
         stats: "dict[str, dict] | None" = None,
+        txns: "dict[str, int] | None" = None,
     ):
         self.version = version
         self.files = files  # sorted relative paths, the live file set
@@ -112,6 +116,12 @@ class Snapshot:
         # collected stats appear; a reader must treat a MISSING entry
         # as "could match anything" (pre-stats files, bootstrap).
         self.stats = stats or {}
+        # per-application transaction watermarks (Delta's idempotent
+        # writes: txn appId -> highest committed version). A writer
+        # that stamps its commits ``txn=(app_id, n)`` can ask "did my
+        # batch n land?" from the SAME atomic record as the data files
+        # — the exactly-once primitive streaming ingest rests on.
+        self.txns = txns or {}
 
 
 class CommitConflict(Exception):
@@ -160,18 +170,19 @@ def _read_doc(table_dir: str, version: int) -> "dict | None":
         return None
 
 
-def _apply(files, tombstones, stats, delta: dict):
+def _apply(files, tombstones, stats, txns, delta: dict):
     """Fold ONE commit record over a resolved (files, tombstones,
-    stats) state → (files SET, tombstones, stats). Pure (inputs are
-    copied), O(record churn) beyond the copies, and shared by the
-    WRITER (to compute the state it returns / checkpoints) and the
-    READER (to replay delta chains) — one merge function, so replay
+    stats, txns) state → (files SET, tombstones, stats, txns). Pure
+    (inputs are copied), O(record churn) beyond the copies, and shared
+    by the WRITER (to compute the state it returns / checkpoints) and
+    the READER (to replay delta chains) — one merge function, so replay
     can never diverge from what the committer computed. Relies on the
     state invariants every commit maintains: no live file carries a
     tombstone, and stats keys ⊆ live files."""
     files = set(files)
     tombstones = dict(tombstones)
     stats = dict(stats)
+    txns = dict(txns)
     removed = delta.get("removes", ())
     now = delta.get("created_ms", 0)
     files.difference_update(removed)
@@ -189,11 +200,23 @@ def _apply(files, tombstones, stats, delta: dict):
     for rel, s in (delta.get("stats") or {}).items():
         if rel in files:
             stats[rel] = s
-    return files, tombstones, stats
+    txn = delta.get("txn")
+    if txn:
+        app, n = str(txn[0]), int(txn[1])
+        # watermarks only move forward — a replayed/reordered stamp
+        # can never roll an app's high-water mark back
+        if n > txns.get(app, -1):
+            txns[app] = n
+    return files, tombstones, stats, txns
 
 
 def _full_state(doc: dict):
-    return doc["files"], doc.get("tombstones", {}), doc.get("stats", {})
+    return (
+        doc["files"],
+        doc.get("tombstones", {}),
+        doc.get("stats", {}),
+        doc.get("txns", {}),
+    )
 
 
 #: resolved-version cache. Version files are IMMUTABLE once linked
@@ -206,6 +229,13 @@ def _full_state(doc: dict):
 #: must treat returned Snapshots as immutable (they do).
 _RESOLVE_CACHE: "dict[tuple[str, int], tuple[tuple, Snapshot]]" = {}
 _RESOLVE_CACHE_MAX = 8
+#: cache housekeeping runs on whatever thread committed/read — appends
+#: are deliberately lock-free and the transport serves each connection
+#: on its own thread, so eviction must be serialized or two concurrent
+#: commits can race ``pop(next(iter(...)))`` into a KeyError AFTER one
+#: of them already durably published its manifest. The lock covers
+#: only dict surgery (microseconds), never I/O.
+_CACHE_LOCK = threading.Lock()
 
 
 def _file_ident(table_dir: str, version: int) -> "tuple | None":
@@ -220,10 +250,14 @@ def _file_ident(table_dir: str, version: int) -> "tuple | None":
 
 
 def _cache_put(key: "tuple[str, int]", ident: tuple, snap: "Snapshot") -> None:
-    _RESOLVE_CACHE.pop(key, None)
-    _RESOLVE_CACHE[key] = (ident, snap)
-    while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
-        _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+    with _CACHE_LOCK:
+        _RESOLVE_CACHE.pop(key, None)
+        _RESOLVE_CACHE[key] = (ident, snap)
+        while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
+            try:
+                _RESOLVE_CACHE.pop(next(iter(_RESOLVE_CACHE)))
+            except (KeyError, StopIteration):  # raced another evictor
+                break
 
 
 def read_version(table_dir: str, version: int) -> "Snapshot | None":
@@ -234,12 +268,14 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
     reads) and replays forward; a broken chain — the base pruned —
     reads as None, same as a pruned full snapshot."""
     key = (os.path.abspath(table_dir), version)
-    hit = _RESOLVE_CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _RESOLVE_CACHE.get(key)
     if hit is not None:
         ident, snap = hit
         if _file_ident(table_dir, version) == ident:
             return snap
-        _RESOLVE_CACHE.pop(key, None)  # pruned or a rebuilt store — re-read
+        with _CACHE_LOCK:  # pruned or a rebuilt store — re-read
+            _RESOLVE_CACHE.pop(key, None)
     doc = _read_doc(table_dir, version)
     if doc is None:
         return None
@@ -247,11 +283,11 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
         base = read_version(table_dir, version - 1)
         if base is None:
             return None  # chain broken: the delta's base was pruned
-        files, tombstones, stats = _apply(
-            base.files, base.tombstones, base.stats, doc
+        files, tombstones, stats, txns = _apply(
+            base.files, base.tombstones, base.stats, base.txns, doc
         )
     else:
-        files, tombstones, stats = _full_state(doc)
+        files, tombstones, stats, txns = _full_state(doc)
     snap = Snapshot(
         version,
         sorted(files),
@@ -259,6 +295,7 @@ def read_version(table_dir: str, version: int) -> "Snapshot | None":
         doc.get("created_ms", 0),
         doc.get("op", ""),
         stats,
+        txns,
     )
     ident = _file_ident(table_dir, version)
     if ident is not None:  # vanished mid-read → don't cache an absent file
@@ -299,7 +336,7 @@ def history(table_dir: str) -> "list[Snapshot]":
             if snap is None:
                 state, prev_v = None, None
                 continue
-            state = (snap.files, snap.tombstones, snap.stats)
+            state = (snap.files, snap.tombstones, snap.stats, snap.txns)
         out.append(
             Snapshot(
                 v,
@@ -308,6 +345,7 @@ def history(table_dir: str) -> "list[Snapshot]":
                 doc.get("created_ms", 0),
                 doc.get("op", ""),
                 state[2],
+                state[3],
             )
         )
         prev_v = v
@@ -322,6 +360,7 @@ def commit(
     max_retries: int = 50,
     op: str = "",
     stats: "dict[str, dict] | None" = None,
+    txn: "tuple[str, int] | None" = None,
 ) -> Snapshot:
     """Publish the next version: live files = (current − removes) +
     adds; removed files join the tombstone map stamped now;
@@ -335,6 +374,13 @@ def commit(
     files committed without stats simply have no entry (readers must
     keep them when pruning). Stats merge under the same CAS semantics
     as the file list itself.
+
+    ``txn`` stamps this commit with an application transaction mark
+    ``(app_id, version)`` — Delta's idempotent-writes contract: the
+    mark rides the SAME atomic manifest publish as the data files, so
+    "my data landed" and "my batch number landed" can never disagree.
+    Watermarks are monotone per app (``Snapshot.txns``); a writer that
+    sees ``txns[app] >= n`` must skip its redelivered batch ``n``.
 
     CAS loop: on FileExistsError the current head moved — re-resolve
     and retry on top of it. Concurrent APPENDS therefore merge (both
@@ -356,10 +402,10 @@ def commit(
             # the bootstrap listing must not claim files we are adding
             # in this same commit (they are already on disk by now)
             base_files = [f for f in list_data_files(table_dir) if f not in add_set]
-            base = (base_files, {}, {})
+            base = (base_files, {}, {}, {})
             version = 0
         else:
-            base = (cur.files, cur.tombstones, cur.stats)
+            base = (cur.files, cur.tombstones, cur.stats, cur.txns)
             version = cur.version + 1
         now = int(time.time() * 1000)
         record = {
@@ -376,7 +422,9 @@ def commit(
                 record["stats"] = rec_stats
         if op:
             record["op"] = op
-        file_set, tombstones, merged_stats = _apply(*base, record)
+        if txn is not None:
+            record["txn"] = [str(txn[0]), int(txn[1])]
+        file_set, tombstones, merged_stats, merged_txns = _apply(*base, record)
         files = sorted(file_set)
         if cur is None or version % CHECKPOINT_EVERY == 0:
             # FULL snapshot (checkpoint): one read resolves the table.
@@ -390,6 +438,8 @@ def commit(
             }
             if merged_stats:
                 doc["stats"] = merged_stats
+            if merged_txns:
+                doc["txns"] = merged_txns
             if op:
                 doc["op"] = op
         else:
@@ -405,7 +455,9 @@ def commit(
         final = os.path.join(d, _V_FMT % version)
         try:
             os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
-            snap = Snapshot(version, files, tombstones, now, op, merged_stats)
+            snap = Snapshot(
+                version, files, tombstones, now, op, merged_stats, merged_txns
+            )
             # seed the resolve cache: the NEXT commit/read folds from
             # this head with one O(churn) step instead of a chain walk
             ident = _file_ident(table_dir, version)
@@ -421,7 +473,10 @@ def commit(
 
 
 def vacuum(
-    table_dir: str, retention_s: float = DEFAULT_RETENTION_S, dry_run: bool = False
+    table_dir: str,
+    retention_s: float = DEFAULT_RETENTION_S,
+    dry_run: bool = False,
+    reclaim_orphans: bool = True,
 ) -> "tuple[int, int]":
     """Physically delete (a) tombstoned files whose removal is older
     than ``retention_s`` and (b) ORPHANS — data files on disk that no
@@ -434,7 +489,15 @@ def vacuum(
     ``dry_run=True`` computes the same counts and deletes NOTHING —
     Delta's ``VACUUM ... DRY RUN``, the look-before-you-reclaim an
     operator runs when time travel / change-feed readers might still
-    pin the window."""
+    pin the window.
+
+    ``reclaim_orphans=False`` skips the orphan sweep entirely. An
+    in-flight REWRITE stages files into the table tree long before its
+    single commit publishes them — to a concurrent vacuum those are
+    indistinguishable from crash litter, and a staging phase longer
+    than the orphan age floor would lose them. Callers who can see the
+    table's rewrite lock (ZestStore.vacuum) pass False while it is
+    held; orphans are reclaimed by the next uncontended vacuum."""
     snap = latest(table_dir)
     if snap is None:
         return (0, 0)
@@ -451,15 +514,16 @@ def vacuum(
     tomb = set(snap.tombstones)
     orphans = 0
     orphan_age = max(retention_s, ORPHAN_MIN_AGE_S)
-    for rel in list_data_files(table_dir):
-        if rel in live or rel in tomb:
-            continue
-        full = os.path.join(table_dir, rel)
-        with contextlib.suppress(OSError):
-            if os.path.getmtime(full) <= now - orphan_age:
-                if not dry_run:
-                    os.unlink(full)
-                orphans += 1
+    if reclaim_orphans:
+        for rel in list_data_files(table_dir):
+            if rel in live or rel in tomb:
+                continue
+            full = os.path.join(table_dir, rel)
+            with contextlib.suppress(OSError):
+                if os.path.getmtime(full) <= now - orphan_age:
+                    if not dry_run:
+                        os.unlink(full)
+                    orphans += 1
     if dry_run:
         return (len(deleted), orphans)
     if deleted:

@@ -130,7 +130,15 @@ class ZestChangesStreamReader(DataSourceStreamReader):
         each consecutive manifest pair is diffed keeping only append
         (``part-*``) adds, so an append that a later in-window delete
         already removed is still delivered — a live observer would have
-        seen it — while rewrites stay silent."""
+        seen it — while rewrites stay silent.
+
+        RESTORE commits are excluded by their manifest ``op``: a
+        restore re-references ORIGINAL ``part-*`` files (it re-links
+        nothing, so the rw-* staging convention cannot mark them), and
+        every one of those rows was already delivered when first
+        appended — re-delivering them would break the feed's
+        append-purity contract. The restored file set still updates
+        the diff base, so later genuine appends diff correctly."""
         end_snap = snapshots.read_version(self.root, e)
         if end_snap is None:
             raise RuntimeError(
@@ -156,9 +164,10 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                     "pruned by vacuum mid-stream — restart from a fresh "
                     "checkpoint"
                 )
-            out.extend(
-                f for f in snap.files if f not in prev_files and _is_append(f)
-            )
+            if snap.op != "restore":
+                out.extend(
+                    f for f in snap.files if f not in prev_files and _is_append(f)
+                )
             prev_files = set(snap.files)
         return out
 

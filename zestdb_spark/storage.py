@@ -224,8 +224,46 @@ class ZestStore:
                     except PermissionError:
                         pass  # alive, owned by someone else
                 if stale:
-                    with contextlib.suppress(OSError):
-                        os.unlink(path)
+                    # Reclaim under a sidecar mutex so only ONE waiter
+                    # may unlink: a bare unlink races — waiter A can
+                    # reclaim and re-acquire before waiter B's pending
+                    # unlink fires, and B then deletes A's FRESH lock,
+                    # letting a third writer in alongside A.
+                    rpath = f"{path}.reclaim"
+                    try:
+                        rfd = os.open(rpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except FileExistsError:
+                        # another waiter is reclaiming; if IT crashed
+                        # mid-reclaim, age its sidecar out (the window
+                        # it guards is a few syscalls, never seconds)
+                        with contextlib.suppress(OSError):
+                            if time.time() - os.path.getmtime(rpath) > 5.0:
+                                os.unlink(rpath)
+                        time.sleep(0.01)
+                        continue
+                    try:
+                        # re-verify under the mutex: the stale lock we
+                        # probed may have been reclaimed and re-created
+                        # by a LIVE holder since
+                        try:
+                            pid2 = int(open(path).read().strip() or "0")
+                        except (OSError, ValueError):
+                            pid2 = 0
+                        dead = False
+                        if pid2:
+                            try:
+                                os.kill(pid2, 0)
+                            except ProcessLookupError:
+                                dead = True
+                            except PermissionError:
+                                pass
+                        if dead:
+                            with contextlib.suppress(OSError):
+                                os.unlink(path)
+                    finally:
+                        os.close(rfd)
+                        with contextlib.suppress(OSError):
+                            os.unlink(rpath)
                     continue
                 if time.monotonic() > deadline:
                     raise StoreBusy(
@@ -591,7 +629,7 @@ class ZestStore:
         return adds
 
     def _commit(
-        self, table: str, adds=(), removes=(), op: str = ""
+        self, table: str, adds=(), removes=(), op: str = "", txn=None
     ) -> "snapshots.Snapshot":
         return snapshots.commit(
             self._path(table),
@@ -599,6 +637,7 @@ class ZestStore:
             list(removes),
             op=op,
             stats=self._stats_for(table, adds),
+            txn=txn,
         )
 
     def _stats_for(self, table: str, rels) -> "dict | None":
@@ -902,10 +941,25 @@ class ZestStore:
         readers pinned to a snapshot newer than the retention window
         are safe; see snapshots.vacuum for the append-orphan floor).
         ``dry_run=True`` returns the (tombstones, orphans) counts that
-        WOULD be reclaimed without deleting anything."""
+        WOULD be reclaimed without deleting anything.
+
+        Orphan reclaim is SKIPPED while the table's rewrite lock is
+        held: a long-staging rewrite (compact/merge/delete at scale)
+        moves files into the tree well before its commit, and an
+        unreferenced-but-about-to-be-committed file must never be
+        vacuum bait — the maintenance thread (serve.py) runs vacuum
+        concurrently with rewriters, so liveness of staged files is
+        only decidable when no rewrite is in flight. Tombstone reclaim
+        is safe either way (tombstoned files are never re-referenced)."""
         if table not in _MANIFESTED:
             raise KeyError(f"{table!r} is not under snapshot control")
-        return snapshots.vacuum(self._path(table), retention_s, dry_run=dry_run)
+        rewriting = os.path.exists(os.path.join(self.root, f".lock_{table}"))
+        return snapshots.vacuum(
+            self._path(table),
+            retention_s,
+            dry_run=dry_run,
+            reclaim_orphans=not rewriting,
+        )
 
     def version_at(self, table: str, ts_ms: int) -> int:
         """The snapshot version that was live at wall-clock ``ts_ms``
@@ -967,14 +1021,26 @@ class ZestStore:
 
     # ------------------------------------------------------------- writes
 
-    def _append_ts(self, table: str, rows: DataFrame, n_rows: Optional[int]) -> None:
+    def _append_ts(
+        self,
+        table: str,
+        rows: DataFrame,
+        n_rows: Optional[int],
+        txn: "tuple[str, int] | None" = None,
+    ) -> None:
         """Append a batch, stamped with the write_id of its provenance
         row — every data row joins back to (who, method, path, when),
         like every Irmin commit carries Prov.info
         (src/timeseries/shard.re:9-11, src/prov.re:38-46). Data lands
         BEFORE the log row (see _log_write's invariant); a crash in
         between leaves stamped rows whose write_id has no log entry —
-        detectable and re-appendable, never silently lost."""
+        detectable and re-appendable, never silently lost.
+
+        ``txn=(app_id, n)`` rides the SAME manifest commit as the data
+        files (snapshots.commit), so an idempotent writer (streaming
+        ingest) can prove batch ``n`` landed no matter where a crash
+        fell — the write_log row is provenance, never the
+        commit-or-not oracle."""
         wid = self._next_write_id()
         # cast to the canonical schema first: appending a frame with a
         # mismatched physical type (INT value, reordered columns) would
@@ -994,7 +1060,7 @@ class ZestStore:
         # and concurrent appends merge through the commit CAS without
         # taking the rewrite lock (appends commute)
         adds = self._stage_move(table, stamped, ("series_id", "time_bucket"))
-        self._commit(table, adds=adds, op="append")
+        self._commit(table, adds=adds, op="append", txn=txn)
         self._log_write(table, n_rows, wid)
 
     def write_numeric(
@@ -1009,12 +1075,27 @@ class ZestStore:
         self._append_ts("ts_numeric", rows, 1)
         return ts
 
-    def write_numeric_bulk(self, rows: DataFrame) -> None:
+    def write_numeric_bulk(
+        self, rows: DataFrame, txn: "tuple[str, int] | None" = None
+    ) -> None:
         """Bulk ingest (ts_numeric-shaped frame, already validated
         upstream) — the 100 TB path: one distributed append, daily
         partitions, ONE provenance row for the whole batch (n_rows is
-        left NULL rather than forcing a second pass over the input)."""
-        self._append_ts("ts_numeric", rows, None)
+        left NULL rather than forcing a second pass over the input).
+        ``txn=(app_id, n)`` makes the append idempotent per app/batch
+        (see _append_ts / last_txn_version)."""
+        self._append_ts("ts_numeric", rows, None, txn=txn)
+
+    def last_txn_version(self, table: str, app_id: str) -> Optional[int]:
+        """The highest batch number ``app_id`` ever committed into
+        ``table`` with ``txn=``, or None — read from the current
+        manifest (Delta's ``txnVersion``/``txnAppId`` lookup). The
+        answer and the data it vouches for come from ONE atomic
+        record, which is the whole exactly-once argument."""
+        if table not in _MANIFESTED:
+            raise KeyError(f"{table!r} is not under snapshot control")
+        snap = self._snapshot(table)
+        return None if snap is None else snap.txns.get(app_id)
 
     def write_blob(
         self, series_id: str, payload: Any, timestamp: Optional[int] = None

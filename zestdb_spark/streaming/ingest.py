@@ -68,43 +68,38 @@ def start_ingest(
     lineage survives at per-commit granularity like the reference's
     shard writes). Returns the StreamingQuery.
 
-    Replay idempotence: foreachBatch is at-least-once, so a batch that
-    committed before a crash can be redelivered — the sink skips any
-    batch already present in the write_log (the log lands AFTER the
-    data, so log-present ⇒ data-committed). Batch identity is scoped
-    to the CHECKPOINT (a digest of checkpoint_dir is part of the
-    logged path): batch ids only mean anything within one checkpoint's
-    lineage, so a fresh checkpoint or a second stream on the same
-    target path can never silently collide with old batch numbers.
-    The committed set is read ONCE at attach time and maintained
-    in-memory (no per-batch log scan). Residual windows: a crash
-    MID-append re-appends stamped rows whose write_id has no log row
-    (detectable duplicates); closing that fully needs a transactional
-    table format."""
+    EXACTLY-ONCE under replay: foreachBatch is at-least-once, so a
+    batch that committed before a crash can be redelivered. The sink
+    stamps every append ``txn=(app_id, batch_id)`` — the batch marker
+    rides the SAME atomic manifest commit as the data files
+    (snapshots.commit / Delta's idempotent-writes txn recipe), so
+    there is no ordering window: a crash either happened before the
+    commit (no data, no marker — the replay appends) or after it
+    (data AND marker — the replay is skipped via the manifest's
+    per-app watermark). Structured Streaming batch ids are monotone
+    per checkpoint, so the watermark is one integer, not a set.
+
+    Batch identity is scoped to the CHECKPOINT (the app_id digests
+    checkpoint_dir and the target path): a fresh checkpoint or a
+    second stream on the same target can never collide with old batch
+    numbers. The write_log row still lands after the data — it is
+    provenance/lineage, never the commit-or-not oracle."""
     import hashlib
 
     good, _bad = validated(stream_df)
-    ck_digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
-    prefix = f"{path}/ck/{ck_digest}/batch/"
-    committed: set[str] = set()
-    if store._exists("write_log"):
-        committed = {
-            r.path
-            for r in store.load("write_log")
-            .filter(F.col("path").startswith(prefix))
-            .select("path")
-            .collect()
-        }
+    ck_digest = hashlib.md5(f"{checkpoint_dir}\x00{path}".encode()).hexdigest()[:12]
+    app_id = f"ingest-{ck_digest}"
+    last = store.last_txn_version("ts_numeric", app_id)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal last
+        if last is not None and batch_id <= last:
+            return  # redelivered batch — its marker is in the manifest
         if not batch_df.head(1):
             return
-        batch_path = f"{prefix}{batch_id}"
-        if batch_path in committed:
-            return  # redelivered batch — already committed
-        store.set_request_context("POST", batch_path, client, None)
-        store.write_numeric_bulk(batch_df)
-        committed.add(batch_path)
+        store.set_request_context("POST", f"{path}/ck/{ck_digest}/batch/{batch_id}", client, None)
+        store.write_numeric_bulk(batch_df, txn=(app_id, batch_id))
+        last = batch_id
 
     writer = good.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
