@@ -1330,6 +1330,15 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (0.25, 0.5, 0.75),
             rate_bits=3,
         ),
+        # two-pass EXACT heavy hitters (Misra-Gries candidates in one
+        # bounded-state Arrow pass — no shuffle of the key domain —
+        # then an exact recount of candidates only): top suppliers by
+        # line count. capacity >> domain here, so the exactness
+        # condition (k-th freq > n/(capacity+1)) holds at every SF;
+        # the under-capacity stress behavior is pinned in pytest
+        "sk_heavy_hitters": lambda s, d: sketches.heavy_hitters_exact(
+            s.read.parquet(f"{d}/lineitem.parquet"), "l_suppkey", 10, 4096
+        ),
         # DSIR importance resampling: steer the whole corpus toward the
         # English-document target distribution (Gumbel-top-k over
         # smoothed unigram log-ratio weights, hash-derived noise)
@@ -2318,6 +2327,18 @@ _EXT_SQL: dict[str, str] = {
                          ELSE 12098218.894406674 / s
                     END) * 1000000.0) / 1000000.0 AS estimate
       FROM e
+    """,
+    # the two-pass heavy-hitters answer is EXACT (capacity exceeds the
+    # supplier domain), so the oracle is the plain top-k frequency
+    # query with the same (freq desc, item-string asc) tie order
+    "sk_heavy_hitters": """
+      SELECT CAST(l_suppkey AS VARCHAR) AS item,
+             count(*) AS freq
+      FROM lineitem
+      WHERE l_suppkey IS NOT NULL
+      GROUP BY 1
+      ORDER BY freq DESC, item ASC
+      LIMIT 10
     """,
     # KMV bottom-256: (k−1)/u_k with u_k the 256th smallest distinct
     # hash normalized by 2^60 = 1152921504606846976; < k distinct ⇒

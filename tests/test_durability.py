@@ -403,3 +403,36 @@ def test_compact_target_bytes_sizing(spark, tmp_path):
         eng.store.compact("ts_numeric", target_bytes=per_file * 100) == 0
         or len(eng.store._live_files("ts_numeric")) == 1
     )
+
+
+def test_log_append_crash_is_invisible_and_recoverable(spark, tmp_path, monkeypatch):
+    """Round 8: the logs (audit, write_log) are manifested like every
+    other table — a crash between staging a log batch and its commit
+    leaves unreferenced orphans, never a torn half-visible append, and
+    the next append simply works."""
+    from zestdb_spark.storage import ZestStore, now_ms
+
+    st = ZestStore(spark, str(tmp_path / "logcrash"))
+    st.audit_append((now_ms(), "srv", "cli", "GET", "/ts/a/latest", 69))
+    assert st.load("audit").count() == 1
+    assert st.history("audit")[0].op == "append"  # logs have a commit log now
+
+    real_commit = ZestStore._commit
+
+    def crash(self, table, adds=(), removes=(), op="", txn=None):
+        if table == "audit":
+            raise RuntimeError("simulated crash before the log commit")
+        return real_commit(self, table, adds=adds, removes=removes, op=op, txn=txn)
+
+    monkeypatch.setattr(ZestStore, "_commit", crash)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        st.audit_append((now_ms(), "srv", "cli", "GET", "/ts/a/latest", 69))
+    monkeypatch.setattr(ZestStore, "_commit", real_commit)
+
+    # the torn append is INVISIBLE to the manifested read
+    assert st.load("audit").count() == 1
+    # and the log keeps accepting appends afterwards
+    st.audit_append((now_ms(), "srv", "cli", "POST", "/ts/a", 65))
+    assert st.load("audit").count() == 2

@@ -359,3 +359,76 @@ def test_sketches_ignore_nulls(spark):
     small = spark.createDataFrame([(i,) for i in range(100)] + [(None,)] * 20, "v int")
     row = sketches.kmv_distinct(small, "v").collect()[0]
     assert row["n_min"] == 100 and row["estimate"] == 100.0
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    """Two-pass MG top-k == the exact groupBy answer (capacity well
+    above the domain, so the exactness condition trivially holds),
+    including the deterministic (freq desc, item asc) tie order."""
+    df = spark.range(20_000).select(
+        # zipf-ish: value v appears ~ 20000/(v+1) times
+        (F.floor(F.sqrt(F.col("id"))) % 200).cast("long").alias("v")
+    )
+    got = [
+        (r["item"], r["freq"])
+        for r in sketches.heavy_hitters_exact(df, "v", k=10, capacity=512).collect()
+    ]
+    want = [
+        (r["item"], r["freq"])
+        for r in df.select(F.col("v").cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("item").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_tiny_capacity_keeps_true_heavies(spark):
+    """The MG guarantee under pressure: capacity 4 over a 1000-key
+    domain still surfaces the two planted items that each hold >20% of
+    the stream (freq >> n/(capacity+1) = n/5)."""
+    base = spark.range(2000).select((F.col("id") % 1000 + 100).alias("v"))
+    heavy = spark.range(6000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)).alias("v")
+    )
+    df = base.unionAll(heavy).repartition(8)  # spread over partitions
+    top = sketches.heavy_hitters_exact(df, "v", k=2, capacity=4).collect()
+    assert [(r["item"], r["freq"]) for r in top] == [("1", 3000), ("2", 3000)]
+
+
+def test_heavy_hitter_candidates_bounded_and_lower_bound(spark):
+    """Candidate output stays <= capacity per partition and weights
+    never exceed true counts (MG lower-bound law); NULLs ignored."""
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 50 == 0, None)       # NULLs: ignored
+        .when(F.col("id") % 3 == 0, F.lit(999))   # planted heavy (~33%)
+        .otherwise(F.col("id") % 37)
+        .alias("v")
+    ).coalesce(1)
+    cand = sketches.heavy_hitter_candidates(df, "v", capacity=8).collect()
+    assert 0 < len(cand) <= 8
+    assert "999" in {r["item"] for r in cand}  # > n/(c+1) must survive
+    true = {
+        r["item"]: r["freq"]
+        for r in df.filter(F.col("v").isNotNull())
+        .select(F.col("v").cast("string").alias("item"))
+        .groupBy("item").agg(F.count(F.lit(1)).alias("freq")).collect()
+    }
+    for r in cand:
+        assert r["weight"] <= true[r["item"]]
+    with pytest.raises(ValueError):
+        sketches.heavy_hitter_candidates(df, "v", capacity=0)
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """Same answer at 1 and 16 partitions (the per-partition summaries
+    merge losslessly through the exact recount)."""
+    df = spark.range(10_000).select((F.col("id") % 97).alias("v"))
+    a = sketches.heavy_hitters_exact(df.coalesce(1), "v", k=5, capacity=256).collect()
+    b = sketches.heavy_hitters_exact(df.repartition(16), "v", k=5, capacity=256).collect()
+    assert [(r["item"], r["freq"]) for r in a] == [(r["item"], r["freq"]) for r in b]

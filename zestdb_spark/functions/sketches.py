@@ -46,7 +46,8 @@ from zestdb_spark.functions.dedup import _hash60, q6
 
 __all__ = ["hll_registers", "hll_merge", "hll_estimate", "hll_distinct",
            "kmv_distinct", "sampled_quantiles", "cm_sketch", "cm_merge",
-           "cm_estimate", "bloom_build", "bloom_merge", "bloom_probe"]
+           "cm_estimate", "bloom_build", "bloom_merge", "bloom_probe",
+           "heavy_hitter_candidates", "heavy_hitters_exact"]
 
 #: md5-prefix hash width (15 hex chars → 60 bits, signed-long safe)
 _HASH_BITS = 60
@@ -484,3 +485,91 @@ def bloom_probe(
             ).alias("maybe_contains")
         )
     )
+
+
+# -------------------------------------------------- heavy hitters (MG)
+
+def heavy_hitter_candidates(
+    df: DataFrame, col: str, capacity: int = 1024
+) -> DataFrame:
+    """(item, weight): per-partition Misra-Gries summaries (Misra &
+    Gries 1982; the batched compression step is SpaceSaving-equivalent,
+    Metwally et al. 2005) — the bounded-memory candidate pass of the
+    two-pass exact heavy-hitters recipe.
+
+    Scale shape: this is the legitimate Python tier — ONE Arrow-batched
+    ``mapInPandas`` scan holding at most ``capacity`` counters per
+    task (state is O(capacity) whatever the column's cardinality — the
+    whole point: a groupBy over a trillion-key URL/token domain
+    shuffles the domain, MG never does), emitting ≤ capacity rows per
+    partition and NO shuffle at all. Each Arrow batch is folded
+    vectorized (value_counts, then one decrement-by-quantile
+    compression), not row-at-a-time.
+
+    Guarantee (pigeonhole over partitions): every item with GLOBAL
+    frequency > n/(capacity+1) appears in the output; ``weight`` is a
+    lower bound on the item's true count. NULLs are ignored (standard
+    frequent-items semantics, same as the other sketches). Items are
+    compared as strings (cast once, scan-local)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if capacity < 1:
+        raise ValueError(f"heavy_hitter_candidates: capacity must be >= 1, got {capacity}")
+    src = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType(), False),
+            T.StructField("weight", T.LongType(), False),
+        ]
+    )
+
+    def mg(batches):
+        import heapq
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                # batched MG compression: decrement everything by the
+                # (capacity+1)-th largest count and drop the <= 0 —
+                # one step of the classic repeated-decrement, same
+                # survivor set and error bound, O(u log c) not O(u·d)
+                d = heapq.nlargest(capacity + 1, counts.values())[-1]
+                counts = {k: v - d for k, v in counts.items() if v > d}
+        yield pd.DataFrame(
+            {"item": list(counts.keys()), "weight": list(counts.values())},
+            columns=["item", "weight"],
+        ).astype({"weight": "int64"})
+
+    return src.mapInPandas(mg, out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 1024
+) -> DataFrame:
+    """(item, freq): the EXACT top-``k`` most frequent values of
+    ``col`` by the two-pass heavy-hitters recipe — MG candidates
+    (bounded state, no shuffle), then an exact recount of the
+    candidate set only (broadcast semi-join + groupBy over ≤
+    capacity × partitions distinct keys, never the full domain).
+    Deterministic ties: frequency desc, then item asc.
+
+    Exactness condition (document it where you size ``capacity``): the
+    true k-th most frequent item must have frequency > n/(capacity+1)
+    — below that the MG pass cannot promise the candidate survived.
+    At 100 TB: capacity 2^16 finds everything above ~0.0015% of the
+    corpus with two scans and a kilobyte-scale shuffle."""
+    cand = heavy_hitter_candidates(df, col, capacity).select("item").distinct()
+    src = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    counted = (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return counted.orderBy(F.col("freq").desc(), F.col("item").asc()).limit(int(k))

@@ -66,14 +66,26 @@ _TABLES = {
 #: (pruned from canonical ``load()``; see ``load_with_provenance``)
 _STAMPED = ("ts_numeric", "ts_blob")
 
-#: tables under snapshot-manifest control (snapshots.py): the DATA
-#: tables, whose rewrites need cross-partition atomicity. The two
-#: append-only logs (audit, write_log) stay plain parquet-append dirs:
-#: they are never rewritten, and the audit log is a Structured
-#: Streaming file source (streaming/observe.py), which watches a
-#: directory, not a manifest.
+#: tables under snapshot-manifest control (snapshots.py) — as of round
+#: 8, EVERY table, one format for everything. The data tables need it
+#: for cross-partition rewrite atomicity; the two append-only logs
+#: (audit, write_log) gained it so a crashed append can never leave a
+#: torn half-visible batch to a directory-listing read (their appends
+#: are lock-free CAS merges like any other append). The audit
+#: observer stream (streaming/observe.py) still watches the DIRECTORY
+#: — manifest files live under the _-prefixed log dir Spark's file
+#: index treats as hidden, and data files land in place as before.
 _MANIFESTED = frozenset(
-    ("ts_numeric", "ts_blob", "kv_json", "kv_text", "kv_binary", "catalog_items")
+    (
+        "ts_numeric",
+        "ts_blob",
+        "kv_json",
+        "kv_text",
+        "kv_binary",
+        "catalog_items",
+        "audit",
+        "write_log",
+    )
 )
 
 #: columns whose per-file min/max are recorded in the manifest at
@@ -675,27 +687,19 @@ class ZestStore:
         return out or None
 
     def _append_log(self, table: str, df: DataFrame) -> None:
-        """Append to an UNMANIFESTED log table (audit, write_log) via a
-        unique staging dir + file moves. A shared-directory
-        ``mode('append')`` would race on the FileOutputCommitter's
-        one-per-table ``_temporary`` scratch dir when two lock-free
-        writers append at once; per-job staging gives each append its
-        own scratch, and the moved files are immediately visible to
-        both batch dir-scans and the streaming file source."""
-        real = self._path(table)
-        stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(stage)
-        os.makedirs(real, exist_ok=True)
-        try:
-            for rel in snapshots.list_data_files(stage):
-                dst = os.path.join(real, rel)
-                if os.path.exists(dst):
-                    head, ext = os.path.splitext(rel)
-                    dst = os.path.join(real, f"{head}-{uuid.uuid4().hex[:8]}{ext}")
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(os.path.join(stage, rel), dst)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+        """Append to a LOG table (audit, write_log): unique staging dir
+        + file moves + one manifest commit. Per-job staging (not a
+        shared-directory ``mode('append')``) because two lock-free
+        writers would race on the FileOutputCommitter's one-per-table
+        ``_temporary`` scratch dir; the manifest commit (CAS-merged,
+        appends commute) means a crash mid-append leaves only
+        unreferenced orphans — batch readers can never see a torn
+        half-moved batch. The audit OBSERVER stream still watches the
+        directory (files land in place; a crashed append's orphans are
+        genuine audit rows from a server that died — delivering them
+        is correct for an at-least-once notification feed)."""
+        adds = self._stage_move(table, df)
+        self._commit(table, adds=adds, op="append")
 
     def _live_files(self, table: str) -> list[str]:
         """The table's live file set, bootstrapping the manifest from
