@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "text_probe_score",
     "corpus_temp_mix",
     "sim_pca_project",
+    # round-8: two-pass exact heavy hitters (bounded-state MG candidate
+    # pass + broadcast exact recount)
+    "sk_heavy_hitters",
 ]
 
 

@@ -102,7 +102,12 @@ def test_clone_vacuumed_version_refuses(spark, pair):
         src.store.clone_table("ts_numeric", dst.store, version=v0)
 
 
-def test_clone_refuses_append_only_logs(spark, pair):
+def test_clone_covers_the_logs_too(spark, pair):
+    """Round 8: the logs are manifested like every other table, so a
+    backup/branch clone carries the audit trail and write provenance —
+    previously clone_table refused them."""
     src, dst = pair
-    with pytest.raises(BadRequest, match="append-only log"):
-        src.store.clone_table("audit", dst.store)
+    src.get("/ts/a/latest")  # writes an audit row on the source
+    snap = src.store.clone_table("audit", dst.store)
+    assert snap.version == 0
+    assert dst.store.load("audit").count() == src.store.load("audit").count()

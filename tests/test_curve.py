@@ -294,7 +294,7 @@ def curve_server(spark, tmp_path_factory):
 def test_engine_requests_over_curve(curve_server):
     """The reference deployment shape: every analytics request rides
     the encrypted REP socket (zest.re:242-246)."""
-    cli = ZestReqClient(curve_server.rep.endpoint, server_key=ref_public())
+    cli = ZestReqClient(curve_server.rep.endpoint, server_key=ref_public(), timeout_s=60.0)
     try:
         resp = protocol.decode(
             cli.request(protocol.request_post("/kv/curv/k1", b'{"a": 1}'))
@@ -314,7 +314,7 @@ def test_observe_ack_carries_router_key_and_encrypted_dealer_flow(curve_server):
     exactly that key and receives the notification."""
     import time
 
-    cli = ZestReqClient(curve_server.rep.endpoint, server_key=ref_public())
+    cli = ZestReqClient(curve_server.rep.endpoint, server_key=ref_public(), timeout_s=60.0)
     try:
         resp = protocol.decode(
             cli.request(protocol.request_observe("/kv/curvobs/*", mode="data"))
@@ -335,7 +335,7 @@ def test_observe_ack_carries_router_key_and_encrypted_dealer_flow(curve_server):
                 cli.request(protocol.request_post("/kv/curvobs/x", b'{"v": 9}'))
             )
             assert resp.code == protocol.ACK_CREATED
-            note = protocol.decode(dealer.recv(timeout_s=10.0))
+            note = protocol.decode(dealer.recv(timeout_s=60.0))
             msg = json.loads(note.payload.decode())
             assert msg["path"] == "/kv/curvobs/x"
             assert msg["data"] == {"v": 9}
@@ -367,7 +367,7 @@ def test_serve_entrypoint_with_secret_key_file(spark, tmp_path):
         block=False,
     )
     try:
-        cli = ZestReqClient(srv.rep.endpoint, server_key=ref_public())
+        cli = ZestReqClient(srv.rep.endpoint, server_key=ref_public(), timeout_s=60.0)
         resp = protocol.decode(
             cli.request(protocol.request_post("/ts/curvsrv/at/1000", b'{"value": 4.5}'))
         )

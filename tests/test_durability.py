@@ -436,3 +436,32 @@ def test_log_append_crash_is_invisible_and_recoverable(spark, tmp_path, monkeypa
     # and the log keeps accepting appends afterwards
     st.audit_append((now_ms(), "srv", "cli", "POST", "/ts/a", 65))
     assert st.load("audit").count() == 2
+
+
+def test_compact_log_merges_files_and_preserves_rows(spark, tmp_path):
+    """Round 8: the logs are manifested, so they can be OPTIMIZEd like
+    any table — per-mutation tiny files merge to one under the rewrite
+    lock, rows verbatim, provenance joins unaffected."""
+    from zestdb_spark.storage import ZestStore, now_ms
+
+    st = ZestStore(spark, str(tmp_path / "logcompact"))
+    for i in range(5):
+        st.audit_append((now_ms() + i, "srv", "cli", "GET", f"/ts/s{i}", 69))
+    n_files = len(st._live_files("audit"))
+    assert n_files == 5  # one coalesced file per append
+    before = sorted(r.path for r in st.load("audit").collect())
+
+    assert st.compact_log("audit") == n_files
+    assert len(st._live_files("audit")) == 1
+    assert sorted(r.path for r in st.load("audit").collect()) == before
+    assert st.history("audit")[1].op == "compact"  # [0] is the vacuum commit
+    # idempotent: already at target -> no-op
+    assert st.compact_log("audit") == 0
+    # write_log compacts the same way and the seq survives
+    st.write_numeric("a", {"value": 1.0}, 1000)
+    st.write_numeric("a", {"value": 2.0}, 2000)
+    n = len(st._live_files("write_log"))
+    assert n >= 2 and st.compact_log("write_log") == n
+    wl = st.load("write_log")
+    assert wl.count() == 2
+    assert st._next_write_id() == 3  # seeded from the compacted log

@@ -152,3 +152,32 @@ def test_data_stream_ignores_rewrites(spark, tmp_path):
         assert spark.sql("SELECT * FROM data_rw").count() == 5
     finally:
         q.stop()
+
+
+def test_audit_stream_ignores_log_compaction(spark, tmp_path):
+    """Maintenance must never re-notify: compact_log re-materializes
+    rows as rw-* files, and the audit stream's part-* glob keeps them
+    out of the feed — only genuine appends arrive afterwards."""
+    from zestdb_spark.storage import ZestStore, now_ms
+
+    st = ZestStore(spark, str(tmp_path / "auditglob"))
+    for i in range(3):
+        st.audit_append((now_ms() + i, "srv", "cli", "GET", f"/ts/s{i}", 69))
+    q = observe.start_audit_stream(
+        spark, st._path("audit"), query_name="audit_glob_t"
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM audit_glob_t").count() == 3
+        # compaction rewrites all three rows into one rw-* file and
+        # vacuums the originals — the feed must stay at 3
+        assert st.compact_log("audit", vacuum_retention_s=0.0) >= 3
+        assert len(st._live_files("audit")) == 1
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM audit_glob_t").count() == 3
+        # a genuine append after maintenance still flows
+        st.audit_append((now_ms() + 10, "srv", "cli", "POST", "/ts/new", 65))
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM audit_glob_t").count() == 4
+    finally:
+        q.stop()

@@ -37,6 +37,10 @@ def engine(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def server(engine):
+    # warm the write path OUTSIDE the socket deadline: the first Spark
+    # job of a session costs seconds (more on a loaded host), and the
+    # REQ clients' timeouts must measure the transport, not warmup
+    engine.post("/kv/_warm/k", {"w": 1})
     srv = ZestServer(engine).start()
     yield srv
     srv.stop()
@@ -101,7 +105,7 @@ def test_engine_get_post_over_tcp(server, engine):
     """The reference client flow over a real socket: POST /kv, GET it
     back, GET /hello — request BYTES in, reference response BYTES out
     (server.re:1075-1084 loop behind a REP socket)."""
-    cli = ZestReqClient(server.rep.endpoint)
+    cli = ZestReqClient(server.rep.endpoint, timeout_s=60.0)
     try:
         # POST json → 65 Created
         resp = protocol.decode(
@@ -137,7 +141,7 @@ def test_observe_notifications_routed_to_dealer(server, engine):
     connected to the ROUTER socket with that uuid as ZMTP Identity
     receives each matching write as a zest data-payload frame — the
     transport-complete version of the reference's notification path."""
-    cli = ZestReqClient(server.rep.endpoint)
+    cli = ZestReqClient(server.rep.endpoint, timeout_s=60.0)
     try:
         resp = protocol.decode(
             cli.request(protocol.request_observe("/kv/tnet2/*", mode="data"))
@@ -159,7 +163,7 @@ def test_observe_notifications_routed_to_dealer(server, engine):
                 cli.request(protocol.request_post("/kv/tnet2/x", b'{"v": 7}'))
             )
             assert resp.code == protocol.ACK_CREATED
-            note = protocol.decode(dealer.recv(timeout_s=10.0))
+            note = protocol.decode(dealer.recv(timeout_s=60.0))
             assert note.code == protocol.ACK_CONTENT
             msg = json.loads(note.payload.decode())
             assert msg["path"] == "/kv/tnet2/x"
@@ -283,7 +287,7 @@ def test_serve_entrypoint_end_to_end(spark, tmp_path):
         block=False,
     )
     try:
-        cli = ZestReqClient(srv.rep.endpoint)
+        cli = ZestReqClient(srv.rep.endpoint, timeout_s=60.0)
         resp = protocol.decode(
             cli.request(protocol.request_post("/ts/served/at/1000", b'{"value": 2.5}'))
         )

@@ -144,6 +144,20 @@ def start_maintenance(
                             f"maintenance compact of {table} failed: {exc}",
                             flush=True,
                         )
+                # the logs grow one tiny file per mutation — merge them
+                # on the same cadence (threshold keeps the common case
+                # a no-op manifest read)
+                for table in ("audit", "write_log"):
+                    try:
+                        if store._exists(table) and len(store._live_files(table)) > 64:
+                            store.compact_log(
+                                table, vacuum_retention_s=retention
+                            )
+                    except Exception as exc:  # noqa: BLE001 — keep serving
+                        print(
+                            f"maintenance log-compact of {table} failed: {exc}",
+                            flush=True,
+                        )
             for table in sorted(_MANIFESTED):
                 try:
                     store.vacuum(table, retention_s=retention)

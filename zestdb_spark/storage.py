@@ -697,8 +697,11 @@ class ZestStore:
         half-moved batch. The audit OBSERVER stream still watches the
         directory (files land in place; a crashed append's orphans are
         genuine audit rows from a server that died — delivering them
-        is correct for an at-least-once notification feed)."""
-        adds = self._stage_move(table, df)
+        is correct for an at-least-once notification feed). Log
+        batches are control-plane sized (usually ONE row), so coalesce
+        to a single file — without it a 1-row createDataFrame on
+        local[32] lands an extra empty-partition file per append."""
+        adds = self._stage_move(table, df.coalesce(1))
         self._commit(table, adds=adds, op="append")
 
     def _live_files(self, table: str) -> list[str]:
@@ -800,11 +803,6 @@ class ZestStore:
         link exists)."""
         if table not in _TABLES:
             raise KeyError(table)
-        if table not in _MANIFESTED:
-            raise BadRequest(
-                f"{table!r} is an append-only log, not under snapshot "
-                "control — copy its directory instead of cloning"
-            )
         if dest._exists(table):
             raise BadRequest(
                 f"clone target already has data for {table!r} — clone "
@@ -1532,3 +1530,37 @@ class ZestStore:
         """Append one audit row (timestamp, server, client, method,
         path, code) — src/server.re:74-107."""
         self._append_log("audit", self.spark.createDataFrame([record], S.AUDIT))
+
+    def compact_log(
+        self,
+        table: str,
+        target_files: int = 1,
+        vacuum_retention_s: float = 0.0,
+    ) -> int:
+        """OPTIMIZE for the append-only logs (audit, write_log): every
+        mutation commits ONE small parquet file, so a long-lived store
+        accumulates log files ∝ mutation count — at 100 TB that is
+        millions of tiny files behind every provenance join. Merges the
+        log's live file set down to ``target_files`` in one atomic
+        manifest swap under the rewrite lock (the first rewrite these
+        tables ever see — which is exactly why they needed the manifest
+        first). Rows preserved verbatim; outputs stage as ``rw-*`` and
+        the audit observer stream globs ``part-*``, so maintenance
+        never re-notifies (same contract as TS compaction). Returns the
+        number of files merged away."""
+        if table not in ("audit", "write_log"):
+            raise KeyError(f"compact_log targets the logs, not {table!r}")
+        real = self._path(table)
+        with self._rewrite_lock(table):
+            live = self._live_files(table)
+            if len(live) <= max(1, int(target_files)):
+                return 0
+            merged = (
+                self.spark.read.schema(_TABLES[table])
+                .parquet(*[os.path.join(real, f) for f in live])
+                .coalesce(max(1, int(target_files)))
+            )
+            adds = self._stage_move(table, merged, rewrite=True)
+            self._commit(table, adds=adds, removes=live, op="compact")
+            self.vacuum(table, retention_s=vacuum_retention_s)
+        return len(live)

@@ -143,7 +143,14 @@ def start_audit_stream(
     from zestdb_spark import schema as S
 
     name = query_name or f"audit_obs_{next(_counter)}"
-    stream = spark.readStream.schema(S.AUDIT).parquet(audit_dir)
+    # part-* only: log COMPACTION re-materializes rows as rw-* files
+    # (storage.compact_log), and observers must never be re-notified
+    # by maintenance — the same append-purity glob as the data stream
+    stream = (
+        spark.readStream.schema(S.AUDIT)
+        .option("pathGlobFilter", "part-*")
+        .parquet(audit_dir)
+    )
     if path is not None:
         stream = stream.filter(_path_predicate(path))
     return (
