@@ -514,9 +514,20 @@ def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = ZestEngine(spark, tempfile.mkdtemp(prefix="zest_wire_"))
     eng.store.set_request_context("POST", "/kv/bulk", "loader", "json")
     eng.store.kv_ingest_bulk("json", fixtures.kv_json_from_nation(spark, sf_dir))
+    # Warm the manifest-rewrite path BEFORE the server starts: the first
+    # delete of a cold session pays JVM/codegen warm-up (~10 s observed on
+    # a loaded host) which would otherwise race the client socket timeout.
+    eng.store.set_request_context("DELETE", "/kv/WARM/x", "loader", "json")
+    eng.store.kv_upsert("json", "WARM", "x", '"warm"')
+    eng.store.kv_delete("json", "WARM", "x")
     srv = ZestServer(eng, curve_secret=curve_secret).start()
     try:
-        cli = ZestReqClient(srv.rep.endpoint, server_key=srv.rep.public_key or None)
+        # Correctness row, not a latency probe: 60 s tolerates cold hosts.
+        cli = ZestReqClient(
+            srv.rep.endpoint,
+            server_key=srv.rep.public_key or None,
+            timeout_s=60.0,
+        )
         # read-your-bulk-writes over the socket, checked in flight
         got = protocol.decode(cli.request(protocol.request_get("/kv/EUROPE/NATION_13")))
         if got.payload.decode() != "13":
@@ -529,7 +540,10 @@ def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bool(router_key) != bool(curve_secret):
             raise RuntimeError(f"observe ack router key {router_key!r} unexpected")
         dealer = ZestDealerClient(
-            srv.router.endpoint, identity=ack.payload.decode(), server_key=router_key
+            srv.router.endpoint,
+            identity=ack.payload.decode(),
+            server_key=router_key,
+            timeout_s=60.0,
         )
         import time as _time
 
@@ -542,7 +556,7 @@ def _wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if resp.code != protocol.ACK_CREATED:
             raise RuntimeError(f"wire POST acked {resp.code}")
-        note = _json.loads(protocol.decode(dealer.recv(timeout_s=10.0)).payload)
+        note = _json.loads(protocol.decode(dealer.recv(timeout_s=30.0)).payload)
         if note["path"] != "/kv/WIRE/hello" or note["data"] != {"via": "zmtp"}:
             raise RuntimeError(f"unexpected notification {note!r}")
         dealer.close()
@@ -1333,11 +1347,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-pass EXACT heavy hitters (Misra-Gries candidates in one
         # bounded-state Arrow pass — no shuffle of the key domain —
         # then an exact recount of candidates only): top suppliers by
-        # line count. capacity >> domain here, so the exactness
-        # condition (k-th freq > n/(capacity+1)) holds at every SF;
-        # the under-capacity stress behavior is pinned in pytest
+        # line count. l_suppkey's domain is SF×10,000, so a fixed small
+        # capacity stops covering it past SF≈0.4; 2^16 keeps domain ≤
+        # capacity through SF6 and the plan itself ASSERTS the MG
+        # frequency floor at runtime (verify=True), so an under-sized
+        # capacity fails loudly instead of returning a silent wrong top-k
         "sk_heavy_hitters": lambda s, d: sketches.heavy_hitters_exact(
-            s.read.parquet(f"{d}/lineitem.parquet"), "l_suppkey", 10, 4096
+            s.read.parquet(f"{d}/lineitem.parquet"), "l_suppkey", 10, 1 << 16
         ),
         # DSIR importance resampling: steer the whole corpus toward the
         # English-document target distribution (Gumbel-top-k over

@@ -21,9 +21,12 @@ busy machine to settle; between passes only the load is recorded —
 our own just-finished pass dominates the 1-minute average there, so
 sleeping on it would always trigger.
 
-Output: {"metric": "suite_sec", "value": <sum of per-query mins>,
-         "unit": "sec", "queries": {name: sec, ...}, "sf": <float>,
-         "passes": [{"load1": x, "sec": {name: sec, ...}}, ...]}
+Output: FINAL stdout line is the compact composite only —
+  {"metric": "suite_sec", "value": <sum of per-query mins>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <float>}
+The raw per-pass timings + load1 go to an earlier stdout line and to
+the ``bench_passes.json`` sidecar (the consumer keeps only a bounded
+tail of stdout, so the last line must stay small).
 """
 
 from __future__ import annotations
@@ -189,12 +192,25 @@ def main() -> None:
         "unit": "sec",
         "queries": composite,
         "sf": sf,
-        "passes": passes,
     }
     if waited:
         result["settle_wait_s"] = waited
     if all_errors:
         result["errors"] = len(all_errors)
+    # Raw per-pass timings + host load go to a sidecar (and an EARLY
+    # stdout line): the harness that consumes this output keeps only a
+    # bounded tail of stdout, so the FINAL line must stay compact —
+    # exactly the composite, nothing else.
+    sidecar = {"passes": passes, "composite": result}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_passes.json"),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh)
+    except OSError:
+        pass
+    print(json.dumps({"passes": passes}))
     print(json.dumps(result))
     spark.stop()
 

@@ -87,7 +87,17 @@ def test_rollup_aggregates_map_side(spark, qs):
 
 @pytest.mark.parametrize(
     "q",
-    ["pipe_clean_corpus", "ev_retention", "an_mad", "dedup_minhash", "dedup_cross"],
+    [
+        "pipe_clean_corpus",
+        "ev_retention",
+        "an_mad",
+        "dedup_minhash",
+        "dedup_cross",
+        # the MG candidate set is capacity × tasks in the worst case —
+        # tens of millions of rows at cluster scale, past any broadcast
+        # budget; the recount join must be AQE-decided
+        "sk_heavy_hitters",
+    ],
 )
 def test_no_forced_broadcast_on_data_dependent_sets(spark, qs, q):
     # These joins' small sides grow with the data (dup lists, per-user

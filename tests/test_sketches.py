@@ -432,3 +432,21 @@ def test_heavy_hitters_partitioning_invariant(spark):
     a = sketches.heavy_hitters_exact(df.coalesce(1), "v", k=5, capacity=256).collect()
     b = sketches.heavy_hitters_exact(df.repartition(16), "v", k=5, capacity=256).collect()
     assert [(r["item"], r["freq"]) for r in a] == [(r["item"], r["freq"]) for r in b]
+
+
+def test_heavy_hitters_verify_guard(spark):
+    """An under-sized capacity on a near-uniform domain must fail
+    LOUDLY (the runtime assert on the MG frequency floor), never return
+    a silently-wrong top-k; verify=False opts out for callers who know
+    the domain fits; empty input passes trivially."""
+    # 500 distinct values, ~20 each: n/(capacity+1) = 10000/9 >> 20
+    uniform = spark.range(10_000).select((F.col("id") % 500).alias("v"))
+    with pytest.raises(Exception, match="exactness condition failed"):
+        sketches.heavy_hitters_exact(uniform, "v", k=3, capacity=8).collect()
+    # opt-out path returns (possibly-incomplete) rows without raising
+    rows = sketches.heavy_hitters_exact(
+        uniform, "v", k=3, capacity=8, verify=False
+    ).collect()
+    assert len(rows) <= 3
+    empty = uniform.filter(F.lit(False))
+    assert sketches.heavy_hitters_exact(empty, "v", k=3, capacity=8).collect() == []

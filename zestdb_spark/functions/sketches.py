@@ -549,27 +549,79 @@ def heavy_hitter_candidates(
 
 
 def heavy_hitters_exact(
-    df: DataFrame, col: str, k: int = 10, capacity: int = 1024
+    df: DataFrame, col: str, k: int = 10, capacity: int = 1024,
+    verify: bool = True,
 ) -> DataFrame:
     """(item, freq): the EXACT top-``k`` most frequent values of
     ``col`` by the two-pass heavy-hitters recipe — MG candidates
     (bounded state, no shuffle), then an exact recount of the
-    candidate set only (broadcast semi-join + groupBy over ≤
-    capacity × partitions distinct keys, never the full domain).
+    candidate set only (equi-join + groupBy over ≤ capacity ×
+    partitions distinct keys, never the full domain).
     Deterministic ties: frequency desc, then item asc.
 
-    Exactness condition (document it where you size ``capacity``): the
-    true k-th most frequent item must have frequency > n/(capacity+1)
-    — below that the MG pass cannot promise the candidate survived.
+    Exactness condition: the true k-th most frequent item must have
+    frequency > n/(capacity+1) — below that the MG pass cannot promise
+    the candidate survived. With ``verify=True`` (default) the plan
+    ASSERTS this at runtime (``F.assert_true`` over the recounted
+    min-frequency vs the stream length, evaluated in the same job):
+    an under-sized ``capacity`` fails LOUDLY instead of silently
+    returning a wrong top-k. The check is sufficiency, not necessity —
+    a caller who KNOWS the column's domain ≤ capacity (per-partition
+    MG never evicts, so the recount is exact regardless of skew) may
+    pass ``verify=False``. When fewer than k items satisfy the floor,
+    the certified result is the returned prefix; anything omitted has
+    frequency ≤ n/(capacity+1).
     At 100 TB: capacity 2^16 finds everything above ~0.0015% of the
-    corpus with two scans and a kilobyte-scale shuffle."""
+    corpus with two scans and a kilobyte-scale shuffle.
+
+    The recount join carries NO broadcast hint: the candidate set is
+    bounded by capacity × tasks, which at cluster scale (2^16 ×
+    thousands of tasks) can exceed any broadcast budget. AQE broadcasts
+    it when its runtime size fits and degrades to a shuffled equi-join
+    (1 string key, no payload) when it doesn't — pinned by
+    tests/test_plan_contracts.py."""
     cand = heavy_hitter_candidates(df, col, capacity).select("item").distinct()
     src = df.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
     counted = (
-        src.join(F.broadcast(cand), "item")
+        src.join(cand, "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return counted.orderBy(F.col("freq").desc(), F.col("item").asc()).limit(int(k))
+    topk = counted.orderBy(F.col("freq").desc(), F.col("item").asc()).limit(int(k))
+    if not verify:
+        return topk
+    # The guard rides in as a UNION branch (not a join): a union always
+    # evaluates both children, whereas an inner join with an empty topk
+    # — precisely the under-capacity failure mode — would let AQE's
+    # empty-side propagation skip the assert entirely. On success the
+    # assert yields NULL, the isNotNull filter drops the row, and the
+    # branch contributes nothing; on failure the job dies loudly.
+    n_total = src.agg(F.count(F.lit(1)).alias("_n"))
+    guard_rows = (
+        topk.agg(F.min("freq").alias("_minf"))
+        .crossJoin(n_total)
+        .select(
+            F.assert_true(
+                (F.col("_n") == 0)
+                | (F.col("_minf") * F.lit(int(capacity) + 1) > F.col("_n")),
+                F.concat(
+                    F.lit(
+                        "heavy_hitters_exact: MG exactness condition failed "
+                        f"(capacity={capacity}): min certified freq "
+                    ),
+                    F.coalesce(F.col("_minf").cast("string"), F.lit("<none>")),
+                    F.lit(" <= n/(capacity+1) with n="),
+                    F.col("_n").cast("string"),
+                    F.lit(" — raise capacity or pass verify=False if the "
+                          "domain is known to fit"),
+                ),
+            ).cast("string").alias("item"),
+            F.lit(None).cast("long").alias("freq"),
+        )
+        .where(F.col("item").isNotNull())
+    )
+    return topk.unionByName(guard_rows).orderBy(
+        F.col("freq").desc(), F.col("item").asc()
+    )
