@@ -2059,12 +2059,26 @@ _EXT_SQL: dict[str, str] = {
         GROUP BY n.vec_id),
       b AS (SELECT n.vec_id, n.v, n.norm, bk.bucket
             FROM n JOIN bk ON bk.vec_id = n.vec_id),
-      q AS (SELECT v AS qv, norm AS qnorm, bucket AS qb FROM b WHERE vec_id = 0)
+      q AS (SELECT v AS qv, norm AS qnorm, bucket AS qb FROM b WHERE vec_id = 0),
+      -- margin-ordered multiprobe (Lv et al.): flip cost of bucket g =
+      -- sum of |query margin| over the bits that differ from the query
+      -- bucket, floor-quantized to 6 dp; the engine's _probe_sequence
+      -- computes the identical ranking driver-side
+      costs AS (
+        SELECT i, abs(list_dot_product(q.qv, pv)) AS c
+        FROM q CROSS JOIN {_planes_values_sql(12, 64)}),
+      flip AS (
+        SELECT g.b AS bucket,
+               floor(sum(CASE WHEN ((xor(CAST(g.b AS BIGINT), q.qb) >> c.i) & 1) = 1
+                              THEN c.c ELSE 0 END) * 1000000.0) / 1000000.0 AS fcost
+        FROM generate_series(0, 4095) AS g(b) CROSS JOIN q CROSS JOIN costs c
+        GROUP BY g.b),
+      probes AS (SELECT bucket FROM flip ORDER BY fcost ASC, bucket ASC LIMIT 36)
       SELECT b.vec_id,
              floor(list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) * 1000000.0)
                / 1000000.0 AS cosine
-      FROM b, q
-      WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+      FROM b JOIN probes USING (bucket), q
+      WHERE b.vec_id <> 0
       ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
     """,
     "sim_lsh_bucketed_pairs": f"""
@@ -3167,7 +3181,13 @@ GRADED_WINDOW: list[str] = [
     # the sampling law stays selfcheck/pytest-verified; streaming
     # ingest (exactly-once foreachBatch appends) gains driver evidence
     "stream_ingest_roundtrip", "corpus_source_stats",
-    "mm_decode_wav", "mm_decode_image",
+    # Round-9 swap: mm_decode_image demoted to the tail (the multimodal
+    # family keeps mm_decode_wav graded; image decode stays selfcheck +
+    # pytest golden-pixel exact) so the NEW bounded-state family — the
+    # two-pass exact heavy hitters (Misra-Gries candidates in one
+    # Arrow pass, AQE-decided recount, runtime-asserted exactness
+    # floor) — carries DIRECT driver evidence
+    "mm_decode_wav", "sk_heavy_hitters",
 ]
 
 

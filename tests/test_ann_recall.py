@@ -11,12 +11,15 @@ tuning claims in SCALE.md, not statistical tests. Measured values at
 the time of pinning (avg over 20 fixed queries):
 
   ivf_topk  (fps-trained codebook, n_probe 8/16): 0.81  (min 0.60)
-  lsh_topk  (nbits=6, hamming<=1 — candidate fraction ~0.11): 0.235
-  lsh_topk  (nbits=8, hamming<=1 — candidate fraction ~0.035): 0.12
+  lsh_topk  (nbits=6, margin-ordered 18 probes, fraction ~0.28): 0.51
+  lsh_topk  (nbits=8, margin-ordered 24 probes, fraction ~0.094): 0.25
 
-i.e. LSH buys ~2-3.4x over random candidate selection on structure-free
-data, IVF with half the lists probed recovers ~0.8 — and both keep
-EXACT cosine scores, so ranking within candidates is never approximate.
+i.e. LSH buys ~1.8-2.7x over random candidate selection on
+structure-free data, IVF with half the lists probed recovers ~0.8 —
+and both keep EXACT cosine scores, so ranking within candidates is
+never approximate. IVF remains the recommended ANN top-k scale path;
+LSH's comparative advantage is bucketed PAIR generation
+(lsh_bucketed_pairs), where banding multiplies its selectivity.
 """
 
 from __future__ import annotations
@@ -85,17 +88,30 @@ def test_ivf_trained_recall_floor(embs, truth):
 
 
 def test_lsh_recall_floor_and_beats_random(embs, truth):
-    """Random-hyperplane LSH with hamming<=1 multiprobe: the candidate
-    fraction at nbits=6 is ~(1+6)/64 ~= 0.11, so random selection
-    would land recall ~0.11 — the measured 0.235 (~2.1x) is pinned
-    above 0.18, and the tighter nbits=8 variant (~0.035 fraction,
-    measured 0.12, ~3.4x random) above 0.08."""
+    """Random-hyperplane LSH with margin-ordered multiprobe (Lv-style
+    probe sequence, default budget 3·nbits buckets): measured 0.51 at
+    nbits=6 (candidate fraction 18/64 ~= 0.28, ~1.8x random) — pinned
+    above 0.40 — and 0.25 at nbits=8 (24/256 ~= 0.094, ~2.7x random),
+    pinned above 0.18. At the OLD hamming<=1 budget (7 probes) the
+    margin ordering alone lifts nbits=6 from 0.235 to 0.27."""
     r6 = _avg_recall(lambda q: similarity.lsh_topk(embs, q, K, nbits=6), truth)
-    assert r6 >= 0.18, f"lsh(6) recall@10 regressed: {r6:.3f}"
+    assert r6 >= 0.40, f"lsh(6) recall@10 regressed: {r6:.3f}"
     r8 = _avg_recall(lambda q: similarity.lsh_topk(embs, q, K, nbits=8), truth)
-    assert r8 >= 0.08, f"lsh(8) recall@10 regressed: {r8:.3f}"
-    assert r6 > (1 + 6) / 64  # strictly better than its candidate budget
-    assert r8 > (1 + 8) / 256
+    assert r8 >= 0.18, f"lsh(8) recall@10 regressed: {r8:.3f}"
+    assert r6 > 18 / 64  # strictly better than its candidate budget
+    assert r8 > 24 / 256
+
+
+def test_lsh_margin_ordering_beats_hamming_at_equal_budget(embs, truth):
+    """The probe ORDER itself (not just the wider budget) must carry
+    weight: at the legacy hamming<=1 budget of 1+nbits buckets the
+    margin-ordered walk measured 0.27 vs 0.235 for the radius walk —
+    pinned at >= the radius walk's old floor + its candidate-fraction
+    baseline."""
+    r = _avg_recall(
+        lambda q: similarity.lsh_topk(embs, q, K, nbits=6, n_probes=7), truth
+    )
+    assert r >= 0.22, f"lsh(6, 7 probes) recall@10 regressed: {r:.3f}"
 
 
 def test_ivf_cell_balance(embs):

@@ -99,25 +99,86 @@ def bucket_ids(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
     return e.withColumn("bucket", bucket)
 
 
+def _probe_sequence(qv, nbits: int, n_probes: int) -> list[int]:
+    """Margin-ordered multiprobe bucket sequence (Lv et al., "Multi-
+    Probe LSH", VLDB 2007 — adapted from p-stable to hyperplane LSH):
+    the cost of flipping bit i is the query's |margin| against plane i
+    (a near neighbor most plausibly sits across the hyperplanes the
+    query barely clears); buckets rank by total flip cost ascending.
+
+    Deliberately declarative so a SQL oracle can replay it exactly:
+    enumerate every bucket, cost = Σ |margin_i| over the bits that
+    differ from the query's bucket, FLOOR-quantized to 6 dp (the
+    repo's q6 convention), ties broken by bucket id. Driver-side,
+    deterministic, vectorized — 2^nbits × nbits bit matrix, a
+    model-sized computation exactly like the IVF codebook (nbits ≤ 16
+    enforced — 2^16×16 doubles ≈ 8 MB; past that an ANN user wants
+    IVF anyway)."""
+    if nbits > 16:
+        raise ValueError(f"_probe_sequence: nbits {nbits} > 16 — use ivf_topk")
+    q = np.asarray(qv, dtype=float)
+    planes = _hyperplanes(nbits, len(q))
+    margins = planes @ q
+    base = 0
+    for i in range(nbits):
+        if margins[i] > 0:
+            base |= 1 << i
+    cost = np.abs(margins)
+    masks = np.arange(1 << nbits, dtype=np.int64)
+    bits = ((masks[:, None] >> np.arange(nbits)) & 1).astype(float)
+    total = np.floor(bits @ cost * 1e6) / 1e6
+    buckets = masks ^ base
+    order = np.lexsort((buckets, total))  # cost asc, then bucket asc
+    return [int(buckets[i]) for i in order[: int(n_probes)]]
+
+
 def lsh_topk(
-    embs: DataFrame, query_vec_id: int, k: int = 10, nbits: int = 12, dim: int = 64
+    embs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nbits: int = 12,
+    dim: int = 64,
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates = query bucket ∪ hamming-1 probe
-    buckets, exact cosine re-rank within candidates. Same output schema
-    as cosine_topk."""
+    """Approximate top-k: candidates = the ``n_probes`` margin-ordered
+    multiprobe buckets of the query (default 3·nbits — the Lv-style
+    probe-ordered walk, NOT a fixed hamming radius: flipping the two
+    lowest-margin bits is usually cheaper AND more productive than
+    flipping one high-margin bit), exact cosine re-rank within
+    candidates. Same output schema as cosine_topk.
+
+    Scale shape: the query row is fetched once (API-edge 1-row collect,
+    same class as the IVF codebook) and both the query vector and the
+    probe-bucket list ride into the scan as LITERALS — candidate
+    selection is a scan-local ``bucket IN (...)`` with no broadcast
+    join and no per-row hamming arithmetic, and prunes at the source
+    when buckets are precomputed into a partitioned column.
+
+    Posture (SCALE.md "ANN quality"): for ANN TOP-K prefer
+    :func:`ivf_topk` — it recovers recall@10 ≈ 0.81 on the hard
+    fixture vs 0.51 here at comparable candidate budgets. LSH's
+    comparative advantage is bucketed PAIR generation
+    (:func:`lsh_bucketed_pairs`), where banding multiplies
+    selectivity."""
+    if n_probes is None:
+        n_probes = 3 * nbits
     b = bucket_ids(embs, nbits, dim)
-    qrow = b.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv"), F.col("norm").alias("qnorm"), F.col("bucket").alias("qb")
+    qrow = (
+        b.filter(F.col("vec_id") == query_vec_id)
+        .select("v", "norm")
+        .collect()
     )
-    cand = (
-        b.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(qrow))
-        .withColumn("hd", F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))))
-        .filter(F.col("hd") <= 1)  # multiprobe: own bucket + 1-bit flips
+    if not qrow:
+        raise ValueError(f"lsh_topk: query vec_id {query_vec_id} not found")
+    qv, qnorm = qrow[0]["v"], float(qrow[0]["norm"])
+    probes = _probe_sequence(qv, nbits, n_probes)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = b.filter(F.col("vec_id") != query_vec_id).filter(
+        F.col("bucket").isin([int(p) for p in probes])
     )
     scored = cand.select(
         "vec_id",
-        q6(dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias("cosine"),
+        q6(dot(F.col("v"), qlit) / (F.col("norm") * F.lit(qnorm))).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
