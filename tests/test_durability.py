@@ -451,7 +451,10 @@ def test_compact_log_merges_files_and_preserves_rows(spark, tmp_path):
     assert n_files == 5  # one coalesced file per append
     before = sorted(r.path for r in st.load("audit").collect())
 
-    assert st.compact_log("audit") == n_files
+    # vacuum_retention_s=0.0 is the tests' explicit immediate-reclaim
+    # opt-in; the DEFAULT keeps standard retention so a reader pinned
+    # to the pre-compaction snapshot still finds its bytes
+    assert st.compact_log("audit", vacuum_retention_s=0.0) == n_files
     assert len(st._live_files("audit")) == 1
     assert sorted(r.path for r in st.load("audit").collect()) == before
     assert st.history("audit")[1].op == "compact"  # [0] is the vacuum commit
@@ -461,7 +464,7 @@ def test_compact_log_merges_files_and_preserves_rows(spark, tmp_path):
     st.write_numeric("a", {"value": 1.0}, 1000)
     st.write_numeric("a", {"value": 2.0}, 2000)
     n = len(st._live_files("write_log"))
-    assert n >= 2 and st.compact_log("write_log") == n
+    assert n >= 2 and st.compact_log("write_log", vacuum_retention_s=0.0) == n
     wl = st.load("write_log")
     assert wl.count() == 2
     assert st._next_write_id() == 3  # seeded from the compacted log

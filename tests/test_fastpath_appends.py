@@ -1,0 +1,162 @@
+"""Round 9: driver-side append fast paths (storage._append_log,
+storage._append_ts_local). A per-request 1-row append must not pay a
+Spark job (~0.6 s scheduler floor; ~6 s under coalesce(1), whose one
+task replays all 32 python-RDD parents serially) — but it must stay
+BYTE-EQUIVALENT to the distributed path: same partition dir names
+(Hive escapePathName), same manifest/commit semantics, same read
+results, same footer stats for pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from zestdb_spark import snapshots
+from zestdb_spark.storage import ZestStore, _escape_part
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = ZestStore(spark, str(tmp_path / "store"))
+    st.set_request_context("POST", "/t", "tester", None)
+    return st
+
+
+#: ground-truthed against THIS Spark build's partitioned writes
+#: (Hive escapePathName): '{' escaped but '}' not, space and unicode
+#: pass through, uppercase hex
+ESCAPE_CASES = [
+    ("plain", "plain"),
+    ("a b", "a b"),
+    ("a=b", "a%3Db"),
+    ("a/b", "a%2Fb"),
+    ("a:b", "a%3Ab"),
+    ("a%b", "a%25b"),
+    ("a#b", "a%23b"),
+    ("a'b", "a%27b"),
+    ('a"b', "a%22b"),
+    ("a*b", "a%2Ab"),
+    ("a?b", "a%3Fb"),
+    ("a[b]", "a%5Bb%5D"),
+    ("a{b}", "a%7Bb}"),
+    ("a^b", "a%5Eb"),
+    ("a\\b", "a%5Cb"),
+    ("a\tb", "a%09b"),
+    ("café", "café"),
+    ("日本語", "日本語"),
+]
+
+
+def test_escape_part_matches_hive():
+    for raw, expected in ESCAPE_CASES:
+        assert _escape_part(raw) == expected, raw
+
+
+def test_fastpath_and_bulk_share_one_partition(spark, store):
+    """The riskiest property: a series written through BOTH paths must
+    land in ONE physical partition dir, or reads see a split series."""
+    sid = "a=b c"
+    store.write_numeric(sid, {"value": 1.0}, 1000)
+    bulk = spark.createDataFrame(
+        [(sid, 2000, 2.0, None, None)],
+        "series_id string, timestamp long, value double, "
+        "tag_name string, tag_value string",
+    )
+    store.write_numeric_bulk(bulk)
+    base = store._path("ts_numeric")
+    dirs = [d for d in os.listdir(base) if d.startswith("series_id=")]
+    assert dirs == [f"series_id={_escape_part(sid)}"]
+    got = store.load("ts_numeric").filter(f"series_id = '{sid}'")
+    assert sorted((r.timestamp, r.value) for r in got.collect()) == [
+        (1000, 1.0),
+        (2000, 2.0),
+    ]
+
+
+def test_fastpath_rows_read_identically_to_bulk(spark, store):
+    """Same logical rows through each path → identical load() output
+    (schema, values, tags) and every row provenance-stamped."""
+    rows = [
+        ("s1", 1000, 1.5, "unit", "C"),
+        ("s1", 90_000_000_000, 2.5, None, None),  # different day bucket
+        ("s2", 1000, -3.5, None, None),
+    ]
+    for r in rows:
+        payload = {"value": r[2]} | ({r[3]: r[4]} if r[3] else {})
+        store.write_numeric(r[0], payload, r[1])
+    via_fast = sorted(
+        tuple(r) for r in store.load("ts_numeric").collect()
+    )
+    st2 = ZestStore(spark, store.root + "_bulk")
+    st2.set_request_context("POST", "/t", "tester", None)
+    st2.write_numeric_bulk(
+        spark.createDataFrame(
+            rows,
+            "series_id string, timestamp long, value double, "
+            "tag_name string, tag_value string",
+        )
+    )
+    via_bulk = sorted(tuple(r) for r in st2.load("ts_numeric").collect())
+    assert via_fast == via_bulk
+    prov = store.load_with_provenance("ts_numeric")
+    assert prov.filter("write_id is null").count() == 0
+    # one write_log row per write_numeric call, one batch per bulk call
+    assert store.load("write_log").count() == 3
+    assert st2.load("write_log").count() == 1
+
+
+def test_fastpath_files_carry_footer_stats(store):
+    """Data skipping must keep working: the manifest stats for a
+    fast-path file carry timestamp/value min-max (pyarrow writes the
+    same footer statistics Spark's writer does)."""
+    store.write_numeric("s", {"value": 5.0}, 3000)
+    store.write_numeric("s", {"value": 7.0}, 4000)
+    snap = snapshots.latest(store._path("ts_numeric"))
+    assert snap.stats and len(snap.stats) == 2
+    for s in snap.stats.values():
+        assert s["min"]["timestamp"] in (3000, 4000)
+        assert s["min"]["value"] in (5.0, 7.0)
+        assert s["rows"] == 1
+
+
+def test_fastpath_blob_roundtrip(store):
+    store.write_blob("b", {"k": [1, 2, {"x": None}]}, 1500)
+    rows = store.load("ts_blob").collect()
+    assert len(rows) == 1 and rows[0].timestamp == 1500
+    import json
+
+    assert json.loads(rows[0].data) == {"k": [1, 2, {"x": None}]}
+
+
+def test_log_appends_are_sparkless_and_fast(store):
+    """After the engine is warm, a log append must complete in well
+    under a second (it is a driver-side pyarrow write + manifest CAS —
+    no Spark job; budget is generous for loaded CI hosts)."""
+    import time
+
+    from zestdb_spark.storage import now_ms
+
+    store.audit_append((now_ms(), "srv", "cli", "GET", "/ts/x", 69))  # warm
+    t0 = time.monotonic()
+    for i in range(5):
+        store.audit_append((now_ms() + i, "srv", "cli", "GET", f"/ts/{i}", 69))
+    assert (time.monotonic() - t0) / 5 < 0.5
+    assert store.load("audit").count() == 6
+
+
+def test_negative_timestamp_bucket_matches_spark_cast(spark, store):
+    """Bucket arithmetic: Spark computes cast(ts / 86400000 as long)
+    (double division truncating toward zero); the fast path's integer
+    form must agree on NEGATIVE pre-1970 timestamps too."""
+    store.write_numeric("neg", {"value": 1.0}, -1)
+    store.write_numeric("neg", {"value": 2.0}, -86_400_001)
+    base = store._path("ts_numeric")
+    buckets = sorted(
+        d.split("=")[1]
+        for d in os.listdir(os.path.join(base, "series_id=neg"))
+        if d.startswith("time_bucket=")
+    )
+    assert buckets == ["-1", "0"]
+    got = store.load("ts_numeric").filter("series_id = 'neg'").collect()
+    assert sorted(r.timestamp for r in got) == [-86_400_001, -1]

@@ -163,3 +163,50 @@ def test_validated_diverts_bad_rows(spark, tmp_path):
     rows = store.load("ts_numeric").collect()
     assert [(r.series_id, r.value) for r in rows] == [("a", 1.0)]
     assert good.isStreaming and bad.isStreaming
+
+
+def test_pre_upgrade_checkpoint_batch_not_reappended(spark, tmp_path):
+    """Upgrade path: a checkpoint whose batches committed BEFORE the
+    manifest-txn watermarks existed has no txn record — only legacy
+    write_log rows keyed by the old digest (md5(checkpoint_dir)[:10]).
+    On attach, the sink must seed its watermark from those rows so the
+    first post-upgrade redelivery is skipped, not appended twice."""
+    import hashlib
+
+    src = str(tmp_path / "landing_up")
+    store = ZestStore(spark, str(tmp_path / "store_up"))
+    ckpt = str(tmp_path / "ck_up")
+    _write_batch(spark, src, "b0", [("a", 1000, 1.0), ("b", 2000, 2.0)])
+
+    # pre-upgrade on-disk state for committed batch 0: data + a legacy
+    # write_log row (old path format, NO txn marker) — byte-for-byte
+    # what the r7 sink produced
+    legacy_digest = hashlib.md5(ckpt.encode()).hexdigest()[:10]
+    legacy = spark.createDataFrame(
+        [("a", 1000, 1.0, None, None), ("b", 2000, 2.0, None, None)],
+        "series_id string, timestamp long, value double, "
+        "tag_name string, tag_value string",
+    )
+    store.set_request_context(
+        "POST", f"/ts/stream/ck/{legacy_digest}/batch/0", "stream", None
+    )
+    store.write_numeric_bulk(legacy)  # legacy: no txn=
+    new_digest = hashlib.md5(f"{ckpt}\x00/ts/stream".encode()).hexdigest()[:12]
+    assert store.last_txn_version("ts_numeric", f"ingest-{new_digest}") is None
+
+    # post-upgrade attach: the FRESH checkpoint redelivers batch 0 over
+    # the same landing file (the at-least-once stand-in)
+    stream = (
+        spark.readStream.schema("series_id string, timestamp long, value double")
+        .parquet(src)
+    )
+    q = ingest.start_ingest(stream, store, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert store.load("ts_numeric").count() == 2  # skipped, not re-appended
+
+    # batches PAST the legacy watermark still land
+    _write_batch(spark, src, "b1", [("c", 3000, 3.0)])
+    q = ingest.start_ingest(stream, store, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert store.load("ts_numeric").count() == 3
+    assert store.load("ts_numeric").filter("series_id = 'c'").count() == 1

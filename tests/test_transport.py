@@ -11,6 +11,7 @@ src/protocol/zest.re:217-264)."""
 from __future__ import annotations
 
 import json
+import os
 import socket
 import struct
 
@@ -365,3 +366,29 @@ def test_maintenance_compact_tick(spark, tmp_path):
     finally:
         ev.set()
     thread.join(timeout=5)
+
+
+def test_serve_warm_is_traceless_and_phased(spark, tmp_path):
+    """--warm (default on): the pre-start warm-up exercises write /
+    rewrite / read once on a THROWAWAY root — it must report the three
+    phases and leave zero trace anywhere (the real store is not even
+    created yet; the temp root is removed)."""
+    import glob
+    import tempfile
+
+    from zestdb_spark import serve
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "zest_warm_*")))
+    t = serve.warm(spark)
+    assert set(t) == {"first_write", "first_rewrite", "first_read"}
+    assert all(v >= 0 for v in t.values())
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "zest_warm_*")))
+    assert after == before  # throwaway root removed
+
+    # flag plumbing: --no-warm parses and disables
+    args = serve.build_parser().parse_args(
+        ["--store-root", str(tmp_path / "x"), "--no-warm"]
+    )
+    assert args.warm is False
+    args = serve.build_parser().parse_args(["--store-root", str(tmp_path / "x")])
+    assert args.warm is True

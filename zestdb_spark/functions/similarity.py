@@ -366,7 +366,10 @@ def ivf_topk(
         # unknown query id or zero-norm query: cosine is undefined —
         # return the empty frame, the same contract as cosine_topk
         # (whose JVM-side division degrades to null and filters out)
-        return embs.sparkSession.createDataFrame([], "vec_id long, cosine double")
+        spark = embs.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), "vec_id long, cosine double"
+        )
     (qrow,) = qrows
 
     # driver-side probe ranking over m codebook rows — sequential

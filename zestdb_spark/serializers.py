@@ -36,15 +36,27 @@ def _row_data(row: dict[str, Any]) -> dict[str, Any]:
     return data
 
 
+def _stream(df: DataFrame):
+    """``toLocalIterator`` over ONE partition: the iterator otherwise
+    pays one driver⇄executor round trip PER PARTITION (~0.1 s each —
+    a result left at 32 shuffle partitions costs ~3-7 s of pure
+    latency for a handful of rows; measured round 9, the whole
+    api-edge read budget). ``coalesce(1)`` merges post-shuffle
+    partitions in partition-index order inside one task, so a
+    range-sorted result stays globally sorted and the stream still
+    never materializes on the driver."""
+    return df.coalesce(1).toLocalIterator()
+
+
 def iter_ts_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
     """Numeric-TS result rows → reference row dicts, streamed."""
-    for row in df.toLocalIterator():
+    for row in _stream(df):
         d = row.asDict()
         yield {"timestamp": d["timestamp"], "data": _row_data(d)}
 
 
 def iter_blob_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
-    for row in df.toLocalIterator():
+    for row in _stream(df):
         d = row.asDict()
         yield {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
 
@@ -80,4 +92,4 @@ def count_to_json(df: DataFrame) -> str:
 
 
 def keys_to_json(df: DataFrame) -> str:
-    return json.dumps([r["key"] for r in df.toLocalIterator()])
+    return json.dumps([r["key"] for r in _stream(df)])

@@ -94,9 +94,54 @@ def build_parser() -> argparse.ArgumentParser:
         "the whole table",
     )
     p.add_argument(
+        "--warm",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="pay the session's cold-start cost (JVM/codegen warm-up, "
+        "first manifest rewrite) on a throwaway store BEFORE accepting "
+        "clients, so the first real request doesn't (--no-warm skips; "
+        "default on — cold first ops measured ~10x slower, see "
+        "SCALE.md 'Cold start')",
+    )
+    p.add_argument(
         "--app-name", default="zestdb_spark_server", help="Spark application name"
     )
     return p
+
+
+def warm(spark) -> "dict[str, float]":
+    """Exercise the write/rewrite/read paths once on a THROWAWAY store
+    so the session pays its cold-start cost (JVM threads, whole-stage
+    codegen compilation, first shuffle, first parquet commit, first
+    manifest rewrite) before the first client request. The costs are
+    session-global, not store-specific, so a temp root warms everything
+    while touching no durable state — the real store sees zero warm-up
+    rows, logs, or manifest versions. Returns phase timings (seconds)
+    for the startup line / SCALE.md's cold-vs-warm table."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from zestdb_spark.api import ZestEngine
+
+    root = tempfile.mkdtemp(prefix="zest_warm_")
+    timings: dict[str, float] = {}
+    try:
+        eng = ZestEngine(spark, root)
+        t0 = _time.monotonic()
+        eng.store.set_request_context("POST", "/kv/WARM/x", "warm", "json")
+        eng.store.kv_upsert("json", "WARM", "x", '"warm"')
+        timings["first_write"] = _time.monotonic() - t0
+        t0 = _time.monotonic()
+        eng.store.set_request_context("DELETE", "/kv/WARM/x", "warm", "json")
+        eng.store.kv_delete("json", "WARM", "x")  # the manifest REWRITE path
+        timings["first_rewrite"] = _time.monotonic() - t0
+        t0 = _time.monotonic()
+        eng.get("/kv/WARM/keys")  # read + serialize path
+        timings["first_read"] = _time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return timings
 
 
 def start_maintenance(
@@ -201,6 +246,13 @@ def main(argv: list[str] | None = None, *, block: bool = True):
             )
         with open(args.secret_key_file) as f:
             curve_secret = f.read().strip()
+    if args.warm:
+        t = warm(spark)
+        print(
+            "warm-up: "
+            + ", ".join(f"{k} {v:.2f}s" for k, v in t.items()),
+            flush=True,
+        )
     engine = ZestEngine(spark, args.store_root, acl=acl)
     server = ZestServer(
         engine,

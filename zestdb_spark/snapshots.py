@@ -61,6 +61,8 @@ import threading
 import time
 import uuid
 
+from zestdb_spark import coordination
+
 _LOG_DIR = "_zest_log"
 _V_FMT = "v%012d.json"
 _V_PREFIX = "v"
@@ -453,8 +455,13 @@ def commit(
             f.flush()
             os.fsync(f.fileno())
         final = os.path.join(d, _V_FMT % version)
+        coord = coordination.get_coordinator()
         try:
-            os.link(tmp, final)  # atomic create-if-absent of a COMPLETE file
+            # CAS publish of a COMPLETE file (coordination seam: the
+            # local-FS default is os.link create-if-absent; a
+            # multi-driver deployment swaps in a put-if-absent service)
+            if not coord.publish(tmp, final):
+                continue  # CAS miss — somebody else published this version
             snap = Snapshot(
                 version, files, tombstones, now, op, merged_stats, merged_txns
             )
@@ -464,11 +471,8 @@ def commit(
             if ident is not None:
                 _cache_put((os.path.abspath(table_dir), version), ident, snap)
             return snap
-        except FileExistsError:
-            continue  # CAS miss — somebody else published this version
         finally:
-            with contextlib.suppress(OSError):
-                os.unlink(tmp)
+            coord.remove(tmp)
     raise CommitConflict(f"could not commit to {table_dir} after {max_retries} attempts")
 
 

@@ -44,6 +44,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zestdb_spark import coordination
 from zestdb_spark import schema as S
 from zestdb_spark import snapshots
 from zestdb_spark.errors import BadRequest, StoreBusy
@@ -103,6 +104,78 @@ _STATS_COLS = {
 
 def now_ms() -> int:
     return int(time.time() * 1000)
+
+
+#: exactly Hive's ``escapePathName`` set (ground-truthed against this
+#: Spark build's partitioned writes, round 9): control chars, DEL, and
+#: these — note ``{`` is escaped but ``}`` is NOT, and space/unicode
+#: pass through. The driver-side append fast path must produce the
+#: byte-identical directory name Spark would, or one series would
+#: split across two physical partitions.
+_PART_ESCAPE = set('"#%\'*/:=?\\^[]{')
+
+
+def _escape_part(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if (ch in _PART_ESCAPE or ord(ch) < 32 or ord(ch) == 127)
+        else ch
+        for ch in value
+    )
+
+
+_ARROW_LOG_CACHE: "dict[str, Any]" = {}
+
+
+def _empty_df(spark: SparkSession, schema) -> DataFrame:
+    """Empty frame with ``schema`` backed by a ZERO-partition JVM RDD.
+    ``createDataFrame([], schema)`` builds a python-RDD with
+    defaultParallelism (32) EMPTY partitions — any downstream
+    ``coalesce``/``toLocalIterator`` then pays one python-worker round
+    trip per partition (~6 s measured for literally nothing). The
+    emptyRDD form evaluates in zero tasks."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
+
+def _arrow_ts_local_schema(table: str):
+    """pyarrow schema for a TS table's DATA columns (canonical schema
+    minus the two partition columns' leading ``series_id``; the
+    ``time_bucket`` partition never appears in files) plus the
+    ``write_id`` stamp — the file layout a Spark partitioned write of
+    the stamped frame produces (see _append_ts)."""
+    key = f"__ts_local__{table}"
+    if key not in _ARROW_LOG_CACHE:
+        import pyarrow as pa
+
+        base = _arrow_log_schema(table)  # full canonical mapping
+        fields = [base.field(i) for i in range(1, len(base))]
+        fields.append(pa.field("write_id", pa.int64(), False))
+        _ARROW_LOG_CACHE[key] = pa.schema(fields)
+    return _ARROW_LOG_CACHE[key]
+
+
+def _arrow_log_schema(table: str):
+    """pyarrow schema mirroring ``_TABLES[table]`` for the driver-side
+    log-append fast path (_append_log). Derived from the Spark schema —
+    one source of truth — via the same long/int/string/double mapping
+    Spark's own parquet writer uses, so files are interchangeable with
+    Spark-written ones (compact_log merges both kinds)."""
+    if table not in _ARROW_LOG_CACHE:
+        import pyarrow as pa
+
+        _SPARK_TO_ARROW = {
+            "long": pa.int64(),
+            "integer": pa.int32(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "binary": pa.binary(),
+        }
+        fields = [
+            pa.field(f.name, _SPARK_TO_ARROW[f.dataType.typeName()], f.nullable)
+            for f in _TABLES[table].fields
+        ]
+        _ARROW_LOG_CACHE[table] = pa.schema(fields)
+    return _ARROW_LOG_CACHE[table]
 
 
 def _footer_stats(path: str, cols: tuple) -> "dict | None":
@@ -206,88 +279,24 @@ class ZestStore:
         """Advisory per-table writer lock for the REWRITE paths (delete
         / upsert / compact — appends commute and take no lock). The
         reference serializes every write through one server loop over a
-        transactional store (src/server.re:1075-1084); this is the
-        single-node emulation of that serialization: O_EXCL lockfile
-        creation (atomic on POSIX), pid recorded for stale-holder
-        reclaim (a crashed rewriter must not wedge the table forever),
-        StoreBusy (CoAP 163) after ``wait_s``. Cross-NODE writers need
-        a real table format (Delta/Iceberg optimistic commit) — this
-        lock is scoped to one host's filesystem, like the store itself.
+        transactional store (src/server.re:1075-1084); this is that
+        serialization expressed over the coordination seam
+        (coordination.py): an exclusive mutex with dead-holder reclaim,
+        StoreBusy (CoAP 163) after ``wait_s``. The default coordinator
+        is local-FS (O_EXCL lockfile), same single-node scope as the
+        reference; a multi-driver deployment swaps the coordinator,
+        not this method.
         """
         path = os.path.join(self.root, f".lock_{table}")
-        deadline = time.monotonic() + wait_s
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    pid = int(open(path).read().strip() or "0")
-                except (OSError, ValueError):
-                    pid = 0
-                stale = False
-                if pid:
-                    try:
-                        os.kill(pid, 0)  # signal 0: existence probe only
-                    except ProcessLookupError:
-                        stale = True
-                    except PermissionError:
-                        pass  # alive, owned by someone else
-                if stale:
-                    # Reclaim under a sidecar mutex so only ONE waiter
-                    # may unlink: a bare unlink races — waiter A can
-                    # reclaim and re-acquire before waiter B's pending
-                    # unlink fires, and B then deletes A's FRESH lock,
-                    # letting a third writer in alongside A.
-                    rpath = f"{path}.reclaim"
-                    try:
-                        rfd = os.open(rpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    except FileExistsError:
-                        # another waiter is reclaiming; if IT crashed
-                        # mid-reclaim, age its sidecar out (the window
-                        # it guards is a few syscalls, never seconds)
-                        with contextlib.suppress(OSError):
-                            if time.time() - os.path.getmtime(rpath) > 5.0:
-                                os.unlink(rpath)
-                        time.sleep(0.01)
-                        continue
-                    try:
-                        # re-verify under the mutex: the stale lock we
-                        # probed may have been reclaimed and re-created
-                        # by a LIVE holder since
-                        try:
-                            pid2 = int(open(path).read().strip() or "0")
-                        except (OSError, ValueError):
-                            pid2 = 0
-                        dead = False
-                        if pid2:
-                            try:
-                                os.kill(pid2, 0)
-                            except ProcessLookupError:
-                                dead = True
-                            except PermissionError:
-                                pass
-                        if dead:
-                            with contextlib.suppress(OSError):
-                                os.unlink(path)
-                    finally:
-                        os.close(rfd)
-                        with contextlib.suppress(OSError):
-                            os.unlink(rpath)
-                    continue
-                if time.monotonic() > deadline:
-                    raise StoreBusy(
-                        f"table {table!r} is being rewritten by pid {pid or '?'} "
-                        f"(lock {path}); retry when it finishes"
-                    )
-                time.sleep(0.05)
-        try:
+        with coordination.mutex(
+            path,
+            wait_s,
+            busy_error=lambda pid: StoreBusy(
+                f"table {table!r} is being rewritten by pid {pid or '?'} "
+                f"(lock {path}); retry when it finishes"
+            ),
+        ):
             yield
-        finally:
-            with contextlib.suppress(OSError):
-                os.unlink(path)
 
     def _snapshot(self, table: str) -> "snapshots.Snapshot | None":
         """Current manifest of a manifested table (None = no log yet —
@@ -403,14 +412,14 @@ class ZestStore:
                     )
                 ]
             if not files:
-                return self.spark.createDataFrame([], schema)
+                return _empty_df(self.spark, schema)
             return (
                 self.spark.read.schema(schema)
                 .option("basePath", path)
                 .parquet(*[os.path.join(path, f) for f in files])
             )
         if not self._exists(table):
-            return self.spark.createDataFrame([], schema)
+            return _empty_df(self.spark, schema)
         return self.spark.read.schema(schema).parquet(path)
 
     def load(
@@ -562,7 +571,7 @@ class ZestStore:
             wid = self._next_write_id()
         method, path, client, fmt = self._ctx or ("DIRECT", f"/{table}", "local", None)
         rec = (wid, now_ms(), self._server, client, method, path, fmt, table, n_rows)
-        self._append_log("write_log", self.spark.createDataFrame([rec], S.WRITE_LOG))
+        self._append_log("write_log", [rec])
         return wid
 
 
@@ -686,23 +695,47 @@ class ZestStore:
                     out[rel] = s
         return out or None
 
-    def _append_log(self, table: str, df: DataFrame) -> None:
-        """Append to a LOG table (audit, write_log): unique staging dir
-        + file moves + one manifest commit. Per-job staging (not a
-        shared-directory ``mode('append')``) because two lock-free
-        writers would race on the FileOutputCommitter's one-per-table
-        ``_temporary`` scratch dir; the manifest commit (CAS-merged,
-        appends commute) means a crash mid-append leaves only
-        unreferenced orphans — batch readers can never see a torn
-        half-moved batch. The audit OBSERVER stream still watches the
-        directory (files land in place; a crashed append's orphans are
-        genuine audit rows from a server that died — delivering them
-        is correct for an at-least-once notification feed). Log
-        batches are control-plane sized (usually ONE row), so coalesce
-        to a single file — without it a 1-row createDataFrame on
-        local[32] lands an extra empty-partition file per append."""
-        adds = self._stage_move(table, df.coalesce(1))
-        self._commit(table, adds=adds, op="append")
+    def _append_log(self, table: str, rows: "list[tuple]") -> None:
+        """Append to a LOG table (audit, write_log): one DRIVER-side
+        pyarrow file write, staged invisibly (dot-prefixed name — never
+        matched by readers' globs or Spark's file index) then renamed
+        into place and published by one manifest commit. A crash at any
+        point leaves only an unreferenced orphan — batch readers can
+        never see a torn append; the audit OBSERVER stream watches the
+        directory (files land in place; a crashed server's orphan audit
+        rows are genuine events — delivering them is correct for an
+        at-least-once notification feed).
+
+        Driver-side because log batches are control-plane sized
+        (usually ONE row) and ride EVERY api request: a Spark job for a
+        1-row local-list DataFrame costs ~0.5 s of scheduler overhead
+        at best and ~6 s under ``coalesce(1)`` (the single coalesced
+        task evaluates all 32 python-RDD parent partitions SERIALLY,
+        one python-worker round trip each — measured round 9, the
+        dominant term in per-request latency). The parquet file pyarrow
+        writes is byte-compatible with every reader here (batch reads
+        pass the explicit schema, compact_log rewrites through Spark,
+        the audit stream reads by glob); the BULK paths (data tables,
+        compaction) stay distributed Spark writes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _arrow_log_schema(table)
+        cols = [
+            pa.array([r[i] for r in rows], type=schema.field(i).type)
+            for i in range(len(schema))
+        ]
+        real = self._path(table)
+        os.makedirs(real, exist_ok=True)
+        base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        staged = os.path.join(real, f".{base}")
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=schema),
+            staged,
+            compression="snappy",
+        )
+        os.rename(staged, os.path.join(real, base))
+        self._commit(table, adds=[base], op="append")
 
     def _live_files(self, table: str) -> list[str]:
         """The table's live file set, bootstrapping the manifest from
@@ -854,7 +887,7 @@ class ZestStore:
         table (the churned-files fast path for ``changes``)."""
         schema = self._read_schema(table)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return _empty_df(self.spark, schema)
         path = self._path(table)
         return (
             self.spark.read.schema(schema)
@@ -955,7 +988,9 @@ class ZestStore:
         is safe either way (tombstoned files are never re-referenced)."""
         if table not in _MANIFESTED:
             raise KeyError(f"{table!r} is not under snapshot control")
-        rewriting = os.path.exists(os.path.join(self.root, f".lock_{table}"))
+        rewriting = coordination.get_coordinator().is_held(
+            os.path.join(self.root, f".lock_{table}")
+        )
         return snapshots.vacuum(
             self._path(table),
             retention_s,
@@ -1065,16 +1100,82 @@ class ZestStore:
         self._commit(table, adds=adds, op="append", txn=txn)
         self._log_write(table, n_rows, wid)
 
+    def _append_ts_local(
+        self, table: str, rows: "list[tuple]", n_rows: Optional[int]
+    ) -> None:
+        """Driver-side fast path for per-request TS appends (S1/S2/S3:
+        one row per POST, the reference's hottest op): the SAME
+        stage/commit contract as ``_append_ts`` — write-id stamp, daily
+        partition dirs, one atomic manifest publish, provenance row
+        after — but the parquet file is written by pyarrow on the
+        driver instead of scheduling a Spark job for one row (which
+        costs ~0.6-0.8 s of scheduler + python-worker overhead; the
+        file write is ~10 ms). ``rows`` are canonical-schema tuples
+        (series_id first). Partition dir names replicate Hive's
+        ``escapePathName`` byte-for-byte (``_escape_part``) so fast-path
+        and bulk appends to one series land in ONE physical partition.
+        Bulk ingest stays on the distributed path — this is for
+        control-plane-sized batches only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        wid = self._next_write_id()
+        fields = _TABLES[table].fields
+        assert fields[0].name == "series_id" and fields[1].name == "timestamp"
+        schema = _arrow_ts_local_schema(table)
+        real = self._path(table)
+        groups: dict[tuple, list[tuple]] = {}
+        for r in rows:
+            sid = r[0]
+            ts = int(r[1])
+            bucket = ts // _DAY_MS if ts >= 0 else -((-ts) // _DAY_MS)
+            groups.setdefault((sid, bucket), []).append(r)
+        adds = []
+        staged_abs = []
+        try:
+            for (sid, bucket), grp in sorted(groups.items()):
+                rel_dir = f"series_id={_escape_part(sid)}/time_bucket={bucket}"
+                os.makedirs(os.path.join(real, rel_dir), exist_ok=True)
+                base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                # data columns = canonical schema minus the partition
+                # columns (they live in the dir name, exactly like a
+                # Spark partitioned write), plus the write_id stamp
+                cols = [
+                    pa.array(
+                        [g[i] for g in grp], type=schema.field(i - 1).type
+                    )
+                    for i in range(1, len(fields))
+                ]
+                cols.append(pa.array([wid] * len(grp), type=pa.int64()))
+                staged = os.path.join(real, rel_dir, f".{base}")
+                pq.write_table(
+                    pa.Table.from_arrays(cols, schema=schema),
+                    staged,
+                    compression="snappy",
+                )
+                final_rel = f"{rel_dir}/{base}"
+                os.rename(staged, os.path.join(real, rel_dir, base))
+                staged_abs.append(os.path.join(real, rel_dir, base))
+                adds.append(final_rel)
+            self._commit(table, adds=adds, op="append")
+        except BaseException:
+            # staged-but-uncommitted files are harmless orphans, but a
+            # failed 1-row request shouldn't leave them for vacuum
+            for p in staged_abs:
+                with contextlib.suppress(OSError):
+                    os.unlink(p)
+            raise
+        self._log_write(table, n_rows, wid)
+
     def write_numeric(
         self, series_id: str, payload: Any, timestamp: Optional[int] = None
     ) -> int:
         """S1/S2: validate + stamp + append. Returns the timestamp."""
         value, tag_name, tag_value = validate_numeric(payload)
         ts = now_ms() if timestamp is None else int(timestamp)
-        rows = self.spark.createDataFrame(
-            [(series_id, ts, value, tag_name, tag_value)], S.TS_NUMERIC
+        self._append_ts_local(
+            "ts_numeric", [(series_id, ts, float(value), tag_name, tag_value)], 1
         )
-        self._append_ts("ts_numeric", rows, 1)
         return ts
 
     def write_numeric_bulk(
@@ -1108,8 +1209,7 @@ class ZestStore:
         except (TypeError, ValueError) as e:
             raise BadRequest("blob TS payload must be JSON-serializable") from e
         ts = now_ms() if timestamp is None else int(timestamp)
-        rows = self.spark.createDataFrame([(series_id, ts, data)], S.TS_BLOB)
-        self._append_ts("ts_blob", rows, 1)
+        self._append_ts_local("ts_blob", [(series_id, ts, data)], 1)
         return ts
 
     #: merge_rows collects the update batch's distinct series only while
@@ -1529,13 +1629,13 @@ class ZestStore:
     def audit_append(self, record: tuple) -> None:
         """Append one audit row (timestamp, server, client, method,
         path, code) — src/server.re:74-107."""
-        self._append_log("audit", self.spark.createDataFrame([record], S.AUDIT))
+        self._append_log("audit", [tuple(record)])
 
     def compact_log(
         self,
         table: str,
         target_files: int = 1,
-        vacuum_retention_s: float = 0.0,
+        vacuum_retention_s: float = snapshots.DEFAULT_RETENTION_S,
     ) -> int:
         """OPTIMIZE for the append-only logs (audit, write_log): every
         mutation commits ONE small parquet file, so a long-lived store
@@ -1547,7 +1647,14 @@ class ZestStore:
         first). Rows preserved verbatim; outputs stage as ``rw-*`` and
         the audit observer stream globs ``part-*``, so maintenance
         never re-notifies (same contract as TS compaction). Returns the
-        number of files merged away."""
+        number of files merged away.
+
+        ``vacuum_retention_s`` defaults to the table format's standard
+        retention — a concurrent batch reader pinned to the prior
+        snapshot (or a lagging audit observer micro-batch that listed
+        the old part-* files but hasn't opened them) must still find
+        the pre-compaction bytes. Immediate reclaim (0.0) is an
+        explicit opt-in for tests and single-process maintenance."""
         if table not in ("audit", "write_log"):
             raise KeyError(f"compact_log targets the logs, not {table!r}")
         real = self._path(table)

@@ -90,6 +90,30 @@ def start_ingest(
     ck_digest = hashlib.md5(f"{checkpoint_dir}\x00{path}".encode()).hexdigest()[:12]
     app_id = f"ingest-{ck_digest}"
     last = store.last_txn_version("ts_numeric", app_id)
+    if last is None and store._exists("write_log"):
+        # UPGRADE path (once, at attach): a checkpoint whose history
+        # predates the manifest-txn watermarks has no txn record — its
+        # committed batches live only as legacy write_log rows keyed by
+        # the OLD digest (md5(checkpoint_dir)[:10], no path salt). If
+        # such rows exist, seed the watermark from their max batch id
+        # so the first post-upgrade redelivery is skipped, not
+        # re-appended. One bounded log scan; brand-new checkpoints pay
+        # only the filter on an existing log.
+        legacy_prefix = (
+            f"{path}/ck/{hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]}/batch/"
+        )
+        legacy = (
+            store.load("write_log")
+            .filter(F.col("path").startswith(legacy_prefix))
+            .select(
+                F.max(
+                    F.substring(F.col("path"), len(legacy_prefix) + 1, 20).cast("long")
+                ).alias("b")
+            )
+            .collect()
+        )
+        if legacy and legacy[0]["b"] is not None:
+            last = int(legacy[0]["b"])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal last
