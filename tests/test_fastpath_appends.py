@@ -160,3 +160,67 @@ def test_negative_timestamp_bucket_matches_spark_cast(spark, store):
     assert buckets == ["-1", "0"]
     got = store.load("ts_numeric").filter("series_id = 'neg'").collect()
     assert sorted(r.timestamp for r in got) == [-86_400_001, -1]
+
+
+def test_kv_local_rewrite_matches_spark_path(spark, store):
+    """The KV namespace fast path (storage._kv_local_rewrite) must be
+    observationally identical to the distributed rewrite: same LWW
+    result, same partition naming (rw-* — observers stay silent), same
+    one-commit namespace swap."""
+    store.kv_upsert("json", "NS", "a", '"1"')
+    store.kv_upsert("json", "NS", "b", '"2"')
+    store.kv_upsert("json", "NS", "a", '"3"')  # LWW overwrite
+    kv = store.load("kv_json").filter("id = 'NS'")
+    assert sorted((r.key, r.value) for r in kv.collect()) == [
+        ("a", '"3"'),
+        ("b", '"2"'),
+    ]
+    # files: exactly one live rw-* file for the namespace
+    live = [
+        rel for rel in store._live_files("kv_json") if rel.startswith("id=NS/")
+    ]
+    assert len(live) == 1 and "/rw-" in live[0]
+    # delete the last key -> emptied namespace is a commit with NO adds
+    store.kv_delete("json", "NS", "a")
+    store.kv_delete("json", "NS", "b")
+    assert store.load("kv_json").filter("id = 'NS'").count() == 0
+    assert not any(
+        rel.startswith("id=NS/") for rel in store._live_files("kv_json")
+    )
+
+
+def test_kv_local_rewrite_folds_bulk_ingested_files(spark, store):
+    """A namespace materialized by the DISTRIBUTED bulk path (several
+    part files) must fold correctly through the driver-side fast path:
+    all rows survive, the patched key changes, one file remains."""
+    bulk = spark.createDataFrame(
+        [("N", f"k{i}", str(i)) for i in range(50)],
+        "id string, key string, value string",
+    )
+    store.kv_ingest_bulk("json", bulk)
+    store.kv_upsert("json", "N", "k7", "patched")
+    ns = store.load("kv_json").filter("id = 'N'")
+    assert ns.count() == 50
+    assert ns.filter("key = 'k7'").collect()[0].value == "patched"
+    live = [rel for rel in store._live_files("kv_json") if rel.startswith("id=N/")]
+    assert len(live) == 1
+
+
+def test_kv_local_rewrite_budget_fallback(spark, store, monkeypatch):
+    """Past the driver budget the op falls back to the Spark rewrite —
+    same answer, no driver materialization."""
+    monkeypatch.setattr(ZestStore, "_KV_LOCAL_MAX_BYTES", 0)
+    store.kv_upsert("json", "BIG", "x", '"1"')
+    store.kv_upsert("json", "BIG", "y", '"2"')
+    kv = store.load("kv_json").filter("id = 'BIG'")
+    assert sorted((r.key, r.value) for r in kv.collect()) == [
+        ("x", '"1"'),
+        ("y", '"2"'),
+    ]
+
+
+def test_kv_binary_roundtrips_through_fast_path(store):
+    payload = bytes(range(256))
+    store.kv_upsert("binary", "B", "blob", payload)
+    rows = store.load("kv_binary").filter("id = 'B'").collect()
+    assert len(rows) == 1 and bytes(rows[0].value) == payload

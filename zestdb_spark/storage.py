@@ -136,6 +136,22 @@ def _empty_df(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
 
 
+def _arrow_kv_local_schema(table: str):
+    """pyarrow schema for a KV table's data columns (key, value — the
+    ``id`` partition column lives in the dir name), for the namespace
+    fast path."""
+    key = f"__kv_local__{table}"
+    if key not in _ARROW_LOG_CACHE:
+        import pyarrow as pa
+
+        base = _arrow_log_schema(table)
+        assert base.field(0).name == "id"
+        _ARROW_LOG_CACHE[key] = pa.schema(
+            [base.field(i) for i in range(1, len(base))]
+        )
+    return _ARROW_LOG_CACHE[key]
+
+
 def _arrow_ts_local_schema(table: str):
     """pyarrow schema for a TS table's DATA columns (canonical schema
     minus the two partition columns' leading ``series_id``; the
@@ -1349,19 +1365,110 @@ class ZestStore:
         adds = self._stage_move(table, new_rows, ("id",), rewrite=True)
         self._commit(table, adds=adds, removes=old, op=op)
 
+    #: driver budget for the KV namespace fast path — a namespace whose
+    #: live bytes exceed this is rewritten by the distributed path
+    #: (namespaces are api-written and usually KB-sized; bulk-ingested
+    #: giants keep the Spark rewrite)
+    _KV_LOCAL_MAX_BYTES = 64 * 1024 * 1024
+
+    def _kv_local_rewrite(self, table: str, id_: str, mutate, op: str) -> bool:
+        """Driver-side fast path for ONE namespace's read-modify-write
+        (kv_upsert / kv_delete): the namespace's live files resolve
+        from the manifest, their rows LWW-fold into a dict, ``mutate``
+        edits it, and the survivors publish as one ``rw-*`` file in the
+        SAME atomic commit shape as the distributed rewrite — same
+        partition naming, same crash contract (staged file invisible
+        until the commit), same observer silence (rw-* is excluded from
+        the append glob). Runs under the caller's rewrite lock.
+
+        Returns False — caller falls back to the Spark rewrite — when
+        the namespace exceeds the driver budget or any live file
+        predates id-partitioning (a pre-manifest layout the fast path's
+        partition-scoped file listing would misread).
+
+        Why it exists: a per-request Spark namespace rewrite pays
+        ~1-2 s of job overhead to move a handful of KB (measured round
+        9); the reference serves the same op in ms. At cluster scale
+        the semantics are MERGE INTO — this fast path is the
+        single-row MERGE special case every table format special-cases
+        the same way (Delta's low-shuffle merge)."""
+        live = self._live_files(table)
+        old = []
+        for rel in live:
+            parts = self._rel_parts(rel)
+            if "id" not in parts:
+                return False  # legacy un-partitioned file: Spark path reads it
+            if parts["id"] == id_:
+                old.append(rel)
+        real = self._path(table)
+        total = 0
+        for rel in old:
+            try:
+                total += os.path.getsize(os.path.join(real, rel))
+            except OSError:
+                return False  # racing maintenance; take the locked slow path
+        if total > self._KV_LOCAL_MAX_BYTES:
+            return False
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        current: dict[str, Any] = {}
+        for rel in old:
+            t = pq.read_table(
+                os.path.join(real, rel), columns=["key", "value"]
+            )
+            for k, v in zip(
+                t.column("key").to_pylist(), t.column("value").to_pylist()
+            ):
+                current[k] = v
+        mutate(current)
+        adds: list[str] = []
+        staged_final = None
+        if current:
+            schema = _arrow_kv_local_schema(table)
+            rel_dir = f"id={_escape_part(id_)}"
+            os.makedirs(os.path.join(real, rel_dir), exist_ok=True)
+            base = f"rw-{uuid.uuid4().hex}.snappy.parquet"
+            items = sorted(current.items())  # deterministic file layout
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array([k for k, _ in items], type=schema.field(0).type),
+                    pa.array([v for _, v in items], type=schema.field(1).type),
+                ],
+                schema=schema,
+            )
+            staged = os.path.join(real, rel_dir, f".{base}")
+            pq.write_table(tbl, staged, compression="snappy")
+            staged_final = os.path.join(real, rel_dir, base)
+            os.rename(staged, staged_final)
+            adds = [f"{rel_dir}/{base}"]
+        try:
+            self._commit(table, adds=adds, removes=old, op=op)
+        except BaseException:
+            if staged_final is not None:
+                with contextlib.suppress(OSError):
+                    os.unlink(staged_final)
+            raise
+        return True
+
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
         """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
-        Rewrites only the touched namespace partition."""
+        Rewrites only the touched namespace partition (driver-side when
+        the namespace is control-plane sized, distributed otherwise)."""
         table = f"kv_{kind}"
         from zestdb_spark.operators import kv as kv_ops
 
-        updates = self.spark.createDataFrame([(id_, key, value)], _TABLES[table])
-        # the lock spans the read-modify-write: the namespace load is
-        # lazy and executes inside the tmp write, so serializing only
-        # the swap would still let two upserts read the same base state
+        # the lock spans the read-modify-write: serializing only the
+        # swap would still let two upserts read the same base state
         with self._rewrite_lock(table):
-            ns = self.load(table).filter(F.col("id") == id_)
-            self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
+            if not self._kv_local_rewrite(
+                table, id_, lambda cur: cur.__setitem__(key, value), "upsert"
+            ):
+                updates = self.spark.createDataFrame(
+                    [(id_, key, value)], _TABLES[table]
+                )
+                ns = self.load(table).filter(F.col("id") == id_)
+                self._rewrite_kv_namespace(table, id_, kv_ops.upsert(ns, updates))
         self._log_write(table, 1)
 
     def kv_ingest_bulk(self, kind: str, rows: DataFrame) -> None:
@@ -1405,11 +1512,19 @@ class ZestStore:
         table = f"kv_{kind}"
         if not self._exists(table):
             return
+
+        def mut(cur: dict) -> None:
+            if key is None:
+                cur.clear()
+            else:
+                cur.pop(key, None)
+
         with self._rewrite_lock(table):
-            ns = self.load(table).filter(F.col("id") == id_)
-            self._rewrite_kv_namespace(
-                table, id_, kv_ops.delete(ns, id_, key), op="delete"
-            )
+            if not self._kv_local_rewrite(table, id_, mut, "delete"):
+                ns = self.load(table).filter(F.col("id") == id_)
+                self._rewrite_kv_namespace(
+                    table, id_, kv_ops.delete(ns, id_, key), op="delete"
+                )
         self._log_write(table, None)
 
     def catalog_upsert(self, item: dict) -> None:
