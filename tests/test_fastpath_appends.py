@@ -224,3 +224,27 @@ def test_kv_binary_roundtrips_through_fast_path(store):
     store.kv_upsert("binary", "B", "blob", payload)
     rows = store.load("kv_binary").filter("id = 'B'").collect()
     assert len(rows) == 1 and bytes(rows[0].value) == payload
+
+
+def test_catalog_local_upsert_matches_render(spark, store):
+    """Catalog fast path: upsert-by-href folds driver-side into one
+    rw-* file; non-string vals keep their JSON form; re-posting an
+    href replaces, never duplicates."""
+    import json
+
+    from zestdb_spark.operators import catalog as cat_ops
+
+    base_md = [
+        {"rel": "urn:X-hypercat:rels:hasDescription:en", "val": "d"},
+        {"rel": "urn:X-hypercat:rels:isContentType", "val": "application/json"},
+    ]
+    store.catalog_upsert({"href": "/ts/a", "item-metadata": base_md + [{"rel": "c", "val": True}]})
+    store.catalog_upsert({"href": "/ts/b", "item-metadata": base_md})
+    store.catalog_upsert({"href": "/ts/a", "item-metadata": base_md + [{"rel": "c", "val": 42}]})
+    live = store._live_files("catalog_items")
+    assert len(live) == 1 and live[0].startswith("rw-")
+    cat = json.loads(cat_ops.render(store.load("catalog_items")))
+    by_href = {i["href"]: i["item-metadata"] for i in cat["items"]}
+    assert set(by_href) == {"/ts/a", "/ts/b"}
+    cvals = [p["val"] for p in by_href["/ts/a"] if p["rel"] == "c"]
+    assert cvals == ["42"]  # JSON form, replaced not duplicated

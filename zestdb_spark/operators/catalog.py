@@ -57,19 +57,27 @@ def validate_item(item: dict[str, Any]) -> None:
         raise BadRequest("item-metadata missing content-type rel")
 
 
+def item_row(item: dict[str, Any]) -> "tuple[str, list[tuple[str, str]]]":
+    """Canonical (href, [(rel, val), ...]) row for a VALIDATED item.
+    Non-string vals keep their JSON form ('true', '1.5'), not a Python
+    repr ('True') — the client must read back what it wrote. Shared by
+    the distributed upsert and storage's driver-side fast path so the
+    two can never disagree on coercion."""
+
+    def _val(v: Any) -> str:
+        return v if isinstance(v, str) else json.dumps(v)
+
+    return (
+        item["href"],
+        [(p["rel"], _val(p["val"])) for p in item["item-metadata"]],
+    )
+
+
 def upsert_item(items: DataFrame, item: dict[str, Any]) -> DataFrame:
     """POST /cat — validate + upsert by href (src/hc.re:43-51)."""
     validate_item(item)
     spark = items.sparkSession
-    # non-string vals keep their JSON form ('true', '1.5'), not a
-    # Python repr ('True') — the client must read back what it wrote
-    def _val(v: Any) -> str:
-        return v if isinstance(v, str) else json.dumps(v)
-
-    new = spark.createDataFrame(
-        [(item["href"], [(p["rel"], _val(p["val"])) for p in item["item-metadata"]])],
-        items.schema,
-    )
+    new = spark.createDataFrame([item_row(item)], items.schema)
     return items.filter(F.col("href") != item["href"]).unionByName(new)
 
 

@@ -169,25 +169,44 @@ def _arrow_ts_local_schema(table: str):
     return _ARROW_LOG_CACHE[key]
 
 
+def _spark_to_arrow_type(dt):
+    """Spark DataType → pyarrow type, recursively (arrays/structs) —
+    the same physical mapping Spark's parquet writer uses, so
+    driver-written files are interchangeable with Spark-written
+    ones."""
+    import pyarrow as pa
+
+    name = dt.typeName()
+    if name == "array":
+        return pa.list_(
+            pa.field("element", _spark_to_arrow_type(dt.elementType), dt.containsNull)
+        )
+    if name == "struct":
+        return pa.struct(
+            [
+                pa.field(f.name, _spark_to_arrow_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    return {
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "string": pa.string(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+    }[name]
+
+
 def _arrow_log_schema(table: str):
     """pyarrow schema mirroring ``_TABLES[table]`` for the driver-side
-    log-append fast path (_append_log). Derived from the Spark schema —
-    one source of truth — via the same long/int/string/double mapping
-    Spark's own parquet writer uses, so files are interchangeable with
-    Spark-written ones (compact_log merges both kinds)."""
+    fast paths (_append_log, _append_ts_local, _kv_local_rewrite,
+    catalog). Derived from the Spark schema — one source of truth."""
     if table not in _ARROW_LOG_CACHE:
         import pyarrow as pa
 
-        _SPARK_TO_ARROW = {
-            "long": pa.int64(),
-            "integer": pa.int32(),
-            "string": pa.string(),
-            "double": pa.float64(),
-            "boolean": pa.bool_(),
-            "binary": pa.binary(),
-        }
         fields = [
-            pa.field(f.name, _SPARK_TO_ARROW[f.dataType.typeName()], f.nullable)
+            pa.field(f.name, _spark_to_arrow_type(f.dataType), f.nullable)
             for f in _TABLES[table].fields
         ]
         _ARROW_LOG_CACHE[table] = pa.schema(fields)
@@ -1528,15 +1547,75 @@ class ZestStore:
         self._log_write(table, None)
 
     def catalog_upsert(self, item: dict) -> None:
-        """S5/M2: validate + upsert by href (src/hc.re:43-51)."""
+        """S5/M2: validate + upsert by href (src/hc.re:43-51). The
+        catalog is href-keyed and control-plane sized, so the upsert
+        runs driver-side (same single-row-MERGE fast path as KV —
+        pyarrow read of the live files, replace by href, one rw-* file,
+        one overwrite commit) under the same budget, falling back to
+        the distributed rewrite past it."""
         from zestdb_spark.operators import catalog as cat_ops
 
+        cat_ops.validate_item(item)
         with self._rewrite_lock("catalog_items"):
-            self._overwrite(
-                "catalog_items",
-                cat_ops.upsert_item(self.load("catalog_items"), item),
-            )
+            if not self._catalog_local_upsert(cat_ops.item_row(item)):
+                self._overwrite(
+                    "catalog_items",
+                    cat_ops.upsert_item(self.load("catalog_items"), item),
+                )
         self._log_write("catalog_items", 1)
+
+    def _catalog_local_upsert(self, row: "tuple[str, list]") -> bool:
+        """Driver-side catalog upsert-by-href: fold the live files into
+        an href-keyed dict, replace one entry, publish ONE rw-* file in
+        an atomic whole-table overwrite commit (the catalog equivalent
+        of _kv_local_rewrite; same crash contract and budget/legacy
+        fallbacks)."""
+        table = "catalog_items"
+        live = self._live_files(table)
+        real = self._path(table)
+        total = 0
+        for rel in live:
+            try:
+                total += os.path.getsize(os.path.join(real, rel))
+            except OSError:
+                return False
+        if total > self._KV_LOCAL_MAX_BYTES:
+            return False
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        current: dict[str, list] = {}
+        for rel in live:
+            t = pq.read_table(os.path.join(real, rel))
+            for href, md in zip(
+                t.column("href").to_pylist(),
+                t.column("item_metadata").to_pylist(),
+            ):
+                current[href] = md
+        href, pairs = row
+        current[href] = [{"rel": r, "val": v} for r, v in pairs]
+        schema = _arrow_log_schema(table)
+        items = sorted(current.items())
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([h for h, _ in items], type=schema.field(0).type),
+                pa.array([m for _, m in items], type=schema.field(1).type),
+            ],
+            schema=schema,
+        )
+        os.makedirs(real, exist_ok=True)
+        base = f"rw-{uuid.uuid4().hex}.snappy.parquet"
+        staged = os.path.join(real, f".{base}")
+        pq.write_table(tbl, staged, compression="snappy")
+        final = os.path.join(real, base)
+        os.rename(staged, final)
+        try:
+            self._commit(table, adds=[base], removes=live, op="overwrite")
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(final)
+            raise
+        return True
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
         """D1: partition-scoped delete. Only the (series_id, time_bucket)
