@@ -248,3 +248,41 @@ def test_catalog_local_upsert_matches_render(spark, store):
     assert set(by_href) == {"/ts/a", "/ts/b"}
     cvals = [p["val"] for p in by_href["/ts/a"] if p["rel"] == "c"]
     assert cvals == ["42"]  # JSON form, replaced not duplicated
+
+
+def test_vacuum_reclaims_crashed_fastpath_dotfiles(spark, store):
+    """A crash between the fast path's dot-file write and its rename
+    leaves an invisible `.part-*.parquet` — vacuum must reclaim it past
+    the orphan floor (dot names can never become referenced)."""
+    import time as _time
+
+    store.write_numeric("s", {"value": 1.0}, 1000)
+    real = store._path("ts_numeric")
+    litter = os.path.join(real, "series_id=s", "time_bucket=0", ".part-crashed.snappy.parquet")
+    with open(litter, "wb") as f:
+        f.write(b"torn")
+    old = _time.time() - 10_000
+    os.utime(litter, (old, old))
+    dead, orphans = snapshots.vacuum(real, retention_s=0.0)
+    assert orphans >= 1 and not os.path.exists(litter)
+    # and the table still reads
+    assert store.load("ts_numeric").count() == 1
+
+
+def test_vacuum_reclaims_crashed_stage_dirs(spark, store):
+    """kill-9 mid-_stage_move leaves a .stage_<table>_* dir at the
+    store root; store.vacuum sweeps aged ones."""
+    import time as _time
+
+    store.write_numeric("s", {"value": 1.0}, 1000)
+    litter = os.path.join(store.root, ".stage_ts_numeric_deadbeef0000")
+    os.makedirs(litter)
+    old = _time.time() - 10_000
+    os.utime(litter, (old, old))
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert not os.path.exists(litter)
+    # fresh stage dirs survive (an in-flight writer is using them)
+    fresh = os.path.join(store.root, ".stage_ts_numeric_deadbeef0001")
+    os.makedirs(fresh)
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert os.path.exists(fresh)

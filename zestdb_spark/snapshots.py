@@ -528,6 +528,23 @@ def vacuum(
                     if not dry_run:
                         os.unlink(full)
                     orphans += 1
+    if reclaim_orphans:
+        # fast-path staging litter: a crash between a driver-side
+        # dot-file write and its rename (storage._append_log /
+        # _append_ts_local / _kv_local_rewrite) leaves `.part-*` /
+        # `.rw-*` parquet dotfiles. The `.`-prefix contract makes them
+        # invisible to every reader forever, so they reclaim
+        # unconditionally past the orphan age floor.
+        for dirpath, dirs, names in os.walk(table_dir):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for f in names:
+                if f.startswith(".") and f.endswith(".parquet"):
+                    full = os.path.join(dirpath, f)
+                    with contextlib.suppress(OSError):
+                        if os.path.getmtime(full) <= now - orphan_age:
+                            if not dry_run:
+                                os.unlink(full)
+                            orphans += 1
     if dry_run:
         return (len(deleted), orphans)
     if deleted:

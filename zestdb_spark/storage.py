@@ -1026,6 +1026,17 @@ class ZestStore:
         rewriting = coordination.get_coordinator().is_held(
             os.path.join(self.root, f".lock_{table}")
         )
+        if not dry_run and not rewriting:
+            # a kill-9 mid-_stage_move leaves a `.stage_<table>_*` dir
+            # at the store root (its finally never ran) — invisible to
+            # readers, reclaimable past the same orphan floor
+            floor = max(retention_s, snapshots.ORPHAN_MIN_AGE_S)
+            for name in os.listdir(self.root):
+                if name.startswith(f".stage_{table}_"):
+                    full = os.path.join(self.root, name)
+                    with contextlib.suppress(OSError):
+                        if os.path.getmtime(full) <= time.time() - floor:
+                            shutil.rmtree(full, ignore_errors=True)
         return snapshots.vacuum(
             self._path(table),
             retention_s,
