@@ -62,8 +62,22 @@ def iter_blob_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
 
 
 def rows_to_json(df: DataFrame, blob: bool = False) -> str:
-    it = iter_blob_rows(df) if blob else iter_ts_rows(df)
-    return json.dumps(list(it))
+    """API-sized by contract (see module docstring) — the JSON array
+    must exist in full anyway, so ``collect()`` beats the local
+    iterator's per-batch protocol round trips (~0.3 s on a top-k
+    read). The ``iter_*`` generators remain for callers that truly
+    stream."""
+    rows = [r.asDict() for r in df.collect()]
+    if blob:
+        out = [
+            {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
+            for d in rows
+        ]
+    else:
+        out = [
+            {"timestamp": d["timestamp"], "data": _row_data(d)} for d in rows
+        ]
+    return json.dumps(out)
 
 
 def aggregate_to_json(df: DataFrame) -> str:
