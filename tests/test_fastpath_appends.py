@@ -286,3 +286,25 @@ def test_vacuum_reclaims_crashed_stage_dirs(spark, store):
     os.makedirs(fresh)
     store.vacuum("ts_numeric", retention_s=0.0)
     assert os.path.exists(fresh)
+
+
+def test_reader_cache_serves_fresh_data_after_writes(spark, store):
+    """HEAD reads reuse the constructed reader (building one re-lists
+    every live file — O(files) py4j round trips); a commit bumps the
+    manifest version out of the cache key, so readers can never see
+    stale data. Time-travel reads bypass the cache (their
+    reclaimed-files check must re-run)."""
+    store.write_numeric("s", {"value": 1.0}, 1000)
+    assert [r.value for r in store.load("ts_numeric").collect()] == [1.0]
+    assert len(store._reader_cache) >= 1
+    # same head version -> same DataFrame object (the cache hit)
+    d1 = store._read_table("ts_numeric")
+    d2 = store._read_table("ts_numeric")
+    assert d1 is d2
+    store.write_numeric("s", {"value": 2.0}, 2000)
+    got = sorted(r.value for r in store.load("ts_numeric").collect())
+    assert got == [1.0, 2.0]  # new version -> new reader -> fresh rows
+    v1 = store.history("ts_numeric")[-1].version
+    before = len(store._reader_cache)
+    store._read_table("ts_numeric", version=v1)  # pinned read
+    assert len(store._reader_cache) == before  # not cached
