@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n = max(1, int(sys.argv[1])) if len(sys.argv) > 1 else 10
 
     from zestdb_spark.api import ZestEngine
     from zestdb_spark.session import get_spark

@@ -12,8 +12,9 @@ import pytest
 from zestdb_spark import coordination
 
 
-#: a pid that cannot exist (kernel.pid_max caps at 2^22 = 4194304)
-DEAD_PID = 4_000_000 + (os.getpid() % 100_000)
+#: a pid that CANNOT exist: kernel.pid_max's ceiling is 2^22 = 4194304
+#: inclusive, so anything strictly above it never names a process
+DEAD_PID = (1 << 22) + 1 + (os.getpid() % 100_000)
 
 
 def _write(path: str, content: str) -> None:

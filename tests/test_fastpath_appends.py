@@ -308,3 +308,17 @@ def test_reader_cache_serves_fresh_data_after_writes(spark, store):
     before = len(store._reader_cache)
     store._read_table("ts_numeric", version=v1)  # pinned read
     assert len(store._reader_cache) == before  # not cached
+
+
+def test_empty_partition_identifiers_rejected(store):
+    """An empty partition value has no faithful physical form (Hive
+    maps '' AND null to __HIVE_DEFAULT_PARTITION__, read back as
+    NULL) — mutations reject loudly instead of splitting a series."""
+    from zestdb_spark.errors import BadRequest
+
+    with pytest.raises(BadRequest, match="non-empty"):
+        store.write_numeric("", {"value": 1.0}, 1000)
+    with pytest.raises(BadRequest, match="non-empty"):
+        store.kv_upsert("json", "", "k", '"v"')
+    store.kv_delete("json", "")  # no-op, never a commit
+    assert not store._exists("kv_json")

@@ -173,14 +173,17 @@ def mutex(path: str, wait_s: float = 30.0, busy_error=None):
         pid = coord.holder(path)
         if pid and not _pid_alive(pid):
             coord.reclaim_if_dead(path)
-            continue
+            # fall through to the deadline check: if another waiter's
+            # sidecar blocks reclamation indefinitely (stalled waiter),
+            # this loop must still time out rather than spin forever;
+            # the sleep below also keeps the retry from busy-spinning
         if time.monotonic() > deadline:
             if busy_error is not None:
                 raise busy_error(pid)
             raise TimeoutError(
                 f"mutex {path} held by pid {pid or '?'} past {wait_s}s"
             )
-        time.sleep(0.05)
+        time.sleep(0.01 if pid and not _pid_alive(pid) else 0.05)
     try:
         yield
     finally:

@@ -168,8 +168,14 @@ def lsh_topk(
         .select("v", "norm")
         .collect()
     )
-    if not qrow:
-        raise ValueError(f"lsh_topk: query vec_id {query_vec_id} not found")
+    if not qrow or float(qrow[0]["norm"]) == 0.0:
+        # unknown query id or zero-norm query: cosine is undefined —
+        # empty frame, the SAME contract as cosine_topk / ivf_topk
+        # (callers treat the three top-k paths as interchangeable)
+        spark = embs.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), "vec_id long, cosine double"
+        )
     qv, qnorm = qrow[0]["v"], float(qrow[0]["norm"])
     probes = _probe_sequence(qv, nbits, n_probes)
     qlit = F.array(*[F.lit(float(x)) for x in qv])

@@ -18,6 +18,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zestdb_spark import serializers
 from zestdb_spark.errors import BadRequest
 
 REL_DESCRIPTION = "urn:X-hypercat:rels:hasDescription:en"
@@ -98,8 +99,6 @@ def render(items: DataFrame) -> str:
             "href": r["href"],
             "item-metadata": [{"rel": p["rel"], "val": p["val"]} for p in r["item_metadata"]],
         }
-        # one-partition stream: per-partition iterator round trips cost
-        # ~0.1 s each (serializers._stream has the full rationale)
-        for r in items.coalesce(1).toLocalIterator()
+        for r in serializers._stream(items)
     ]
     return json.dumps(cat)

@@ -48,36 +48,31 @@ def _stream(df: DataFrame):
     return df.coalesce(1).toLocalIterator()
 
 
+def _shape_ts(d: dict[str, Any]) -> dict[str, Any]:
+    return {"timestamp": d["timestamp"], "data": _row_data(d)}
+
+
+def _shape_blob(d: dict[str, Any]) -> dict[str, Any]:
+    return {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
+
+
 def iter_ts_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
     """Numeric-TS result rows → reference row dicts, streamed."""
-    for row in _stream(df):
-        d = row.asDict()
-        yield {"timestamp": d["timestamp"], "data": _row_data(d)}
+    return (_shape_ts(row.asDict()) for row in _stream(df))
 
 
 def iter_blob_rows(df: DataFrame) -> Iterator[dict[str, Any]]:
-    for row in _stream(df):
-        d = row.asDict()
-        yield {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
+    return (_shape_blob(row.asDict()) for row in _stream(df))
 
 
 def rows_to_json(df: DataFrame, blob: bool = False) -> str:
     """API-sized by contract (see module docstring) — the JSON array
     must exist in full anyway, so ``collect()`` beats the local
     iterator's per-batch protocol round trips (~0.3 s on a top-k
-    read). The ``iter_*`` generators remain for callers that truly
-    stream."""
-    rows = [r.asDict() for r in df.collect()]
-    if blob:
-        out = [
-            {"timestamp": d["timestamp"], "data": json.loads(d["data"])}
-            for d in rows
-        ]
-    else:
-        out = [
-            {"timestamp": d["timestamp"], "data": _row_data(d)} for d in rows
-        ]
-    return json.dumps(out)
+    read). The ``iter_*`` generators share the same row shaping for
+    callers that truly stream."""
+    shape = _shape_blob if blob else _shape_ts
+    return json.dumps([shape(r.asDict()) for r in df.collect()])
 
 
 def aggregate_to_json(df: DataFrame) -> str:

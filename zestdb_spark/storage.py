@@ -1065,14 +1065,33 @@ class ZestStore:
         if not dry_run and not rewriting:
             # a kill-9 mid-_stage_move leaves a `.stage_<table>_*` dir
             # at the store root (its finally never ran) — invisible to
-            # readers, reclaimable past the same orphan floor
+            # readers, reclaimable past the same orphan floor. Age by
+            # the NEWEST mtime in the tree, not the dir's: a live
+            # lock-free APPEND (bulk ingest, streaming batch) may stage
+            # here for longer than the floor with the top-level mtime
+            # frozen at job start, but its tasks keep writing files —
+            # only a tree nothing has touched for a full floor is
+            # provably abandoned.
             floor = max(retention_s, snapshots.ORPHAN_MIN_AGE_S)
+            cutoff = time.time() - floor
             for name in os.listdir(self.root):
                 if name.startswith(f".stage_{table}_"):
                     full = os.path.join(self.root, name)
-                    with contextlib.suppress(OSError):
-                        if os.path.getmtime(full) <= time.time() - floor:
-                            shutil.rmtree(full, ignore_errors=True)
+                    try:
+                        newest = os.path.getmtime(full)
+                        for dirpath, _dirs, names in os.walk(full):
+                            newest = max(newest, os.path.getmtime(dirpath))
+                            for f in names:
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(os.path.join(dirpath, f)),
+                                )
+                    except OSError:
+                        # entries changing under the walk = a LIVE
+                        # writer; never reclaim on partial evidence
+                        continue
+                    if newest <= cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
         return snapshots.vacuum(
             self._path(table),
             retention_s,
@@ -1201,6 +1220,13 @@ class ZestStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if any(not r[0] for r in rows):
+            # an empty partition value has NO faithful physical form:
+            # Hive/Spark map both null and "" to __HIVE_DEFAULT_PARTITION__
+            # and read them back as NULL — lossy on BOTH paths, so
+            # reject loudly instead of splitting or corrupting a series
+            # (a reference URI path cannot carry an empty segment anyway)
+            raise BadRequest("series id must be non-empty")
         wid = self._next_write_id()
         fields = _TABLES[table].fields
         assert fields[0].name == "series_id" and fields[1].name == "timestamp"
@@ -1213,40 +1239,34 @@ class ZestStore:
             bucket = ts // _DAY_MS if ts >= 0 else -((-ts) // _DAY_MS)
             groups.setdefault((sid, bucket), []).append(r)
         adds = []
-        staged_abs = []
-        try:
-            for (sid, bucket), grp in sorted(groups.items()):
-                rel_dir = f"series_id={_escape_part(sid)}/time_bucket={bucket}"
-                os.makedirs(os.path.join(real, rel_dir), exist_ok=True)
-                base = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                # data columns = canonical schema minus the partition
-                # columns (they live in the dir name, exactly like a
-                # Spark partitioned write), plus the write_id stamp
-                cols = [
-                    pa.array(
-                        [g[i] for g in grp], type=schema.field(i - 1).type
-                    )
-                    for i in range(1, len(fields))
-                ]
-                cols.append(pa.array([wid] * len(grp), type=pa.int64()))
-                staged = os.path.join(real, rel_dir, f".{base}")
-                pq.write_table(
-                    pa.Table.from_arrays(cols, schema=schema),
-                    staged,
-                    compression="snappy",
-                )
-                final_rel = f"{rel_dir}/{base}"
-                os.rename(staged, os.path.join(real, rel_dir, base))
-                staged_abs.append(os.path.join(real, rel_dir, base))
-                adds.append(final_rel)
-            self._commit(table, adds=adds, op="append")
-        except BaseException:
-            # staged-but-uncommitted files are harmless orphans, but a
-            # failed 1-row request shouldn't leave them for vacuum
-            for p in staged_abs:
-                with contextlib.suppress(OSError):
-                    os.unlink(p)
-            raise
+        for (sid, bucket), grp in sorted(groups.items()):
+            rel_dir = f"series_id={_escape_part(sid)}/time_bucket={bucket}"
+            os.makedirs(os.path.join(real, rel_dir), exist_ok=True)
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            # data columns = canonical schema minus the partition
+            # columns (they live in the dir name, exactly like a
+            # Spark partitioned write), plus the write_id stamp
+            cols = [
+                pa.array([g[i] for g in grp], type=schema.field(i - 1).type)
+                for i in range(1, len(fields))
+            ]
+            cols.append(pa.array([wid] * len(grp), type=pa.int64()))
+            staged = os.path.join(real, rel_dir, f".{base}")
+            pq.write_table(
+                pa.Table.from_arrays(cols, schema=schema),
+                staged,
+                compression="snappy",
+            )
+            final_rel = f"{rel_dir}/{base}"
+            os.rename(staged, os.path.join(real, rel_dir, base))
+            adds.append(final_rel)
+        # a failed commit leaves the renamed part-* files as ORPHANS for
+        # vacuum — never unlink them here: they are already visible to
+        # the data-observe stream's part-* glob (the documented
+        # at-least-once contract), and yanking a file an observer
+        # micro-batch has listed but not read would kill its query.
+        # A crash before any rename leaves only dotfiles (also vacuumed).
+        self._commit(table, adds=adds, op="append")
         self._log_write(table, n_rows, wid)
 
     def write_numeric(
@@ -1488,13 +1508,9 @@ class ZestStore:
             ):
                 current[k] = v
         mutate(current)
-        adds: list[str] = []
-        staged_final = None
+        tbl = None
         if current:
             schema = _arrow_kv_local_schema(table)
-            rel_dir = f"id={_escape_part(id_)}"
-            os.makedirs(os.path.join(real, rel_dir), exist_ok=True)
-            base = f"rw-{uuid.uuid4().hex}.snappy.parquet"
             items = sorted(current.items())  # deterministic file layout
             tbl = pa.Table.from_arrays(
                 [
@@ -1503,19 +1519,43 @@ class ZestStore:
                 ],
                 schema=schema,
             )
-            staged = os.path.join(real, rel_dir, f".{base}")
-            pq.write_table(tbl, staged, compression="snappy")
-            staged_final = os.path.join(real, rel_dir, base)
-            os.rename(staged, staged_final)
-            adds = [f"{rel_dir}/{base}"]
-        try:
-            self._commit(table, adds=adds, removes=old, op=op)
-        except BaseException:
-            if staged_final is not None:
-                with contextlib.suppress(OSError):
-                    os.unlink(staged_final)
-            raise
+        self._local_rewrite_publish(
+            table, f"id={_escape_part(id_)}", tbl, removes=old, op=op
+        )
         return True
+
+    def _local_rewrite_publish(
+        self, table: str, rel_dir: str, tbl, removes, op: str
+    ) -> None:
+        """Shared tail of the driver-side rewrite fast paths (KV
+        namespaces, catalog): stage ``tbl`` (a pyarrow table, or None
+        for an emptied target) as an invisible dot-file, rename to its
+        ``rw-*`` name, publish adds+removes in ONE atomic commit. On
+        commit failure the replacement file is unlinked — safe because
+        an uncommitted ``rw-*`` file is referenced by no manifest and
+        excluded from every observer glob (unlike appends' ``part-*``
+        orphans, which must be left for vacuum)."""
+        import pyarrow.parquet as pq
+
+        real = self._path(table)
+        adds: list[str] = []
+        final = None
+        if tbl is not None:
+            dirpath = os.path.join(real, rel_dir) if rel_dir else real
+            os.makedirs(dirpath, exist_ok=True)
+            base = f"rw-{uuid.uuid4().hex}.snappy.parquet"
+            staged = os.path.join(dirpath, f".{base}")
+            pq.write_table(tbl, staged, compression="snappy")
+            final = os.path.join(dirpath, base)
+            os.rename(staged, final)
+            adds = [f"{rel_dir}/{base}" if rel_dir else base]
+        try:
+            self._commit(table, adds=adds, removes=removes, op=op)
+        except BaseException:
+            if final is not None:
+                with contextlib.suppress(OSError):
+                    os.unlink(final)
+            raise
 
     def kv_upsert(self, kind: str, id_: str, key: str, value: Any) -> None:
         """S4: LWW upsert at (id, key) — src/keyvalue/keyvalue.re:14-20.
@@ -1524,6 +1564,10 @@ class ZestStore:
         table = f"kv_{kind}"
         from zestdb_spark.operators import kv as kv_ops
 
+        if not id_:
+            # see _append_ts_local: an empty partition value reads back
+            # as NULL on every path — reject, don't corrupt
+            raise BadRequest("kv namespace id must be non-empty")
         # the lock spans the read-modify-write: serializing only the
         # swap would still let two upserts read the same base state
         with self._rewrite_lock(table):
@@ -1576,8 +1620,8 @@ class ZestStore:
         from zestdb_spark.operators import kv as kv_ops
 
         table = f"kv_{kind}"
-        if not self._exists(table):
-            return
+        if not id_ or not self._exists(table):
+            return  # empty namespaces can never have been written
 
         def mut(cur: dict) -> None:
             if key is None:
@@ -1650,18 +1694,7 @@ class ZestStore:
             ],
             schema=schema,
         )
-        os.makedirs(real, exist_ok=True)
-        base = f"rw-{uuid.uuid4().hex}.snappy.parquet"
-        staged = os.path.join(real, f".{base}")
-        pq.write_table(tbl, staged, compression="snappy")
-        final = os.path.join(real, base)
-        os.rename(staged, final)
-        try:
-            self._commit(table, adds=[base], removes=live, op="overwrite")
-        except BaseException:
-            with contextlib.suppress(OSError):
-                os.unlink(final)
-            raise
+        self._local_rewrite_publish(table, "", tbl, removes=live, op="overwrite")
         return True
 
     def ts_delete(self, plan, compat_collateral: bool = False) -> None:
