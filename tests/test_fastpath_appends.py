@@ -322,3 +322,49 @@ def test_empty_partition_identifiers_rejected(store):
         store.kv_upsert("json", "", "k", '"v"')
     store.kv_delete("json", "")  # no-op, never a commit
     assert not store._exists("kv_json")
+
+
+def test_concurrent_fastpath_writers_all_land(spark, store):
+    """Lock-free appends from many threads merge through the commit
+    CAS (snapshots.commit retries fold concurrent adds): every row,
+    every provenance stamp, and every manifest entry must land —
+    the fast paths changed the file WRITER, never the commit
+    protocol. KV upserts to distinct namespaces serialize behind the
+    table lock but must also all land."""
+    import threading
+
+    errs: list = []
+
+    def ts_worker(k: int) -> None:
+        try:
+            for i in range(10):
+                store.write_numeric(f"s{k}", {"value": float(i)}, 1000 + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def kv_worker(k: int) -> None:
+        try:
+            for i in range(5):
+                store.kv_upsert("json", f"ns{k}", f"k{i}", f'"{i}"')
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=ts_worker, args=(k,)) for k in range(4)
+    ] + [threading.Thread(target=kv_worker, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert store.load("ts_numeric").count() == 40
+    assert store.load("kv_json").count() == 15
+    # every data row provenance-stamped, every write logged exactly once
+    prov = store.load_with_provenance("ts_numeric")
+    assert prov.filter("write_id is null").count() == 0
+    assert store.load("write_log").count() == 40 + 15
+    wids = [r.write_id for r in store.load("write_log").collect()]
+    assert len(set(wids)) == len(wids)  # no duplicated write ids
+    # manifest is consistent: live files == files on disk that readers see
+    snap = snapshots.latest(store._path("ts_numeric"))
+    assert len(snap.files) == 40
