@@ -138,3 +138,49 @@ def test_set_coordinator_swaps_backend(tmp_path):
         assert calls == [("publish", str(tmp_path / "f"))]
     finally:
         coordination.set_coordinator(orig)
+
+
+def test_cross_process_commit_cas(tmp_path):
+    """TWO PROCESSES hammer lock-free appends at one manifest: the
+    os.link CAS (coordination.publish) must serialize them with zero
+    lost adds — the property every concurrent-append claim reduces
+    to, tested across real process boundaries rather than threads."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from zestdb_spark import snapshots
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    n = 25
+
+    def add_files(prefix: str) -> None:
+        for i in range(n):
+            with open(os.path.join(table, f"{prefix}-{i}.parquet"), "w") as f:
+                f.write("x")
+
+    add_files("p")
+    add_files("c")
+
+    child_src = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from zestdb_spark import snapshots
+        for i in range({n}):
+            snapshots.commit({table!r}, adds=[f"c-{{i}}.parquet"], op="append")
+    """)
+    child = subprocess.Popen([sys.executable, "-c", child_src])
+    try:
+        for i in range(n):
+            snapshots.commit(table, adds=[f"p-{i}.parquet"], op="append")
+    finally:
+        rc = child.wait(timeout=120)
+    assert rc == 0
+    snap = snapshots.latest(table)
+    expected = {f"p-{i}.parquet" for i in range(n)} | {
+        f"c-{i}.parquet" for i in range(n)
+    }
+    assert set(snap.files) == expected, "an add was lost under CAS contention"
+    # versions are strictly sequential from 0: 2n commits -> head 2n-1
+    assert snap.version == 2 * n - 1
