@@ -886,6 +886,19 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _layout_zorder(spark, sf_dir):
+        from zestdb_spark.functions import layout
+
+        fixtures.harden_session(spark)  # UTC: timestamp→epoch-ms casts
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_ms"),
+        )
+        return layout.with_zorder_key(
+            orders, ["o_custkey", "o_ms"], bits=16
+        ).select("o_orderkey", "zkey")
+
     def emb_covariance(spark, sf_dir):
         """Exact embedding moments (PCA's input) under the gate: the
         first-4-dims slice of similarity.embedding_moments' one-pass
@@ -1200,6 +1213,25 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF coarse quantization ANN: deterministic codebook (smallest
         # vec_ids) + sequential-fold probe ranking → fully oracle-able
         "sim_topk_ivf": lambda s, d: similarity.ivf_topk(embs(s, d), 0, 10),
+        # Product quantization (Jégou et al. 2011): the memory-
+        # compressed ANN tier — m=8 sub-codebooks of 16 centroids over
+        # unit vectors (ids-init, the oracle-stable posture), codes are
+        # 8 bytes/vector instead of 256. sim_pq_codes grades the encode
+        # (every (vec_id, subspace) assignment); sim_topk_pq grades the
+        # ADC search (driver-folded LUT, left-fold sum, q6) — both
+        # replayed exactly in DuckDB from the same first-16 codebook
+        "sim_pq_codes": lambda s, d: similarity.pq_encode(
+            embs(s, d), similarity.pq_train(embs(s, d), init="ids")
+        ).select(
+            "vec_id", F.posexplode("codes").alias("sub", "code")
+        ),
+        "sim_topk_pq": lambda s, d: similarity.pq_topk(embs(s, d), 0, 10),
+        # Z-order (Morton) clustering key — the multi-column
+        # file-skipping layout (Delta's OPTIMIZE ZORDER BY recipe):
+        # pure BIGINT scale + bit-interleave, replayed exactly in SQL.
+        # The layout/pruning property itself is pinned by
+        # tests/test_layout.py against real parquet footer stats.
+        "layout_zorder": _layout_zorder,
         # PCA deployment shape: scan-local projection onto a literal
         # basis (dot-fold minus the driver-folded centering constant);
         # the FIT's exact one-pass moments are graded via emb_covariance
@@ -1491,6 +1523,62 @@ _EMB_NORM_CTE = """
   e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
 """
+
+#: PQ replay (functions/similarity.py pq_train/pq_encode, ids init,
+#: m=8 × sub=8 over dim 64, 16 codes/subspace): unit-normalize, take
+#: the 16 smallest vec_ids' subvectors as each subspace codebook,
+#: assign argmax of dot(x_s, c_s) − ‖c_s‖²/2 (ties → lowest code) —
+#: every float op is the same left fold the engine compiles, so codes
+#: AND ADC scores replay bit-exactly.
+_PQ_CTES = """
+  u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS uv
+        FROM n WHERE norm > 0),
+  cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                uv AS cv
+         FROM (SELECT * FROM u ORDER BY vec_id LIMIT 16)),
+  sub AS (SELECT s FROM generate_series(0, 7) AS g(s)),
+  parts AS (
+    SELECT u.vec_id, sub.s, cb.code,
+           list_dot_product(u.uv[sub.s*8+1 : sub.s*8+8],
+                            cb.cv[sub.s*8+1 : sub.s*8+8])
+           - list_dot_product(cb.cv[sub.s*8+1 : sub.s*8+8],
+                              cb.cv[sub.s*8+1 : sub.s*8+8]) * 0.5 AS sc
+    FROM u CROSS JOIN sub CROSS JOIN cb),
+  assign AS (
+    SELECT vec_id, s, code FROM (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY sc DESC, code ASC) AS rn
+      FROM parts) t WHERE rn = 1)
+"""
+
+def _zorder_sql() -> str:
+    """functions/layout.py replayed in DuckDB: BIGINT min/max scaling
+    (`//` truncating division == Spark's `div` on the non-negative
+    operands) and a 16-bit × 2-column Morton interleave — disjoint bit
+    positions, so `+` equals the engine's bitwiseOR exactly."""
+    terms = [
+        f"(((r{i} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i in (0, 1)
+    ]
+    inter = " + ".join(terms)
+    return f"""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                        epoch_ms(o_orderdate) AS o_ms FROM orders),
+      mm AS (SELECT min(o_custkey) AS lo0, max(o_custkey) AS hi0,
+                    min(o_ms) AS lo1, max(o_ms) AS hi1 FROM o),
+      s AS (SELECT o_orderkey,
+              CASE WHEN hi0 > lo0
+                   THEN ((o_custkey - lo0) * 65535) // (hi0 - lo0)
+                   ELSE 0 END AS r0,
+              CASE WHEN hi1 > lo1
+                   THEN ((o_ms - lo1) * 65535) // (hi1 - lo1)
+                   ELSE 0 END AS r1
+            FROM o CROSS JOIN mm)
+      SELECT o_orderkey, {inter} AS zkey FROM s
+    """
+
 
 #: stopword lists — keep in sync with zestdb_spark.functions.textstats
 _SW = {
@@ -2099,6 +2187,7 @@ _EXT_SQL: dict[str, str] = {
               / 1000000.0 >= 0.45
     """,
     "sim_pca_project": _pca_project_sql(),
+    "layout_zorder": _zorder_sql(),
     "emb_covariance": _emb_cov_sql(),
     "text_bpe_encode": _bpe_encode_sql(),
     "sim_topk_ivf": f"""
@@ -2124,6 +2213,32 @@ _EXT_SQL: dict[str, str] = {
       FROM n JOIN assign a ON a.vec_id = n.vec_id, q
       WHERE a.cent IN (SELECT cid FROM probe) AND n.vec_id <> 0
       ORDER BY cosine DESC, n.vec_id ASC LIMIT 10
+    """,
+    "sim_pq_codes": f"""
+      WITH {_EMB_NORM_CTE},
+      {_PQ_CTES}
+      SELECT vec_id, s AS sub, code FROM assign
+    """,
+    "sim_topk_pq": f"""
+      WITH {_EMB_NORM_CTE},
+      {_PQ_CTES},
+      q AS (SELECT uv AS qv FROM u WHERE vec_id = 0),
+      lut AS (
+        SELECT cb.code, sub.s,
+               list_dot_product(q.qv[sub.s*8+1 : sub.s*8+8],
+                                cb.cv[sub.s*8+1 : sub.s*8+8]) AS val
+        FROM cb CROSS JOIN sub CROSS JOIN q),
+      -- ADC: Σ_s LUT[s][code_s] as the SAME left fold the engine's
+      -- F.aggregate compiles (list_dot_product against ones), q6 floor
+      scores AS (
+        SELECT a.vec_id,
+               floor(list_dot_product(list(l.val ORDER BY a.s),
+                                      list_transform(range(8), x -> 1.0))
+                     * 1000000.0) / 1000000.0 AS score
+        FROM assign a JOIN lut l ON l.s = a.s AND l.code = a.code
+        GROUP BY a.vec_id)
+      SELECT vec_id, score FROM scores WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id ASC LIMIT 10
     """,
     "text_fingerprint": r"""
       SELECT doc_id,
@@ -3171,8 +3286,15 @@ GRADED_WINDOW: list[str] = [
     # shape (text_probe_score: literal linear model scored scan-local)
     # carries driver evidence; the TRAINER itself is the tail row
     # text_probe_fit1 (closed-form-oracle fit on exact decimal sums)
+    # Round-9 swap #2: sim_lsh_bucketed_pairs demoted to the tail (its
+    # banded-bucket equi-join shape keeps driver evidence through
+    # graded dedup_minhash; the row stays oracle-exact in selfcheck) so
+    # the NEW memory-compressed ANN tier — product quantization
+    # (sim_topk_pq: per-subspace argmax encode + driver-folded ADC
+    # lookup scoring, the 32×-smaller 100 TB index shape) — carries
+    # DIRECT driver evidence
     "dedup_exact", "dedup_minhash", "dedup_semantic",
-    "text_probe_score", "sim_topk_ivf", "sim_lsh_bucketed_pairs",
+    "text_probe_score", "sim_topk_ivf", "sim_topk_pq",
     # retrieval family graded via BM25 (tf_idf demoted to the tail —
     # same term-weighting family, BM25 is the member a user would run)
     "text_quality", "text_langid", "text_gopher", "text_winnow",

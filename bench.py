@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     # round-8: two-pass exact heavy hitters (bounded-state MG candidate
     # pass + broadcast exact recount)
     "sk_heavy_hitters",
+    # round-9 continuation: product-quantization ANN (fused Arrow
+    # encode + ADC scoring in one pass)
+    "sim_topk_pq",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Product quantization (functions/similarity.py pq_train / pq_encode /
+pq_topk): codebook determinism, encode/ADC contracts, and the
+bit-exactness identities the DuckDB oracle replay rests on.
+
+Recall quality lives in tests/test_ann_recall.py (pinned floors); the
+driver-graded oracle rows are sim_pq_codes / sim_topk_pq.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions import similarity
+
+_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = spark.read.parquet(_EMB).select("vec_id", "embedding").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def cb(embs):
+    return similarity.pq_train(embs, m=8, n_codes=16, init="ids")
+
+
+def test_train_is_deterministic(embs):
+    a = similarity.pq_train(embs, m=8, n_codes=16, init="fps", iters=4)
+    b = similarity.pq_train(embs, m=8, n_codes=16, init="fps", iters=4)
+    assert a == b  # no RNG anywhere: hash-sample + greedy seeding + Lloyd
+
+
+def test_train_rejects_indivisible_dim(embs):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(embs, m=7)
+
+
+def test_ids_codebook_rows_encode_to_themselves(embs, cb):
+    """The 16 smallest vec_ids ARE the centroids under ids-init, so
+    vector i (i < 16) must take code i in every subspace — any drift
+    here means the assignment math no longer matches the codebook."""
+    rows = (
+        similarity.pq_encode(embs, cb)
+        .filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == 16
+    for r in rows:
+        assert list(r["codes"]) == [int(r["vec_id"])] * 8
+
+
+def test_codes_shape_and_range(embs, cb):
+    enc = similarity.pq_encode(embs, cb)
+    bad = enc.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    assert enc.count() == embs.count()  # fixture has no zero vectors
+
+
+def test_adc_from_codes_matches_fused_kernel(embs, cb):
+    """The two search paths — fused Arrow encode+score over embeddings
+    vs pure-JVM element_at chain over a persisted codes table — must
+    produce identical (vec_id, score) rows: same LUT, same left-fold
+    sum, same q6 floor."""
+    fused = similarity.pq_topk(embs, 3, 25, codebook=cb).collect()
+    codes = similarity.pq_encode(embs, cb)
+    jvm = similarity.pq_topk(embs, 3, 25, codebook=cb, codes=codes).collect()
+    assert [(r["vec_id"], r["score"]) for r in fused] == [
+        (r["vec_id"], r["score"]) for r in jvm
+    ]
+
+
+def test_full_rerank_equals_exact_search(embs, cb):
+    """rerank=corpus-size degrades PQ to exact search: the refine step
+    re-scores every candidate with true cosines, so the result must be
+    cosine_topk row for row (scores included)."""
+    n = embs.count()
+    exact = similarity.cosine_topk(embs, 7, 10).collect()
+    refined = similarity.pq_topk(embs, 7, 10, codebook=cb, rerank=n).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in exact] == [
+        (r["vec_id"], r["cosine"]) for r in refined
+    ]
+
+
+def test_unknown_query_returns_empty(embs, cb):
+    assert similarity.pq_topk(embs, 10**9, 5, codebook=cb).count() == 0
+    assert (
+        similarity.pq_topk(embs, 10**9, 5, codebook=cb, rerank=10).count() == 0
+    )
+
+
+def test_zero_norm_rows_dropped(spark, cb):
+    zeros = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    got = similarity.pq_encode(zeros, cb).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [0]
+
+
+def test_kernel_fold_matches_driver_fold(embs, cb):
+    """The vectorized kernel's accumulation order is the contract the
+    oracle replay depends on: recompute one row's ADC score with the
+    driver-side sequential fold and require bit equality (before the
+    q6 floor both run the identical IEEE chain, so after it they are
+    equal as floats, not just close)."""
+    qrow = similarity.with_norm(embs).filter(F.col("vec_id") == 0).collect()[0]
+    qu = [float(x) / float(qrow["norm"]) for x in qrow["v"]]
+    lut = [
+        [similarity._seq_dot_py(qu[s * 8 : (s + 1) * 8], c) for c in cb["cents"][s]]
+        for s in range(8)
+    ]
+    row = (
+        similarity.pq_topk(embs, 0, 1, codebook=cb)
+        .collect()[0]
+    )
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(embs, cb).filter(
+            F.col("vec_id") == row["vec_id"]
+        ).collect()
+    }[row["vec_id"]]
+    acc = lut[0][codes[0]]
+    for s in range(1, 8):
+        acc = acc + lut[s][codes[s]]
+    import math
+
+    assert row["score"] == math.floor(acc * 1000000.0) / 1000000.0
