@@ -658,6 +658,65 @@ def _stream_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(spark.table(name), p=12)
 
 
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the correctness gate
+    (streaming/join.py — native watermarked two-stream join, the
+    incremental face of the batch interval join): replay the events
+    mapping as TWO file-source streams — every row as points, every
+    ~97th timestamp as anchors — join each anchor to same-series
+    points in its trailing 60 s (closed range), append-mode memory
+    sink. Inner stream-stream joins emit on match (only OUTER joins
+    wait for the watermark), so a finite replay must equal the plain
+    batch join the oracle runs. Replay watermark delay is effectively
+    infinite so file order cannot drop rows; the REAL late-data and
+    state-eviction semantics are pinned in tests/test_stream_join.py."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.streaming.join import stream_interval_join
+
+    base = tempfile.mkdtemp(prefix="zest_sjoin_")
+    src = fixtures.ts_numeric_from_events(spark, sf_dir).select(
+        "series_id", "timestamp", "value"
+    )
+    src.write.mode("overwrite").parquet(f"{base}/pts")
+    src.filter(F.col("timestamp") % 97 == 0).write.mode("overwrite").parquet(
+        f"{base}/anc"
+    )
+    schema = "series_id string, timestamp long, value double"
+    pstream = spark.readStream.schema(schema).parquet(f"{base}/pts")
+    astream = spark.readStream.schema(schema).parquet(f"{base}/anc")
+    name = f"sjoin_{uuid.uuid4().hex[:10]}"
+    # the state-store partition count is fixed at the checkpoint's
+    # FIRST batch from spark.sql.shuffle.partitions — scope it down
+    # for this fresh single-process replay (200 state tasks would pay
+    # ~25 s of per-task overhead for a fixture-sized join), restore
+    # after: the same runtime-conf posture as harden_session
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_interval_join(
+                pstream, astream, before_ms=60_000, after_ms=0, delay_ms=10**12
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_interval_join: replay did not finish in 300s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 def _src_tail_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The zest_tail data source (per-series limit pushdown, SURVEY
     §7.3) under the correctness gate: bulk-ingest the events mapping
@@ -836,6 +895,19 @@ _KV_SQL = {
              CAST(min(v) AS DOUBLE) AS min_value,
              CAST(max(v) AS DOUBLE) AS max_value
       FROM c GROUP BY 1, 2
+    """,
+    # stream-stream interval join over a finite replay must equal the
+    # plain batch closed-range join (inner joins emit on match; the
+    # replay watermark is effectively infinite)
+    "stream_interval_join": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      p AS (SELECT series_id, "timestamp", value FROM ts),
+      a AS (SELECT * FROM p WHERE "timestamp" % 97 = 0)
+      SELECT p.series_id, p."timestamp" AS "timestamp", p.value,
+             a."timestamp" AS anchor_timestamp, a.value AS anchor_value
+      FROM p JOIN a ON a.series_id = p.series_id
+       AND p."timestamp" >= a."timestamp" - 60000
+       AND p."timestamp" <= a."timestamp"
     """,
 }
 
@@ -1226,6 +1298,10 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.posexplode("codes").alias("sub", "code")
         ),
         "sim_topk_pq": lambda s, d: similarity.pq_topk(embs(s, d), 0, 10),
+        # Full FAISS IVFPQ composition: coarse probe (4 of 16 cells)
+        # prunes the corpus, ADC scores only the survivors' codes —
+        # both quantizers ids-init so the whole search replays in SQL
+        "sim_topk_ivfpq": lambda s, d: similarity.ivfpq_topk(embs(s, d), 0, 10),
         # Z-order (Morton) clustering key — the multi-column
         # file-skipping layout (Delta's OPTIMIZE ZORDER BY recipe):
         # pure BIGINT scale + bit-interleave, replayed exactly in SQL.
@@ -2239,6 +2315,43 @@ _EXT_SQL: dict[str, str] = {
         GROUP BY a.vec_id)
       SELECT vec_id, score FROM scores WHERE vec_id <> 0
       ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+    "sim_topk_ivfpq": f"""
+      WITH {_EMB_NORM_CTE},
+      {_PQ_CTES},
+      icents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+                 FROM n ORDER BY vec_id LIMIT 16),
+      qn AS (SELECT v AS qv, norm AS qnorm FROM n WHERE vec_id = 0),
+      iprobe AS (SELECT cid FROM icents, qn
+                 ORDER BY list_dot_product(cv, qv) / (cnorm * qnorm) DESC,
+                          cid ASC
+                 LIMIT 4),
+      iassign AS (
+        SELECT vec_id, cid AS cent FROM (
+          SELECT n.vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, cv) / (n.norm * cnorm) DESC,
+                            cid ASC) AS rn
+          FROM n CROSS JOIN icents) t
+        WHERE rn = 1),
+      qu AS (SELECT uv AS quv FROM u WHERE vec_id = 0),
+      lut AS (
+        SELECT cb.code, sub.s,
+               list_dot_product(qu.quv[sub.s*8+1 : sub.s*8+8],
+                                cb.cv[sub.s*8+1 : sub.s*8+8]) AS val
+        FROM cb CROSS JOIN sub CROSS JOIN qu),
+      scores AS (
+        SELECT a.vec_id,
+               floor(list_dot_product(list(l.val ORDER BY a.s),
+                                      list_transform(range(8), x -> 1.0))
+                     * 1000000.0) / 1000000.0 AS score
+        FROM assign a JOIN lut l ON l.s = a.s AND l.code = a.code
+        GROUP BY a.vec_id)
+      SELECT sc.vec_id, sc.score
+      FROM scores sc JOIN iassign ia ON ia.vec_id = sc.vec_id
+      WHERE ia.cent IN (SELECT cid FROM iprobe) AND sc.vec_id <> 0
+      ORDER BY sc.score DESC, sc.vec_id ASC LIMIT 10
     """,
     "text_fingerprint": r"""
       SELECT doc_id,
@@ -3337,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip
+    out["stream_interval_join"] = _stream_interval_join
     out["kv_del_roundtrip"] = _kv_del_roundtrip
     out["observe_roundtrip"] = _observe_roundtrip
     out["wire_roundtrip"] = _wire_roundtrip

@@ -132,3 +132,52 @@ def test_kernel_fold_matches_driver_fold(embs, cb):
     import math
 
     assert row["score"] == math.floor(acc * 1000000.0) / 1000000.0
+
+
+def test_ivfpq_paths_agree_and_prune(embs, cb):
+    """Fused Arrow path vs persisted-codes JVM path must match row for
+    row; and the probe must actually PRUNE: every result's coarse cell
+    sits in the probe set."""
+    icb = similarity._ivf_centroids(embs, 16)
+    fused = similarity.ivfpq_topk(
+        embs, 0, 25, ivf_codebook=icb, pq_codebook=cb
+    ).collect()
+    coded = similarity.pq_encode(embs, cb, ivf_codebook=icb)
+    jvm = similarity.ivfpq_topk(
+        embs, 0, 25, ivf_codebook=icb, pq_codebook=cb, codes=coded
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in fused] == [
+        (r["vec_id"], r["score"]) for r in jvm
+    ]
+    probes = set(
+        similarity._rank_probes(
+            icb,
+            list(similarity.with_norm(embs).filter("vec_id = 0").collect()[0]["v"]),
+            float(similarity.with_norm(embs).filter("vec_id = 0").collect()[0]["norm"]),
+            4,
+        )
+    )
+    cells = {
+        r["cent"]
+        for r in coded.join(
+            embs.sparkSession.createDataFrame(
+                [(r["vec_id"],) for r in fused], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert cells <= probes
+
+
+def test_ivfpq_is_pq_restricted_to_probed_cells(embs, cb):
+    """IVFPQ == flat PQ minus the pruned cells: every IVFPQ hit must
+    appear in the flat-PQ ranking with the SAME score."""
+    icb = similarity._ivf_centroids(embs, 16)
+    flat = {
+        r["vec_id"]: r["score"]
+        for r in similarity.pq_topk(embs, 0, 500, codebook=cb).collect()
+    }
+    for r in similarity.ivfpq_topk(
+        embs, 0, 10, ivf_codebook=icb, pq_codebook=cb
+    ).collect():
+        assert flat[r["vec_id"]] == r["score"]

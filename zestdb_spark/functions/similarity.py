@@ -347,6 +347,32 @@ def ivf_assign(
     return with_norm(embs).withColumn("cent", _nearest_centroid(cents))
 
 
+def _rank_probes(cents: list, qv: list, qnorm: float, n_probe: int) -> list[int]:
+    """Driver-side probe ranking over the coarse codebook — sequential
+    left-to-right folds (NOT np.dot: BLAS may reorder the summation) so
+    the ranking is bit-identical to the engine's F.aggregate fold and
+    to an oracle's list_dot_product. Zero-norm centroids (an all-zero
+    vector among the seeds) carry no direction — ranked last instead
+    of dividing by zero."""
+
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    ranked = sorted(
+        cents,
+        key=lambda r: (
+            -_seq_dot(r["v"], qv) / (r["norm"] * qnorm)
+            if r["norm"] > 0.0
+            else float("inf"),
+            r["vec_id"],
+        ),
+    )
+    return [int(r["vec_id"]) for r in ranked[:n_probe]]
+
+
 def ivf_topk(
     embs: DataFrame,
     query_vec_id: int,
@@ -377,30 +403,7 @@ def ivf_topk(
             spark.sparkContext.emptyRDD(), "vec_id long, cosine double"
         )
     (qrow,) = qrows
-
-    # driver-side probe ranking over m codebook rows — sequential
-    # left-to-right fold (NOT np.dot: BLAS may reorder the summation)
-    # so the ranking is bit-identical to the engine's F.aggregate fold
-    # and to an oracle's list_dot_product
-    def _seq_dot(a, b) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    qv = list(qrow["v"])
-    # zero-norm centroids (an all-zero vector among the seeds) carry no
-    # direction — rank them last instead of dividing by zero
-    ranked = sorted(
-        cents,
-        key=lambda r: (
-            -_seq_dot(r["v"], qv) / (r["norm"] * qrow["norm"])
-            if r["norm"] > 0.0
-            else float("inf"),
-            r["vec_id"],
-        ),
-    )
-    probe_ids = [int(r["vec_id"]) for r in ranked[:n_probe]]
+    probe_ids = _rank_probes(cents, list(qrow["v"]), float(qrow["norm"]), n_probe)
 
     qcol = F.array(*[F.lit(float(x)) for x in qrow["v"]])
     scored = (
@@ -683,7 +686,12 @@ def pq_train(
     return {"m": m, "sub": sub, "dim": dim, "cents": cents, "half": half}
 
 
-def _pq_kernel(codebook: dict, lut: "list[list[float]] | None"):
+def _pq_kernel(
+    codebook: dict,
+    lut: "list[list[float]] | None",
+    ivf: "list | None" = None,
+    probes: "set[int] | None" = None,
+):
     """The Arrow-batched PQ kernel shared by ``pq_encode`` (codes) and
     ``pq_topk`` (fused encode + ADC score): vectorized numpy over
     Arrow record batches via ``mapInPandas`` — the same shape as the
@@ -710,13 +718,26 @@ def _pq_kernel(codebook: dict, lut: "list[list[float]] | None"):
       ``row_number ... ORDER BY sc DESC, code ASC``;
     - the ADC sum chains ``L0[c0] + L1[c1] + ...`` left-to-right and
       q6-floors at the end (floor(x·10⁶)/10⁶ — same double math as
-      the JVM's)."""
+      the JVM's).
+
+    ``ivf`` (coarse codebook rows shaped like ``_ivf_centroids``
+    output, ordered by centroid id) adds IVF coarse assignment: cosine
+    to every centroid via the same exact folds, argmax with
+    lowest-cid ties — emitted as a ``cent`` column when encoding.
+    ``probes`` (a set of centroid ids) keeps only those cells' rows —
+    the IVFPQ search shape: coarse-prune, then ADC only the survivors."""
     import pandas as pd
 
     m, sub, dim = codebook["m"], codebook["sub"], codebook["dim"]
     C = [np.asarray(codebook["cents"][s], dtype=np.float64) for s in range(m)]
     H = [np.asarray(codebook["half"][s], dtype=np.float64) for s in range(m)]
     L = None if lut is None else [np.asarray(x, dtype=np.float64) for x in lut]
+    if ivf is not None:
+        icents = np.asarray([list(r["v"]) for r in ivf], dtype=np.float64)
+        icids = np.asarray([int(r["vec_id"]) for r in ivf])
+        icnorm = np.asarray([float(r["norm"]) for r in ivf])
+        if (icnorm <= 0.0).any():
+            raise ValueError("ivf codebook contains a zero-norm centroid")
 
     def run(batches):
         for pdf in batches:
@@ -732,8 +753,24 @@ def _pq_kernel(codebook: dict, lut: "list[list[float]] | None"):
             keep = norm > 0.0
             if not keep.any():
                 continue
-            U = V[keep] / norm[keep, None]
+            V = V[keep]
+            norm = norm[keep]
             ids = pdf["vec_id"].to_numpy()[keep]
+            cent = None
+            if ivf is not None:
+                cs = np.zeros((len(V), len(icents)), dtype=np.float64)
+                for j in range(dim):
+                    cs += V[:, j : j + 1] * icents[None, :, j]
+                cs = cs / (norm[:, None] * icnorm[None, :])
+                cent = icids[np.argmax(cs, axis=1)]
+                if probes is not None:
+                    inprobe = np.isin(cent, list(probes))
+                    if not inprobe.any():
+                        continue
+                    V, norm, ids, cent = (
+                        V[inprobe], norm[inprobe], ids[inprobe], cent[inprobe]
+                    )
+            U = V / norm[:, None]
             codes = np.empty((len(U), m), dtype=np.int32)
             for s in range(m):
                 Us = U[:, s * sub : (s + 1) * sub]
@@ -743,9 +780,11 @@ def _pq_kernel(codebook: dict, lut: "list[list[float]] | None"):
                 sc -= H[s][None, :]
                 codes[:, s] = np.argmax(sc, axis=1)
             if L is None:
-                yield pd.DataFrame(
-                    {"vec_id": ids, "codes": [r.tolist() for r in codes]}
-                )
+                out = {"vec_id": ids}
+                if cent is not None:
+                    out["cent"] = cent.astype("int32")
+                out["codes"] = [r.tolist() for r in codes]
+                yield pd.DataFrame(out)
             else:
                 score = L[0][codes[:, 0]].copy()
                 for s in range(1, m):
@@ -756,13 +795,25 @@ def _pq_kernel(codebook: dict, lut: "list[list[float]] | None"):
     return run
 
 
-def pq_encode(embs: DataFrame, codebook: dict) -> DataFrame:
+def pq_encode(
+    embs: DataFrame, codebook: dict, ivf_codebook: list | None = None
+) -> DataFrame:
     """(vec_id, codes array<int>): product-quantize every vector — the
     build step you'd persist at 100 TB (m bytes of codes replacing
     dim×4 bytes of floats; 32× smaller at m=8, dim=64 float32). One
     Arrow-batched scan, zero shuffles (see ``_pq_kernel`` for why
     this is a vectorized kernel rather than a JVM expression tree);
-    zero-norm vectors are dropped (no direction to quantize)."""
+    zero-norm vectors are dropped (no direction to quantize).
+
+    Pass ``ivf_codebook`` (``_ivf_centroids``/``ivf_train`` rows) to
+    also emit the coarse cell as a ``cent`` column — the full IVFPQ
+    index build: persist partitioned/bucketed BY ``cent`` and a probe
+    becomes a partition-pruned read of m-byte codes."""
+    if ivf_codebook is not None:
+        return embs.select("vec_id", "embedding").mapInPandas(
+            _pq_kernel(codebook, None, ivf=ivf_codebook),
+            "vec_id long, cent int, codes array<int>",
+        )
     return embs.select("vec_id", "embedding").mapInPandas(
         _pq_kernel(codebook, None), "vec_id long, codes array<int>"
     )
@@ -839,6 +890,16 @@ def pq_topk(
             .filter(F.col("vec_id") != query_vec_id)
             .mapInPandas(_pq_kernel(cb, lut), "vec_id long, score double")
         )
+    return _adc_finish(embs, scored, qrow, k, rerank)
+
+
+def _adc_finish(
+    embs: DataFrame, scored: DataFrame, qrow, k: int, rerank: int
+) -> DataFrame:
+    """Rank ADC scores; optionally refine: re-score the ADC top-N with
+    exact cosines against the stored vectors (query-sized join, AQE
+    decides the strategy — no forced broadcast) and return the exact
+    top-k."""
     adc = scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
     if not rerank:
         return adc.limit(k)
@@ -856,6 +917,77 @@ def pq_topk(
         )
     )
     return exact.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivfpq_topk(
+    embs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    ivf_codebook: list | None = None,
+    pq_codebook: dict | None = None,
+    codes: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """The full FAISS IVFPQ composition: coarse-quantize (IVF) to prune
+    the corpus to ``n_probe`` of ``n_centroids`` cells, then ADC-score
+    only the survivors' 8-byte codes — search cost ∝ probed fraction ×
+    m lookups, memory ∝ codes. Probe selection is driver-side (the
+    codebook is a model); output (vec_id, score), q6-floored, or
+    (vec_id, cosine) with ``rerank``.
+
+    ``codes=`` a persisted ``pq_encode(..., ivf_codebook=...)`` output
+    (vec_id, cent, codes) is the 100 TB path: cell pruning becomes a
+    partition/stats-prunable ``cent IN (...)`` filter and scoring is a
+    pure-codegen element_at chain — embeddings touched only by the
+    optional refine step. Without ``codes``, one fused Arrow pass
+    assigns + prunes + scores."""
+    icb = (
+        ivf_codebook
+        if ivf_codebook is not None
+        else _ivf_centroids(embs, n_centroids)
+    )
+    pcb = pq_codebook if pq_codebook is not None else pq_train(embs, init="ids")
+    qrows = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
+    if len(qrows) != 1 or qrows[0]["norm"] == 0.0:
+        spark = embs.sparkSession
+        col = "cosine" if rerank else "score"
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), f"vec_id long, {col} double"
+        )
+    (qrow,) = qrows
+    probe_ids = _rank_probes(icb, list(qrow["v"]), float(qrow["norm"]), n_probe)
+    qu = [float(x) / float(qrow["norm"]) for x in qrow["v"]]
+    m, sub = pcb["m"], pcb["sub"]
+    lut = [
+        [_seq_dot_py(qu[s * sub : (s + 1) * sub], c) for c in pcb["cents"][s]]
+        for s in range(m)
+    ]
+    if codes is not None:
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in lut[s]]),
+                F.col("codes").getItem(s) + F.lit(1),
+            )
+            for s in range(m)
+        ]
+        adc_sum = terms[0]
+        for t in terms[1:]:
+            adc_sum = adc_sum + t
+        scored = codes.filter(
+            F.col("cent").isin(probe_ids) & (F.col("vec_id") != query_vec_id)
+        ).select("vec_id", q6(adc_sum).alias("score"))
+    else:
+        scored = (
+            embs.select("vec_id", "embedding")
+            .filter(F.col("vec_id") != query_vec_id)
+            .mapInPandas(
+                _pq_kernel(pcb, lut, ivf=icb, probes=set(probe_ids)),
+                "vec_id long, score double",
+            )
+        )
+    return _adc_finish(embs, scored, qrow, k, rerank)
 
 
 def pca_project(
