@@ -1302,6 +1302,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prunes the corpus, ADC scores only the survivors' codes —
         # both quantizers ids-init so the whole search replays in SQL
         "sim_topk_ivfpq": lambda s, d: similarity.ivfpq_topk(embs(s, d), 0, 10),
+        # Binary quantization: sign signature in ONE BIGINT (8 bytes,
+        # the most compressed tier), hamming = xor + bit_count — the
+        # whole search is integer codegen, replayed exactly in SQL
+        "sim_bq_bits": lambda s, d: similarity.bq_encode(embs(s, d)),
+        "sim_topk_bq": lambda s, d: similarity.bq_topk(embs(s, d), 0, 10),
         # Z-order (Morton) clustering key — the multi-column
         # file-skipping layout (Delta's OPTIMIZE ZORDER BY recipe):
         # pure BIGINT scale + bit-interleave, replayed exactly in SQL.
@@ -1627,6 +1632,17 @@ _PQ_CTES = """
                                 ORDER BY sc DESC, code ASC) AS rn
       FROM parts) t WHERE rn = 1)
 """
+
+def _bq_bits_sql() -> str:
+    """functions/similarity.py bq_bits_col replayed: bit i set iff
+    v[i] > 0, OR of per-bit BIGINT mask literals (bit 63 as the
+    min-long constant — DuckDB raises on 1 << 63)."""
+    terms = " | ".join(
+        f"(CASE WHEN v[{i + 1}] > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"({terms})"
+
 
 def _zorder_sql() -> str:
     """functions/layout.py replayed in DuckDB: BIGINT min/max scaling
@@ -2264,6 +2280,19 @@ _EXT_SQL: dict[str, str] = {
     """,
     "sim_pca_project": _pca_project_sql(),
     "layout_zorder": _zorder_sql(),
+    "sim_bq_bits": f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT vec_id, {_bq_bits_sql()} AS bits FROM e
+    """,
+    "sim_topk_bq": f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, {_bq_bits_sql()} AS bits FROM e),
+      q AS (SELECT bits AS qbits FROM b WHERE vec_id = 0)
+      SELECT b.vec_id,
+             CAST(bit_count(xor(b.bits, q.qbits)) AS INTEGER) AS hamming
+      FROM b, q WHERE b.vec_id <> 0
+      ORDER BY hamming ASC, b.vec_id ASC LIMIT 10
+    """,
     "emb_covariance": _emb_cov_sql(),
     "text_bpe_encode": _bpe_encode_sql(),
     "sim_topk_ivf": f"""

@@ -167,3 +167,16 @@ def test_ivfpq_recall_floor(embs, truth):
         truth,
     )
     assert r_rr >= 0.68, f"ivfpq rerank recall@10 regressed: {r_rr:.3f}"
+
+
+def test_bq_recall_floor(embs, truth):
+    """Binary quantization (one BIGINT sign signature per vector, the
+    most compressed tier): hamming-only measured 0.27 (pinned above
+    0.22 — the candidate generator), and with the exact refine over
+    the hamming top-100 measured 0.84 (pinned above 0.76) — within
+    0.02 of flat PQ+refine from an index a quarter the size of PQ's
+    codes-plus-codebook and with zero float math in the scan."""
+    r_h = _avg_recall(lambda q: similarity.bq_topk(embs, q, K), truth)
+    assert r_h >= 0.22, f"bq hamming recall@10 regressed: {r_h:.3f}"
+    r_rr = _avg_recall(lambda q: similarity.bq_topk(embs, q, K, rerank=100), truth)
+    assert r_rr >= 0.76, f"bq rerank recall@10 regressed: {r_rr:.3f}"

@@ -181,3 +181,35 @@ def test_ivfpq_is_pq_restricted_to_probed_cells(embs, cb):
         embs, 0, 10, ivf_codebook=icb, pq_codebook=cb
     ).collect():
         assert flat[r["vec_id"]] == r["score"]
+
+
+def test_bq_bits_sign_pattern(spark):
+    """Hand-checkable signature: positives at dims 0, 2, 63 set exactly
+    bits 0, 2, 63 (bit 63 via the min-long two's complement mask)."""
+    v = [0.0] * 64
+    v[0], v[2], v[63] = 1.0, 0.5, 3.0
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")
+    got = similarity.bq_encode(df).collect()[0]["bits"]
+    assert got == (1 | 4 | -(1 << 63))
+
+
+def test_bq_persisted_bits_match_inline(embs):
+    bits = similarity.bq_encode(embs)
+    a = similarity.bq_topk(embs, 5, 20).collect()
+    b = similarity.bq_topk(embs, 5, 20, bits=bits).collect()
+    assert [(r["vec_id"], r["hamming"]) for r in a] == [
+        (r["vec_id"], r["hamming"]) for r in b
+    ]
+
+
+def test_bq_full_rerank_equals_exact_search(embs):
+    n = embs.count()
+    exact = similarity.cosine_topk(embs, 9, 10).collect()
+    refined = similarity.bq_topk(embs, 9, 10, rerank=n).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in exact] == [
+        (r["vec_id"], r["cosine"]) for r in refined
+    ]
+
+
+def test_bq_unknown_query_empty(embs):
+    assert similarity.bq_topk(embs, 10**9, 5).count() == 0

@@ -990,6 +990,105 @@ def ivfpq_topk(
     return _adc_finish(embs, scored, qrow, k, rerank)
 
 
+# ------------------------------------------- binary quantization (BQ)
+
+
+def _bq_masks(dim: int) -> list[int]:
+    """Per-bit BIGINT masks: 1<<i, with bit 63 as the min-long constant
+    (both Spark and DuckDB store BIGINTs as two's complement, but
+    DuckDB raises on ``1 << 63`` — a literal sidesteps the shift)."""
+    if dim > 64:
+        raise ValueError(f"bq packs into one BIGINT: dim {dim} > 64")
+    return [(1 << i) if i < 63 else -(1 << 63) for i in range(dim)]
+
+
+def bq_bits_col(dim: int = 64, vec: str = "embedding") -> Column:
+    """The sign signature as ONE BIGINT column: bit i set iff v[i] > 0.
+    Pure whole-stage codegen (64 CASE/OR terms, no HOFs); cosine sign
+    patterns are scale-invariant so no normalization is needed."""
+    v = F.col(vec)
+    bits = F.lit(0).cast("long")
+    for i, mask in enumerate(_bq_masks(dim)):
+        bits = bits.bitwiseOR(
+            F.when(v.getItem(i) > 0.0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bits
+
+
+def bq_encode(embs: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, bits): binary-quantize every vector to its sign
+    signature — 8 bytes/vector at dim 64 (32× smaller than float32),
+    the most compressed index tier. Hamming distance between
+    signatures estimates angular distance (the SimHash identity:
+    E[hamming]/dim = angle/π), so a signature scan ranks candidates
+    with ZERO floats: xor + bit_count per row, one codegen scan."""
+    return embs.select("vec_id", bq_bits_col(dim).alias("bits"))
+
+
+def bq_topk(
+    embs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    rerank: int = 0,
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-quantized ANN top-k: rank by hamming distance between
+    sign signatures (ascending, vec_id tie-break) — ``xor`` +
+    ``bit_count`` against the query's literal signature, one codegen
+    scan over 8-byte signatures, zero shuffles/joins. Output
+    (vec_id, hamming int); with ``rerank=N``, re-score the hamming
+    top-N exactly and return (vec_id, cosine) — the
+    compress-then-refine posture shared with pq_topk.
+
+    Pass ``bits=`` a persisted ``bq_encode`` output to search the
+    signature table without touching the embeddings."""
+    qrows = embs.filter(F.col("vec_id") == query_vec_id).collect()
+    if len(qrows) != 1:
+        spark = embs.sparkSession
+        col = "cosine double" if rerank else "hamming int"
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), f"vec_id long, {col}"
+        )
+    (qrow,) = qrows
+    qbits = 0
+    for x, mask in zip(qrow["embedding"], _bq_masks(dim)):
+        if float(x) > 0.0:
+            qbits |= mask  # bit-63 mask is negative → two's complement
+    src = bits if bits is not None else bq_encode(embs, dim)
+    scored = src.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id",
+        F.bit_count(
+            F.col("bits").bitwiseXOR(F.lit(qbits).cast("long"))
+        ).alias("hamming"),
+    )
+    ranked = scored.orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    if not rerank:
+        return ranked.limit(k)
+    cands = ranked.limit(int(rerank)).select("vec_id")
+    qn = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
+    if len(qn) != 1 or qn[0]["norm"] == 0.0:
+        spark = embs.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), "vec_id long, cosine double"
+        )
+    qcol = F.array(*[F.lit(float(x)) for x in qn[0]["v"]])
+    exact = (
+        with_norm(embs)
+        .join(cands, "vec_id")
+        .select(
+            "vec_id",
+            q6(
+                dot(F.col("v"), qcol)
+                / (F.col("norm") * F.lit(float(qn[0]["norm"])))
+            ).alias("cosine"),
+        )
+    )
+    return exact.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def pca_project(
     embs: DataFrame, model: dict, vec: str = "embedding", whiten: bool = False
 ) -> DataFrame:
