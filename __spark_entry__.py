@@ -3378,7 +3378,14 @@ GRADED_WINDOW: list[str] = [
     # so manifest-stats data skipping (snap_pruned_read: a hinted
     # range read over the store must be bit-identical to the plain
     # ts_range oracle) carries DIRECT driver evidence
-    "agg_count", "snap_pruned_read", "agg_sd",
+    # Round-9 swap #3: agg_sd demoted to the tail (the agg family keeps
+    # THREE graded rows — count, li_range_sum, li_range_median — and sd
+    # rides the same one-pass decimal-moment machinery as graded count/
+    # sum; the row stays oracle-exact in selfcheck) so the NEW layout
+    # family — the Z-order clustering key (multi-column file skipping,
+    # BIGINT-exact, its pruning property pinned by tests/test_layout.py
+    # against parquet footers) — carries DIRECT driver evidence
+    "agg_count", "snap_pruned_read", "layout_zorder",
     "sk_quantiles", "corpus_dsir",
     # Round-8 swap: blob_last_n (T2 over the blob table — the same
     # WindowGroupLimit shape as graded li_last_n_multi; S3 blob writes

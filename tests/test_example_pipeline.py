@@ -31,3 +31,22 @@ def test_example_pipeline_runs_and_narrows(spark):
     assert counts["probe_kept"] >= counts["rule_gated"] * 0.4
     assert counts["bpe_merges"] > 0
     assert counts["sequences"] > 0
+
+
+def test_example_ann_ladder_runs_with_sane_recall(spark):
+    """The retrieval-ladder walkthrough must keep running end-to-end,
+    with every tier's recall in a sane band: refine tiers above their
+    pinned harness floors' neighborhood on THIS single query (looser
+    than the 20-query harness floors — one query is noisier), and
+    every approximate tier <= exact."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "ann_ladder.py"
+    )
+    spec = importlib.util.spec_from_file_location("example_ann_ladder", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    r = mod.run(spark, "/root/testdata/sf0.001")
+    assert r["exact"] == 1.0
+    for tier in ("ivf_probe8", "pq_refine", "ivfpq_refine", "bq_refine"):
+        assert 0.3 <= r[tier] <= 1.0, f"{tier} recall out of band: {r[tier]}"
