@@ -1,0 +1,183 @@
+"""The lock-service coordination backend (lockserver.py): the same
+safety properties test_coordination.py pins for the local-FS backend,
+driven through a real TCP lock service — cross-process mutual
+exclusion, CAS publish with exactly one winner, kill -9 lease
+recovery, and a store-level zero-lost-adds run. This is the evidence
+that the multi-driver swap (SCALE.md "Coordination") is tested, not
+hypothetical."""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+from zestdb_spark import coordination
+from zestdb_spark.lockserver import LockServer, ServiceCoordinator
+
+
+@pytest.fixture()
+def server():
+    srv = LockServer().start()
+    yield srv
+    srv.shutdown()
+
+
+def _write(path: str, content: str) -> None:
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def test_publish_exactly_one_winner(server, tmp_path):
+    c = ServiceCoordinator(server.addr)
+    final = str(tmp_path / "v0.json")
+    wins = 0
+    for i in range(8):
+        tmp = str(tmp_path / f".t{i}")
+        _write(tmp, f"attempt {i}")
+        if c.publish(tmp, final):
+            wins += 1
+    assert wins == 1
+    assert open(final).read() == "attempt 0"
+
+
+def test_publish_refuses_preexisting_final(server, tmp_path):
+    """A fresh service (empty in-memory state) must still lose the CAS
+    against a final that already exists on disk from an older epoch —
+    publish re-validates against the filesystem."""
+    c = ServiceCoordinator(server.addr)
+    final = str(tmp_path / "v1.json")
+    _write(final, "old epoch")
+    tmp = str(tmp_path / ".t")
+    _write(tmp, "new")
+    assert not c.publish(tmp, final)
+    assert open(final).read() == "old epoch"
+
+
+def test_mutex_over_service_and_release(server, tmp_path):
+    c = ServiceCoordinator(server.addr)
+    orig = coordination.get_coordinator()
+    coordination.set_coordinator(c)
+    try:
+        path = str(tmp_path / "m.lock")
+        with coordination.mutex(path, wait_s=5.0):
+            assert c.is_held(path)
+            # a second client sees BUSY
+            c2 = ServiceCoordinator(server.addr)
+            assert not c2.try_acquire(path)
+        assert not c.is_held(path)  # released on exit
+    finally:
+        coordination.set_coordinator(orig)
+
+
+def test_cross_process_mutex_no_lost_updates(server, tmp_path):
+    """TWO PROCESSES increment one counter file under the service
+    mutex: every increment must survive — mutual exclusion across
+    real process boundaries through the TCP service."""
+    counter = str(tmp_path / "counter")
+    _write(counter, "0")
+    n = 40
+    host, port = server.addr
+
+    child_src = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from zestdb_spark import coordination
+        from zestdb_spark.lockserver import ServiceCoordinator
+        coordination.set_coordinator(ServiceCoordinator(({host!r}, {port})))
+        for _ in range({n}):
+            with coordination.mutex({str(tmp_path / 'c.lock')!r}, wait_s=30.0):
+                v = int(open({counter!r}).read())
+                open({counter!r}, "w").write(str(v + 1))
+    """)
+    child = subprocess.Popen([sys.executable, "-c", child_src])
+    orig = coordination.get_coordinator()
+    coordination.set_coordinator(ServiceCoordinator(server.addr))
+    try:
+        for _ in range(n):
+            with coordination.mutex(str(tmp_path / "c.lock"), wait_s=30.0):
+                v = int(open(counter).read())
+                _write(counter, str(v + 1))
+    finally:
+        rc = child.wait(timeout=120)
+        coordination.set_coordinator(orig)
+    assert rc == 0
+    assert int(open(counter).read()) == 2 * n
+
+
+def test_kill9_lease_recovery(server, tmp_path):
+    """A writer that dies WITHOUT unlocking (kill -9 — no finally, no
+    atexit) must free its lock by lease expiry, with no pid probing:
+    the crash-recovery story that works across hosts."""
+    host, port = server.addr
+    lock = str(tmp_path / "dead.lock")
+    child_src = textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, "/root/repo")
+        from zestdb_spark.lockserver import ServiceCoordinator
+        c = ServiceCoordinator(({host!r}, {port}), lease_s=2.0)
+        assert c.try_acquire({lock!r})
+        print("HELD", flush=True)
+        time.sleep(60)
+    """)
+    child = subprocess.Popen([sys.executable, "-c", child_src], stdout=subprocess.PIPE)
+    assert child.stdout.readline().strip() == b"HELD"
+    me = ServiceCoordinator(server.addr, lease_s=2.0)
+    assert not me.try_acquire(lock)  # genuinely held
+    os.kill(child.pid, signal.SIGKILL)
+    child.wait(timeout=30)
+    deadline = time.monotonic() + 10.0
+    got = False
+    while time.monotonic() < deadline:
+        if me.try_acquire(lock):
+            got = True
+            break
+        time.sleep(0.2)
+    assert got, "lease did not expire after holder was killed"
+
+
+def test_store_commits_through_service_lose_nothing(server, tmp_path):
+    """The store-level end-to-end: TWO PROCESSES hammer manifest
+    commits with the SERVICE arbitrating the CAS — zero lost adds,
+    strictly sequential versions (the same property the local-FS
+    backend pins in test_coordination.py, now through TCP)."""
+    from zestdb_spark import snapshots
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    n = 25
+    host, port = server.addr
+    for prefix in ("p", "c"):
+        for i in range(n):
+            _write(os.path.join(table, f"{prefix}-{i}.parquet"), "x")
+
+    child_src = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from zestdb_spark import coordination, snapshots
+        from zestdb_spark.lockserver import ServiceCoordinator
+        coordination.set_coordinator(ServiceCoordinator(({host!r}, {port})))
+        for i in range({n}):
+            snapshots.commit({table!r}, adds=[f"c-{{i}}.parquet"], op="append")
+    """)
+    child = subprocess.Popen([sys.executable, "-c", child_src])
+    orig = coordination.get_coordinator()
+    coordination.set_coordinator(ServiceCoordinator(server.addr))
+    try:
+        for i in range(n):
+            snapshots.commit(table, adds=[f"p-{i}.parquet"], op="append")
+    finally:
+        rc = child.wait(timeout=120)
+        coordination.set_coordinator(orig)
+    assert rc == 0
+    snap = snapshots.latest(table)
+    expected = {f"p-{i}.parquet" for i in range(n)} | {
+        f"c-{i}.parquet" for i in range(n)
+    }
+    assert set(snap.files) == expected
+    assert snap.version == 2 * n - 1

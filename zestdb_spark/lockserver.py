@@ -1,0 +1,214 @@
+"""A minimal leased lock service + the coordinator backend that runs
+the engine's coordination seam over it — the multi-DRIVER face of
+``coordination.py``.
+
+`LocalFSCoordinator` is correct exactly when every writer shares one
+POSIX filesystem (os.link / O_EXCL atomicity, pid liveness probes).
+A fleet of Spark drivers on different hosts shares neither pids nor —
+on NFS — trustworthy atomic creates. The standard public answer is a
+lock service (Chubby/ZooKeeper/etcd recipes; Delta's S3 commit
+services are the same idea specialized to put-if-absent): a single
+arbiter grants LEASES, and crash recovery is lease expiry instead of
+pid probing.
+
+This module ships a deliberately tiny one — a threaded TCP server
+with a newline protocol and in-memory state — plus
+``ServiceCoordinator``, which implements the seam's three primitives
+against it:
+
+- ``mutex``: server-granted lease (``LOCK/UNLOCK``), auto-expired —
+  a writer that dies (any host) frees its locks after ``lease_s``
+  with no pid probing anywhere.
+- ``publish`` (manifest CAS): serialized per name under a server
+  lease, so the exists-then-link pair runs in a critical section and
+  never RELIES on concurrent-link atomicity (the part NFS breaks);
+  the final ``os.link`` stays as a belt-and-braces arbiter for the
+  stalled-writer-past-lease corner (see ``publish``).
+- ``remove``: lease release when this process holds one for the
+  path, plain unlink otherwise.
+
+Production posture (SCALE.md "Coordination"): run etcd/ZooKeeper and
+write this same adapter against it — the engine's storage layer sees
+only the three primitives either way. This in-repo service exists so
+the swap is TESTED (cross-process contention, kill -9 lease
+recovery, store-level zero-lost-adds run through it —
+tests/test_lockservice.py), not hypothetical. Its state is
+in-memory: restarting it drops advisory leases only — every durable
+fact (manifests, data files) lives in the store, and `publish`
+re-validates against the filesystem, so a service restart can stall
+writers briefly but cannot corrupt a table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import socket
+import socketserver
+import threading
+import time
+import uuid
+
+
+# --------------------------------------------------------------- server
+
+
+class _LockState:
+    def __init__(self) -> None:
+        self.locks: dict[str, tuple[str, int, float]] = {}  # name -> (token, pid, expiry)
+        self.guard = threading.Lock()
+
+    def _reap(self, now: float) -> None:
+        dead = [n for n, (_, _, exp) in self.locks.items() if exp <= now]
+        for n in dead:
+            del self.locks[n]
+
+    def lock(self, name: str, pid: int, lease_s: float) -> "str | None":
+        now = time.monotonic()
+        with self.guard:
+            self._reap(now)
+            if name in self.locks:
+                return None
+            token = uuid.uuid4().hex
+            self.locks[name] = (token, pid, now + lease_s)
+            return token
+
+    def unlock(self, name: str, token: str) -> bool:
+        with self.guard:
+            cur = self.locks.get(name)
+            if cur and cur[0] == token:
+                del self.locks[name]
+                return True
+            return False
+
+    def holder(self, name: str) -> int:
+        now = time.monotonic()
+        with self.guard:
+            self._reap(now)
+            cur = self.locks.get(name)
+            return cur[1] if cur else 0
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one request per connection
+        line = self.rfile.readline().decode().strip()
+        parts = line.split()
+        st: _LockState = self.server.state  # type: ignore[attr-defined]
+        out = "ERR"
+        if not parts:
+            pass
+        elif parts[0] == "PING":
+            out = "OK"
+        elif parts[0] == "LOCK" and len(parts) == 4:
+            token = st.lock(parts[1], int(parts[2]), float(parts[3]))
+            out = f"OK {token}" if token else f"BUSY {st.holder(parts[1])}"
+        elif parts[0] == "UNLOCK" and len(parts) == 3:
+            out = "OK" if st.unlock(parts[1], parts[2]) else "STALE"
+        elif parts[0] == "HOLDER" and len(parts) == 2:
+            out = str(st.holder(parts[1]))
+        self.wfile.write((out + "\n").encode())
+
+
+class LockServer(socketserver.ThreadingTCPServer):
+    """``LockServer(("127.0.0.1", 0))``; serve with ``.start()``
+    (daemon thread) and stop with ``.shutdown()``. ``.addr`` is the
+    bound (host, port)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr: tuple[str, int] = ("127.0.0.1", 0)) -> None:
+        super().__init__(addr, _Handler)
+        self.state = _LockState()
+        self.addr = self.server_address
+
+    def start(self) -> "LockServer":
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+        return self
+
+
+# --------------------------------------------------------------- client
+
+
+class ServiceCoordinator:
+    """The coordination seam's three primitives over a ``LockServer``.
+
+    Lease-based crash recovery: ``reclaim_if_dead`` is a no-op (the
+    server reaps expired leases on every request), and ``holder``
+    reports the REMOTE holder's pid as information only — the
+    ``mutex()`` composite's local pid probe may call the holder dead
+    when it is merely remote, which safely degrades to waiting out
+    the lease."""
+
+    def __init__(self, addr: tuple[str, int], lease_s: float = 30.0) -> None:
+        self.addr = (addr[0], int(addr[1]))
+        self.lease_s = float(lease_s)
+        self._tokens: dict[str, str] = {}
+
+    def _rpc(self, line: str) -> str:
+        with socket.create_connection(self.addr, timeout=10.0) as s:
+            s.sendall((line + "\n").encode())
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+        return buf.decode().strip()
+
+    # -- primitive 1: CAS publish ---------------------------------------
+    def publish(self, tmp: str, final: str) -> bool:
+        """CAS-create ``final`` under a per-name server lease: the
+        exists-check and the link run in a critical section, so no
+        two writers link concurrently in the normal path (the
+        operation NFS makes untrustworthy). If a stalled writer
+        outlives its lease and races the next claimant anyway, the
+        ``os.link`` create-if-absent remains the final arbiter —
+        exactly one of them returns True."""
+        name = f"pub:{final}"
+        resp = self._rpc(f"LOCK {name} {os.getpid()} {self.lease_s}")
+        if not resp.startswith("OK"):
+            # another writer is publishing this very name right now —
+            # it will either create final (we lose) or crash (its
+            # lease frees the name); report a clean CAS loss and let
+            # the caller re-read HEAD and retry its commit
+            return False
+        token = resp.split()[1]
+        try:
+            if os.path.exists(final):
+                return False
+            try:
+                os.link(tmp, final)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            self._rpc(f"UNLOCK {name} {token}")
+
+    # -- primitive 2: leased mutex ---------------------------------------
+    def try_acquire(self, path: str) -> bool:
+        resp = self._rpc(f"LOCK {path} {os.getpid()} {self.lease_s}")
+        if resp.startswith("OK"):
+            self._tokens[path] = resp.split()[1]
+            return True
+        return False
+
+    def holder(self, path: str) -> int:
+        with contextlib.suppress(ValueError):
+            return int(self._rpc(f"HOLDER {path}"))
+        return 0
+
+    def is_held(self, path: str) -> bool:
+        return self.holder(path) != 0
+
+    def reclaim_if_dead(self, path: str) -> None:
+        """Lease expiry IS the crash recovery — nothing to do."""
+
+    # -- primitive 3: remove ----------------------------------------------
+    def remove(self, path: str) -> None:
+        token = self._tokens.pop(path, None)
+        if token is not None:
+            self._rpc(f"UNLOCK {path} {token}")
+            return
+        with contextlib.suppress(OSError):
+            os.unlink(path)
