@@ -181,3 +181,21 @@ def test_store_commits_through_service_lose_nothing(server, tmp_path):
     }
     assert set(snap.files) == expected
     assert snap.version == 2 * n - 1
+
+
+def test_long_hold_outlives_lease_via_renewal(server, tmp_path):
+    """A LIVE holder working past its lease must keep the lock (the
+    heartbeat renews at lease/3); only a DEAD holder expires. Short
+    lease, hold 4x longer, a contender probing throughout must stay
+    locked out until release."""
+    lock = str(tmp_path / "long.lock")
+    holder = ServiceCoordinator(server.addr, lease_s=0.6)
+    contender = ServiceCoordinator(server.addr, lease_s=0.6)
+    assert holder.try_acquire(lock)
+    deadline = time.monotonic() + 2.4  # 4 leases
+    while time.monotonic() < deadline:
+        assert not contender.try_acquire(lock), "live holder was stolen from"
+        time.sleep(0.1)
+    holder.remove(lock)
+    assert contender.try_acquire(lock)
+    contender.remove(lock)

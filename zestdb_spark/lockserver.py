@@ -81,6 +81,20 @@ class _LockState:
                 return True
             return False
 
+    def renew(self, name: str, token: str, lease_s: float) -> bool:
+        """Extend a HELD lease (token-verified): the heartbeat that
+        lets a long rewrite outlive its initial lease without ever
+        weakening crash recovery — a dead holder stops renewing and
+        expires; a live one cannot be stolen from."""
+        now = time.monotonic()
+        with self.guard:
+            self._reap(now)
+            cur = self.locks.get(name)
+            if cur and cur[0] == token:
+                self.locks[name] = (token, cur[1], now + lease_s)
+                return True
+            return False
+
     def holder(self, name: str) -> int:
         now = time.monotonic()
         with self.guard:
@@ -104,6 +118,8 @@ class _Handler(socketserver.StreamRequestHandler):
             out = f"OK {token}" if token else f"BUSY {st.holder(parts[1])}"
         elif parts[0] == "UNLOCK" and len(parts) == 3:
             out = "OK" if st.unlock(parts[1], parts[2]) else "STALE"
+        elif parts[0] == "RENEW" and len(parts) == 4:
+            out = "OK" if st.renew(parts[1], parts[2], float(parts[3])) else "STALE"
         elif parts[0] == "HOLDER" and len(parts) == 2:
             out = str(st.holder(parts[1]))
         self.wfile.write((out + "\n").encode())
@@ -143,7 +159,7 @@ class ServiceCoordinator:
     def __init__(self, addr: tuple[str, int], lease_s: float = 30.0) -> None:
         self.addr = (addr[0], int(addr[1]))
         self.lease_s = float(lease_s)
-        self._tokens: dict[str, str] = {}
+        self._tokens: dict[str, tuple[str, threading.Event]] = {}
 
     def _rpc(self, line: str) -> str:
         with socket.create_connection(self.addr, timeout=10.0) as s:
@@ -188,10 +204,28 @@ class ServiceCoordinator:
     # -- primitive 2: leased mutex ---------------------------------------
     def try_acquire(self, path: str) -> bool:
         resp = self._rpc(f"LOCK {path} {os.getpid()} {self.lease_s}")
-        if resp.startswith("OK"):
-            self._tokens[path] = resp.split()[1]
-            return True
-        return False
+        if not resp.startswith("OK"):
+            return False
+        token = resp.split()[1]
+        # heartbeat: renew at lease/3 so a LIVE holder's long rewrite
+        # (compaction past lease_s) is never stolen, while a KILLED
+        # holder's heartbeat dies with it and the lease expires — the
+        # renewal thread is the live/dead distinction, replacing the
+        # local backend's pid probe
+        stop = threading.Event()
+        threading.Thread(
+            target=self._renew_loop, args=(path, token, stop), daemon=True
+        ).start()
+        self._tokens[path] = (token, stop)
+        return True
+
+    def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
+        while not stop.wait(self.lease_s / 3.0):
+            try:
+                if self._rpc(f"RENEW {path} {token} {self.lease_s}") != "OK":
+                    return  # lease already lost — stop heartbeating
+            except OSError:
+                return  # service unreachable; lease will expire
 
     def holder(self, path: str) -> int:
         with contextlib.suppress(ValueError):
@@ -206,9 +240,12 @@ class ServiceCoordinator:
 
     # -- primitive 3: remove ----------------------------------------------
     def remove(self, path: str) -> None:
-        token = self._tokens.pop(path, None)
-        if token is not None:
-            self._rpc(f"UNLOCK {path} {token}")
+        held = self._tokens.pop(path, None)
+        if held is not None:
+            token, stop = held
+            stop.set()
+            with contextlib.suppress(OSError):
+                self._rpc(f"UNLOCK {path} {token}")
             return
         with contextlib.suppress(OSError):
             os.unlink(path)

@@ -106,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--app-name", default="zestdb_spark_server", help="Spark application name"
     )
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="coordinate writes through a lock service at HOST:PORT "
+        "(lockserver.LockServer, or any service the ServiceCoordinator "
+        "protocol reaches) instead of the single-filesystem default — "
+        "required when several servers/maintenance jobs on different "
+        "hosts write one store (SCALE.md 'Coordination')",
+    )
     return p
 
 
@@ -225,6 +235,12 @@ def main(argv: list[str] | None = None, *, block: bool = True):
     from zestdb_spark.transport import ZestServer
 
     spark = get_spark(args.app_name)
+    if args.coordinator:
+        from zestdb_spark import coordination
+        from zestdb_spark.lockserver import ServiceCoordinator
+
+        host, _, port = args.coordinator.rpartition(":")
+        coordination.set_coordinator(ServiceCoordinator((host, int(port))))
     acl = None
     if args.token_key_file:
         from zestdb_spark.auth import MacaroonValidator
