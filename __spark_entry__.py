@@ -1305,6 +1305,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Binary quantization: sign signature in ONE BIGINT (8 bytes,
         # the most compressed tier), hamming = xor + bit_count — the
         # whole search is integer codegen, replayed exactly in SQL
+        # Batch k-NN JOIN (RAG-style retrieval for MANY queries in one
+        # plan): IVF cell equi-join + per-qid window — no per-query
+        # driver loop, no cross join; per-query results pinned equal
+        # to ivf_topk by test
+        "sim_knn_join": lambda s, d: similarity.knn_join(
+            embs(s, d), embs(s, d).filter(F.col("vec_id") < 20), k=5
+        ),
         "sim_bq_bits": lambda s, d: similarity.bq_encode(embs(s, d)),
         "sim_topk_bq": lambda s, d: similarity.bq_topk(embs(s, d), 0, 10),
         # Z-order (Morton) clustering key — the multi-column
@@ -2280,6 +2287,46 @@ _EXT_SQL: dict[str, str] = {
     """,
     "sim_pca_project": _pca_project_sql(),
     "layout_zorder": _zorder_sql(),
+    "sim_knn_join": f"""
+      WITH {_EMB_NORM_CTE},
+      cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+                FROM n ORDER BY vec_id LIMIT 16),
+      q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm
+            FROM n WHERE vec_id < 20 AND norm > 0),
+      probes AS (
+        SELECT qid, cid FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC,
+                            c.cid ASC) AS rn
+          FROM q CROSS JOIN cents c) t
+        WHERE rn <= 4),
+      assign AS (
+        SELECT vec_id, cid AS cent FROM (
+          SELECT n.vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, cv) / (n.norm * cnorm) DESC,
+                            cid ASC) AS rn
+          FROM n CROSS JOIN cents) t
+        WHERE rn = 1),
+      pairs AS (
+        SELECT q.qid, n.vec_id,
+               floor(list_dot_product(n.v, q.qv) / (n.norm * q.qnorm)
+                     * 1000000.0) / 1000000.0 AS cosine
+        FROM n
+        JOIN assign a ON a.vec_id = n.vec_id
+        JOIN probes p ON p.cid = a.cent
+        JOIN q ON q.qid = p.qid
+        WHERE n.vec_id <> q.qid)
+      SELECT qid, vec_id, cosine FROM (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM pairs) t
+      WHERE rn <= 5
+    """,
     "sim_bq_bits": f"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT vec_id, {_bq_bits_sql()} AS bits FROM e

@@ -180,3 +180,26 @@ def test_bq_recall_floor(embs, truth):
     assert r_h >= 0.22, f"bq hamming recall@10 regressed: {r_h:.3f}"
     r_rr = _avg_recall(lambda q: similarity.bq_topk(embs, q, K, rerank=100), truth)
     assert r_rr >= 0.76, f"bq rerank recall@10 regressed: {r_rr:.3f}"
+
+
+def test_knn_join_matches_per_query_ivf(embs, truth):
+    """The batch k-NN join must equal ivf_topk query for query under
+    the same codebook/probe geometry — the batch plan (cell equi-join
+    + per-qid window) changes the EXECUTION, never the answer. Its
+    recall therefore inherits ivf_topk's pinned floor for free."""
+    from pyspark.sql import functions as F
+
+    cb = similarity.ivf_train(embs, 16, iters=2)
+    qs = embs.filter(F.col("vec_id").isin(QUERIES))
+    batch = {}
+    rows = similarity.knn_join(
+        embs, qs, k=K, n_centroids=16, n_probe=8, codebook=cb
+    ).collect()
+    for r in rows:
+        batch.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for q in QUERIES:
+        solo = [
+            (r["vec_id"], r["cosine"])
+            for r in similarity.ivf_topk(embs, q, K, 16, 8, codebook=cb).collect()
+        ]
+        assert batch.get(q) == solo, f"batch/solo divergence at query {q}"

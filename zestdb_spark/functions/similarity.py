@@ -990,6 +990,88 @@ def ivfpq_topk(
     return _adc_finish(embs, scored, qrow, k, rerank)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    codebook: list | None = None,
+) -> DataFrame:
+    """Batch ANN: the top-``k`` corpus neighbors for EVERY query row —
+    the k-NN JOIN (RAG batch retrieval, embedding-dedup candidate
+    generation), not a per-query driver loop. Inputs are two
+    (vec_id, embedding) frames; output (qid, vec_id, cosine) with
+    exact q6-floored cosines, ranked per query (``cosine`` DESC,
+    ``vec_id`` ASC tie-break), self-matches excluded when a vector id
+    appears on both sides.
+
+    Plan shape — the scalable one, no cross join anywhere:
+    - corpus side: scan-local IVF assignment against the literal
+      codebook (``ivf_assign``), ONE exchange on the small-int cell
+      key;
+    - query side: each query row ranks the m-entry codebook IN ROW
+      (sort_array over (cos, −cid) structs — m structs per query row,
+      not per pair) and explodes its ``n_probe`` probe cells;
+    - equi-join on cell (AQE broadcasts the query side when it is
+      small — no forced hint), exact cosines in codegen, then ONE
+      window per qid for the top-k.
+    Cost ∝ corpus × (n_probe/n_centroids) pairs instead of
+    corpus × queries; recall is ivf_topk's (same probe geometry —
+    their outputs are pinned equal per query by test)."""
+    cents = codebook if codebook is not None else _ivf_centroids(corpus, n_centroids)
+    ca = ivf_assign(corpus, n_centroids, codebook=cents).select(
+        F.col("vec_id"), F.col("v"), F.col("norm"), F.col("cent")
+    )
+    q = with_norm(queries).filter(F.col("norm") > 0.0)
+    # per-row probe ranking: m structs of (cosine to centroid, -cid),
+    # sorted descending — identical ordering to _rank_probes /
+    # the oracle's row_number (cos DESC, cid ASC via the negated id)
+    opts = [
+        F.struct(
+            (
+                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c["v"]]))
+                / (F.col("norm") * F.lit(float(c["norm"])))
+            ).alias("cos"),
+            F.lit(-int(c["vec_id"])).alias("neg"),
+        )
+        for c in cents
+        if c["norm"] > 0.0
+    ]
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*opts))), 1, int(n_probe)
+    )
+    qp = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(
+            F.transform(probes, lambda s: -s.getField("neg"))
+        ).alias("cent"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        ca.join(qp, "cent")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            q6(
+                dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # ------------------------------------------- binary quantization (BQ)
 
 
