@@ -1209,6 +1209,40 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fixtures.ts_numeric_from_events(spark, sf_dir), ["series_id"], "tag_value"
         )
 
+    def _uniq_ts(spark, sf_dir):
+        # dedupe equal (series, ts) observations deterministically (max
+        # wins) so carry/lag rules are well-defined in both engines —
+        # the same convention rs_locf_hourly grades under
+        ts = fixtures.ts_numeric_from_events(spark, sf_dir)
+        return ts.groupBy("series_id", "timestamp").agg(
+            F.max("value").alias("value")
+        )
+
+    def interp_hourly(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        return resample.interpolate_resample(
+            _uniq_ts(spark, sf_dir),
+            start_ms=_T_JAN10,
+            end_ms=_T_JAN20,
+            step_ms=3_600_000,
+        )
+
+    def m4_hourly(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        return resample.m4_downsample(
+            _uniq_ts(spark, sf_dir),
+            start_ms=_T_JAN10,
+            end_ms=_T_JAN20,
+            n_buckets=64,
+        )
+
+    def counter_rates(spark, sf_dir):
+        from zestdb_spark.operators import resample
+
+        return resample.counter_rate(_uniq_ts(spark, sf_dir))
+
     def blob_json_extract(spark, sf_dir):
         from zestdb_spark.operators import blob
 
@@ -1248,6 +1282,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rs_locf_hourly": locf,
         "rs_distinct_tags": distinct_tags,
+        # the round-9 continuation's TS trio: linear gap-fill, M4
+        # error-free downsampling (Jugel et al. 2014), and
+        # Prometheus-style counter rate() with reset handling
+        "rs_interp_hourly": interp_hourly,
+        "rs_m4_downsample": m4_hourly,
+        "rs_counter_rate": counter_rates,
         "blob_json_extract": blob_json_extract,
         "blob_json_filter": blob_json_filter,
         "an_revenue_join": revenue_join,
@@ -1838,6 +1878,67 @@ _EXT_SQL: dict[str, str] = {
       SELECT g.series_id, g."timestamp", d.value
       FROM grid g ASOF LEFT JOIN uniq d
         ON g.series_id = d.series_id AND g."timestamp" >= d."timestamp"
+    """,
+    "rs_interp_hourly": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      uniq AS (SELECT series_id, "timestamp", max(value) AS value
+               FROM ts GROUP BY 1, 2),
+      keys AS (SELECT DISTINCT series_id FROM uniq),
+      grid AS (SELECT series_id,
+                      unnest(generate_series({_T_JAN10}, {_T_JAN20}, 3600000)) AS "timestamp"
+               FROM keys)
+      SELECT g.series_id, g."timestamp",
+             CASE WHEN p."timestamp" = n."timestamp"
+                  THEN floor(p.value * 1000000.0) / 1000000.0
+                  ELSE floor((p.value + (n.value - p.value)
+                              * ((g."timestamp" - p."timestamp")
+                                 / (n."timestamp" - p."timestamp")))
+                             * 1000000.0) / 1000000.0
+             END AS value
+      FROM grid g
+      ASOF LEFT JOIN uniq p
+        ON g.series_id = p.series_id AND g."timestamp" >= p."timestamp"
+      ASOF LEFT JOIN uniq n
+        ON g.series_id = n.series_id AND g."timestamp" <= n."timestamp"
+    """,
+    "rs_m4_downsample": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      uniq AS (SELECT series_id, "timestamp", max(value) AS value
+               FROM ts GROUP BY 1, 2),
+      d AS (SELECT series_id,
+                   (("timestamp" - {_T_JAN10}) * 64)
+                     // ({_T_JAN20} - {_T_JAN10} + 1) AS bucket,
+                   "timestamp" AS t, CAST(value AS DOUBLE) AS v
+            FROM uniq
+            WHERE "timestamp" BETWEEN {_T_JAN10} AND {_T_JAN20}),
+      sel AS (
+        SELECT series_id, bucket, t, v,
+               row_number() OVER (PARTITION BY series_id, bucket
+                                  ORDER BY t ASC, v ASC) AS rf,
+               row_number() OVER (PARTITION BY series_id, bucket
+                                  ORDER BY t DESC, v DESC) AS rl,
+               row_number() OVER (PARTITION BY series_id, bucket
+                                  ORDER BY v ASC, t ASC) AS rmin,
+               row_number() OVER (PARTITION BY series_id, bucket
+                                  ORDER BY v DESC, t DESC) AS rmax
+        FROM d)
+      SELECT DISTINCT series_id, bucket, t AS "timestamp", v AS value
+      FROM sel WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+    """,
+    "rs_counter_rate": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      uniq AS (SELECT series_id, "timestamp", max(value) AS value
+               FROM ts GROUP BY 1, 2),
+      p AS (SELECT series_id, "timestamp" AS t, CAST(value AS DOUBLE) AS v,
+                   lag("timestamp") OVER w AS pt,
+                   lag(CAST(value AS DOUBLE)) OVER w AS pv
+            FROM uniq
+            WINDOW w AS (PARTITION BY series_id
+                         ORDER BY "timestamp" ASC, value ASC))
+      SELECT series_id, t AS "timestamp",
+             floor((CASE WHEN v >= pv THEN v - pv ELSE v END)
+                   / ((t - pt) / 1000.0) * 1000000.0) / 1000000.0 AS rate_per_s
+      FROM p WHERE pt IS NOT NULL AND t > pt
     """,
     "rs_distinct_tags": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL})

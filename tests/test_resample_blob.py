@@ -103,3 +103,68 @@ def test_gaps_detects_silence_and_collapses_dups(spark):
 
     with _pt.raises(ValueError, match="threshold_ms"):
         resample.gaps(df, 0)
+
+
+# ---------------------------------------------------------------- M4 / interp / rate
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [("s1", t, float(v)) for t, v in rows],
+        "series_id string, timestamp long, value double",
+    )
+
+
+def test_m4_keeps_only_real_points_and_extrema(spark):
+    from zestdb_spark.operators.resample import m4_downsample
+
+    rows = [(i * 100, v) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 0])]
+    df = _series(spark, rows)
+    out = m4_downsample(df, 0, 999, 2).collect()
+    got = {(r["bucket"], r["timestamp"], r["value"]) for r in out}
+    # every output point is a REAL input point
+    inp = {(t, float(v)) for t, v in rows}
+    assert all((t, v) in inp for _, t, v in got)
+    # bucket 0 = t in [0,400]: first (0,5), last (400,7), min (100,1), max (200,9)
+    b0 = {(t, v) for b, t, v in got if b == 0}
+    assert b0 == {(0, 5.0), (400, 7.0), (100, 1.0), (200, 9.0)}
+    # bucket 1 = t in [500,900]: first (500,2), last (900,0)=min, max (600,8)
+    b1 = {(t, v) for b, t, v in got if b == 1}
+    assert b1 == {(500, 2.0), (900, 0.0), (600, 8.0)}
+    # per-bucket global extrema preserved — the pixel-exactness property
+    for b, lo, hi in [(0, 1.0, 9.0), (1, 0.0, 8.0)]:
+        vs = [v for bb, _, v in got if bb == b]
+        assert min(vs) == lo and max(vs) == hi
+
+
+def test_m4_single_point_bucket_collapses(spark):
+    from zestdb_spark.operators.resample import m4_downsample
+
+    df = _series(spark, [(100, 42.0)])
+    out = m4_downsample(df, 0, 999, 4).collect()
+    assert [(r["bucket"], r["timestamp"], r["value"]) for r in out] == [
+        (0, 100, 42.0)
+    ]
+
+
+def test_interpolate_midpoint_passthrough_and_edges(spark):
+    from zestdb_spark.operators.resample import interpolate_resample
+
+    df = _series(spark, [(1000, 10.0), (3000, 30.0)])
+    out = {
+        r["timestamp"]: r["value"]
+        for r in interpolate_resample(df, 0, 4000, 1000).collect()
+    }
+    assert out[1000] == 10.0 and out[3000] == 30.0  # observations pass through
+    assert out[2000] == 20.0  # linear midpoint
+    assert out[0] is None and out[4000] is None  # no extrapolation
+
+
+def test_counter_rate_reset_and_dup_handling(spark):
+    from zestdb_spark.operators.resample import counter_rate
+
+    # 0 → 10 over 2 s (rate 5/s), reset to 4 over 1 s (delta = post-reset
+    # value 4 → 4/s), duplicate timestamp contributes nothing
+    df = _series(spark, [(0, 0.0), (2000, 10.0), (2000, 10.0), (3000, 4.0)])
+    out = {(r["timestamp"]): r["rate_per_s"] for r in counter_rate(df).collect()}
+    assert out == {2000: 5.0, 3000: 4.0}

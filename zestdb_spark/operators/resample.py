@@ -130,3 +130,205 @@ def gaps(
         .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
         .filter(F.col("gap_ms") > threshold_ms)
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    n_buckets: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (by…, bucket, timestamp, value): M4 downsampling (Jugel et
+    al., VLDB 2014 — the error-free line-chart reduction): per time
+    bucket keep the ≤4 REAL points a pixel column needs — first, last,
+    value-min, value-max — so a 10⁹-row series renders from ≤4·width
+    rows with a pixel-identical line. The standard visualization fan-in
+    for TS stores (beyond the reference, which has no downsampler).
+
+    Selector tie rules are lexicographic struct extrema (first/last:
+    (t, v) min/max; vmin/vmax: (v, t) min/max) — deterministic and
+    exactly replayable as ``row_number ORDER BY`` pairs in SQL. Rows
+    outside [start_ms, end_ms] are ignored; buckets are
+    ``((t − start) · n_buckets) div span`` with integer math (exact at
+    any magnitude). Duplicate selector hits collapse (a bucket with
+    one point emits one row).
+
+    Plan: ONE groupBy (partial-aggregated map-side) + an explode of
+    the 4-struct array — no window, no second shuffle."""
+    if n_buckets < 1:
+        raise ValueError(f"m4_downsample: n_buckets must be ≥ 1, got {n_buckets}")
+    by = list(by)
+    span = int(end_ms) - int(start_ms) + 1
+    t = F.col(on).cast("long")
+    d = df.filter(
+        (t >= F.lit(int(start_ms))) & (t <= F.lit(int(end_ms)))
+    ).select(
+        *by,
+        F.expr(
+            f"((CAST(`{on}` AS BIGINT) - {int(start_ms)}L) * {int(n_buckets)}L)"
+            f" div {span}L"
+        ).alias("bucket"),
+        t.alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    agg = d.groupBy(*by, "bucket").agg(
+        F.min(F.struct(F.col("__t"), F.col("__v"))).alias("first"),
+        F.max(F.struct(F.col("__t"), F.col("__v"))).alias("last"),
+        F.min(F.struct(F.col("__v"), F.col("__t"))).alias("vmin"),
+        F.max(F.struct(F.col("__v"), F.col("__t"))).alias("vmax"),
+    )
+    pts = agg.select(
+        *by,
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first.__t").alias("timestamp"),
+                    F.col("first.__v").alias("value"),
+                ),
+                F.struct(
+                    F.col("last.__t").alias("timestamp"),
+                    F.col("last.__v").alias("value"),
+                ),
+                F.struct(
+                    F.col("vmin.__t").alias("timestamp"),
+                    F.col("vmin.__v").alias("value"),
+                ),
+                F.struct(
+                    F.col("vmax.__t").alias("timestamp"),
+                    F.col("vmax.__v").alias("value"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pts.select(
+        *by, "bucket", F.col("p.timestamp").alias(on), F.col("p.value").alias(value_col)
+    ).distinct()
+
+
+def interpolate_resample(
+    df: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    step_ms: int,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (by…, timestamp, value): like ``locf_resample`` but LINEAR —
+    each grid point gets the interpolation of its surrounding
+    observations, ``prev_v + (next_v − prev_v)·(t − prev_t)/(next_t −
+    prev_t)``; exact observations pass through, NULL outside the
+    series' observed range (no extrapolation). Values are q6-floored
+    (the engine-wide float quantization).
+
+    Same single-shuffle shape as LOCF: grid ∪ data, ONE window per key
+    carrying (t, v) structs both backward and forward; an observation
+    exactly on a grid point sorts before it in BOTH directions'
+    frames, so prev_t == t and the formula collapses to the observed
+    value."""
+    from zestdb_spark.functions.dedup import q6
+
+    by = list(by)
+    keys = df.select(*by).distinct()
+    grid = keys.select(
+        *by,
+        F.explode(
+            F.sequence(
+                F.lit(int(start_ms)), F.lit(int(end_ms)), F.lit(int(step_ms))
+            )
+        ).alias("__t"),
+        F.lit(0).alias("__is_grid"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    data = df.select(
+        *by,
+        F.col(on).cast("long").alias("__t"),
+        F.lit(1).alias("__is_grid"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    u = grid.unionByName(data)
+    obs = F.when(
+        F.col("__is_grid") == 1, F.struct(F.col("__t"), F.col("__v"))
+    )
+    # ordering carries a value tie-break so duplicate observation
+    # timestamps resolve deterministically (both directions pick the
+    # max-value observation at a tied instant)
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(
+            F.col("__t").asc(), F.col("__is_grid").desc(), F.col("__v").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(
+            F.col("__t").desc(), F.col("__is_grid").desc(), F.col("__v").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        u.withColumn("__prev", F.last(obs, ignorenulls=True).over(wb))
+        .withColumn("__next", F.last(obs, ignorenulls=True).over(wf))
+        .filter(F.col("__is_grid") == 0)
+    )
+    pt, pv = F.col("__prev.__t"), F.col("__prev.__v")
+    nt, nv = F.col("__next.__t"), F.col("__next.__v")
+    interp = F.when(pt == nt, pv).otherwise(
+        pv + (nv - pv) * ((F.col("__t") - pt) / (nt - pt))
+    )
+    return carried.select(
+        *by,
+        F.col("__t").alias(on),
+        q6(interp).alias(value_col),
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    on: str = "timestamp",
+    by: Sequence[str] = ("series_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """→ (by…, timestamp, rate_per_s): per-second increase rate of a
+    MONOTONE counter with reset handling (the Prometheus ``rate()``
+    contract, minus range averaging): per consecutive observation
+    pair, ``Δv / Δt_seconds``, where a decrease means the counter
+    restarted and contributes the post-reset value (Δv = v, not
+    v − prev). The first observation of a key emits nothing;
+    duplicate-timestamp pairs (Δt = 0) are dropped rather than
+    dividing by zero. Rates are q6-floored.
+
+    Deterministic: the lag window orders (t ASC, value ASC), so
+    duplicate timestamps pair in a fixed order. ONE exchange on the
+    key, one lag — the same shape as ``gaps``."""
+    from zestdb_spark.functions.dedup import q6
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(
+        F.col("__t").asc(), F.col("__v").asc()
+    )
+    d = (
+        df.select(
+            *by,
+            F.col(on).cast("long").alias("__t"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withColumn("__pt", F.lag("__t").over(w))
+        .withColumn("__pv", F.lag("__v").over(w))
+        .filter(F.col("__pt").isNotNull() & (F.col("__t") > F.col("__pt")))
+    )
+    delta = F.when(F.col("__v") >= F.col("__pv"), F.col("__v") - F.col("__pv")).otherwise(
+        F.col("__v")
+    )
+    return d.select(
+        *by,
+        F.col("__t").alias(on),
+        q6(delta / ((F.col("__t") - F.col("__pt")) / F.lit(1000.0))).alias(
+            "rate_per_s"
+        ),
+    )
