@@ -1352,6 +1352,16 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": lambda s, d: similarity.knn_join(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 20), k=5
         ),
+        # last-mile shard layout: hash-deterministic shard + in-shard
+        # position (hash order IS the reproducible training shuffle)
+        "pack_shard_plan": lambda s, d: __import__(
+            "zestdb_spark.functions.packing", fromlist=["pack_spans", "shard_plan"]
+        ).shard_plan(
+            __import__(
+                "zestdb_spark.functions.packing", fromlist=["pack_spans"]
+            ).pack_spans(docs(s, d), 256),
+            n_shards=8,
+        ),
         "sim_bq_bits": lambda s, d: similarity.bq_encode(embs(s, d)),
         "sim_topk_bq": lambda s, d: similarity.bq_topk(embs(s, d), 0, 10),
         # Z-order (Morton) clustering key — the multi-column
@@ -2335,6 +2345,26 @@ _EXT_SQL: dict[str, str] = {
              greatest(off - block_id * 256, 0) AS block_tok_start,
              least(off + n, block_id * 256 + 256) - greatest(off, block_id * 256) AS span_len
       FROM s
+    """,
+    "pack_shard_plan": f"""
+      WITH {_TOKS_CTE},
+      c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+      o AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS off
+            FROM c),
+      b AS (SELECT DISTINCT unnest(generate_series(off // 256, (off + n - 1) // 256)) AS block_id
+            FROM o),
+      h AS (SELECT block_id,
+                   md5(CAST(block_id AS VARCHAR)) AS hx,
+                   CAST({_BUCKET_SQL.format(expr='block_id', mod=8)} AS INTEGER) AS shard
+            FROM b)
+      SELECT block_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+                                     ORDER BY hx ASC, block_id ASC) - 1
+                  AS BIGINT) AS pos
+      FROM h
     """,
     "dedup_simhash": _simhash_sql(),
     "sim_topk_lsh": f"""

@@ -86,3 +86,44 @@ def test_pack_spans_exact_block_fit(spark):
         (0, 0, 4),
         (1, 1, 4),
     ]
+
+
+def test_shard_plan_is_deterministic_partition_and_dense(spark):
+    from zestdb_spark.functions.packing import shard_plan
+
+    blocks = spark.createDataFrame(
+        [(i,) for i in range(200)], "block_id long"
+    )
+    a = shard_plan(blocks, 8).collect()
+    b = shard_plan(blocks.repartition(7), 8).collect()
+    ka = {(r["block_id"], r["shard"], r["pos"]) for r in a}
+    kb = {(r["block_id"], r["shard"], r["pos"]) for r in b}
+    assert ka == kb  # partitioning cannot move a single position
+    assert len(ka) == 200  # every block exactly once
+    by_shard = {}
+    for _, s, p in ka:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1 per shard
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 2 * (200 // 8)  # md5 balance sanity
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.functions.packing import write_shards
+
+    blocks = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(64)], "block_id long, payload string"
+    )
+    root = str(tmp_path / "shards")
+    manifest = {r["shard"]: (r["n_blocks"], r["n_rows"])
+                for r in write_shards(blocks, root, 4).collect()}
+    back = spark.read.parquet(root)
+    assert back.count() == 64
+    assert back.select("block_id").distinct().count() == 64
+    got = {r["shard"]: r["n"] for r in back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert {s: n for s, (nb, n2) in manifest.items() for n in [n2]} == got
+    assert sum(n for _, n in manifest.values()) == 64

@@ -144,3 +144,60 @@ def pack_spans(
         block_tok_start.alias("block_tok_start"),
         span_len.alias("span_len"),
     )
+
+
+def shard_plan(
+    blocks: DataFrame, n_shards: int, key: str = "block_id"
+) -> DataFrame:
+    """(key, shard, pos): the deterministic last-mile layout — assign
+    every training block to a shard by ``hash_bucket(key)`` and give
+    it a within-shard position by HASH order (md5 hex, key tie-break).
+
+    Hash order IS the reproducible shuffle: training wants blocks in
+    an order uncorrelated with document order, and ordering by a hash
+    of the id gives exactly that while staying a pure function of the
+    data — re-runs, retries, and repartitioning cannot change a
+    single position (the property rand() shuffles lose). Shard sizes
+    concentrate tightly around n/n_shards (md5 uniformity).
+
+    Plan: one distinct on the key + ONE window per shard partition.
+    At 100 TB the writer streams each shard partition in pos order —
+    ``write_shards`` below."""
+    if n_shards < 1:
+        raise ValueError(f"shard_plan: n_shards must be >= 1, got {n_shards}")
+    from zestdb_spark.functions.corpus_ops import hash_bucket
+
+    b = blocks.select(key).distinct()
+    hx = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy("shard").orderBy(hx.asc(), F.col(key).asc())
+    return (
+        b.withColumn("shard", hash_bucket(F.col(key), int(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+def write_shards(
+    blocks: DataFrame,
+    root: str,
+    n_shards: int,
+    key: str = "block_id",
+) -> DataFrame:
+    """Write the blocks as ``root/shard=K/`` parquet, each shard's rows
+    sorted by the plan's ``pos`` (one file per shard partition via
+    repartition on the shard key), and return the per-shard manifest
+    (shard, n_blocks, n_rows) the consumer checks before training.
+    Deterministic end to end: same input → byte-stable shard
+    membership and order."""
+    plan = shard_plan(blocks.select(key).distinct(), n_shards, key)
+    placed = blocks.join(plan, key)
+    (
+        placed.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(root)
+    )
+    return placed.groupBy("shard").agg(
+        F.count_distinct(F.col(key)).alias("n_blocks"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
