@@ -95,8 +95,13 @@ BENCH_QUERIES = [
     # pass + broadcast exact recount)
     "sk_heavy_hitters",
     # round-9 continuation: product-quantization ANN (fused Arrow
-    # encode + ADC scoring in one pass)
+    # encode + ADC scoring in one pass), the batch k-NN join (cell
+    # equi-join + per-qid window), M4 downsampling (one combinable
+    # groupBy), and the Z-order clustering key (pure-codegen scan)
     "sim_topk_pq",
+    "sim_knn_join",
+    "rs_m4_downsample",
+    "layout_zorder",
 ]
 
 

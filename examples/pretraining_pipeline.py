@@ -96,6 +96,12 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     )
     packed = packing.pack_spans(pack_in, seq_len=256)
     counts["sequences"] = packed.agg(F.countDistinct("block_id")).first()[0]
+
+    # 8. last mile: hash-deterministic shard layout (hash order = the
+    # reproducible training shuffle); every sequence lands in exactly
+    # one shard with a stable position
+    plan = packing.shard_plan(packed, n_shards=4)
+    counts["sharded"] = plan.count()
     return counts
 
 

@@ -31,6 +31,8 @@ def test_example_pipeline_runs_and_narrows(spark):
     assert counts["probe_kept"] >= counts["rule_gated"] * 0.4
     assert counts["bpe_merges"] > 0
     assert counts["sequences"] > 0
+    # the shard plan places every packed sequence exactly once
+    assert counts["sharded"] == counts["sequences"]
 
 
 def test_example_ann_ladder_runs_with_sane_recall(spark):
