@@ -368,3 +368,32 @@ def test_concurrent_fastpath_writers_all_land(spark, store):
     # manifest is consistent: live files == files on disk that readers see
     snap = snapshots.latest(store._path("ts_numeric"))
     assert len(snap.files) == 40
+
+
+def test_vacuum_stage_reclaim_is_pid_owned(spark, store):
+    """The owner sidecar decides, not mtimes: a LIVE owner's staging
+    tree survives any age (a straggler task may go quiet past every
+    floor while its job still owns the tree — reclaiming it would
+    silently drop that task's rows from the batch), while a DEAD
+    owner's tree is reclaimed immediately, no floor wait."""
+    import time as _time
+
+    store.write_numeric("s", {"value": 1.0}, 1000)
+    # live owner, ancient mtimes → must survive
+    live = os.path.join(store.root, ".stage_ts_numeric_liveowner000")
+    os.makedirs(live)
+    with open(f"{live}.owner", "w") as f:
+        f.write(str(os.getpid()))
+    old = _time.time() - 10_000
+    os.utime(live, (old, old))
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert os.path.exists(live)
+    # dead owner, FRESH mtimes → reclaimed immediately
+    dead = os.path.join(store.root, ".stage_ts_numeric_deadowner000")
+    os.makedirs(dead)
+    with open(f"{dead}.owner", "w") as f:
+        f.write("999999999")  # beyond pid_max — never a live process
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert not os.path.exists(dead)
+    assert not os.path.exists(f"{dead}.owner")
+    os.unlink(f"{live}.owner")

@@ -213,3 +213,11 @@ def test_bq_full_rerank_equals_exact_search(embs):
 
 def test_bq_unknown_query_empty(embs):
     assert similarity.bq_topk(embs, 10**9, 5).count() == 0
+
+
+def test_bq_zero_norm_query_returns_empty(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    assert similarity.bq_topk(df, 0, 5).count() == 0
+    assert similarity.bq_topk(df, 0, 5, rerank=5).count() == 0

@@ -441,7 +441,7 @@ def test_heavy_hitters_verify_guard(spark):
     the domain fits; empty input passes trivially."""
     # 500 distinct values, ~20 each: n/(capacity+1) = 10000/9 >> 20
     uniform = spark.range(10_000).select((F.col("id") % 500).alias("v"))
-    with pytest.raises(Exception, match="exactness condition failed"):
+    with pytest.raises(Exception, match="nothing certifies under the MG floor"):
         sketches.heavy_hitters_exact(uniform, "v", k=3, capacity=8).collect()
     # opt-out path returns (possibly-incomplete) rows without raising
     rows = sketches.heavy_hitters_exact(
@@ -450,3 +450,28 @@ def test_heavy_hitters_verify_guard(spark):
     assert len(rows) <= 3
     empty = uniform.filter(F.lit(False))
     assert sketches.heavy_hitters_exact(empty, "v", k=3, capacity=8).collect() == []
+
+
+def test_heavy_hitters_sparse_tail_returns_certified_prefix(spark):
+    """A domain with fewer than k values clearing the MG floor must
+    return the certified prefix — exact rows, no spurious failure (the
+    pre-fix behavior crashed on this provably-correct answer): one
+    overwhelming value plus a 5-row tail at k=10."""
+    heavy = spark.range(100_000).select(F.lit("a").alias("v"))
+    tail = spark.range(5).select(F.lit("b").alias("v"))
+    df = heavy.unionAll(tail)
+    got = [
+        (r["item"], r["freq"])
+        for r in sketches.heavy_hitters_exact(df, "v", k=10, capacity=1024).collect()
+    ]
+    # 'a' certifies (100000 > n/1025); 'b' (freq 5) is below the floor
+    # and is omitted rather than returned unproven
+    assert got == [("a", 100_000)]
+    # verify=False keeps the uncertified tail
+    raw = [
+        (r["item"], r["freq"])
+        for r in sketches.heavy_hitters_exact(
+            df, "v", k=10, capacity=1024, verify=False
+        ).collect()
+    ]
+    assert raw == [("a", 100_000), ("b", 5)]

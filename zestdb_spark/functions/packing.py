@@ -191,8 +191,13 @@ def write_shards(
     plan = shard_plan(blocks.select(key).distinct(), n_shards, key)
     placed = blocks.join(plan, key)
     (
+        # sort by (shard, pos), not pos alone: repartition hashes shard
+        # VALUES, so two shards can share one task (murmur3 collision at
+        # small n_shards) — a pos-only sort would interleave them and
+        # leave each shard's file order resting on the dynamic-partition
+        # writer's own (stability-unspecified) sort
         placed.repartition(int(n_shards), "shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(root)

@@ -116,20 +116,28 @@ def _probe_sequence(qv, nbits: int, n_probes: int) -> list[int]:
     IVF anyway)."""
     if nbits > 16:
         raise ValueError(f"_probe_sequence: nbits {nbits} > 16 — use ivf_topk")
-    q = np.asarray(qv, dtype=float)
+    q = [float(x) for x in qv]
     planes = _hyperplanes(nbits, len(q))
-    margins = planes @ q
+    # margins as explicit left folds, NOT planes @ q: BLAS may reorder
+    # the summation, and the margin signs must match the engine's
+    # F.aggregate bucket assignment and the oracle's list_dot_product
+    # bit for bit (the same convention _rank_probes documents)
+    margins = [_seq_dot_py(row, q) for row in planes.tolist()]
     base = 0
     for i in range(nbits):
         if margins[i] > 0:
             base |= 1 << i
-    cost = np.abs(margins)
-    masks = np.arange(1 << nbits, dtype=np.int64)
-    bits = ((masks[:, None] >> np.arange(nbits)) & 1).astype(float)
-    total = np.floor(bits @ cost * 1e6) / 1e6
-    buckets = masks ^ base
-    order = np.lexsort((buckets, total))  # cost asc, then bucket asc
-    return [int(buckets[i]) for i in order[: int(n_probes)]]
+    cost = [abs(m) for m in margins]
+    scored = []
+    for mask in range(1 << nbits):
+        # ascending-i accumulation — a fixed, engine-independent order
+        acc = 0.0
+        for i in range(nbits):
+            if (mask >> i) & 1:
+                acc += cost[i]
+        scored.append((float(np.floor(acc * 1e6) / 1e6), mask ^ base))
+    scored.sort(key=lambda t: (t[0], t[1]))  # cost asc, then bucket asc
+    return [b for _, b in scored[: int(n_probes)]]
 
 
 def lsh_topk(
@@ -1127,8 +1135,11 @@ def bq_topk(
 
     Pass ``bits=`` a persisted ``bq_encode`` output to search the
     signature table without touching the embeddings."""
-    qrows = embs.filter(F.col("vec_id") == query_vec_id).collect()
-    if len(qrows) != 1:
+    # ONE collect serves both paths; a zero-norm query has no direction
+    # — return empty like every other topk (the interchangeability
+    # contract), never a ranking against the all-zero signature
+    qrows = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
+    if len(qrows) != 1 or qrows[0]["norm"] == 0.0:
         spark = embs.sparkSession
         col = "cosine double" if rerank else "hamming int"
         return spark.createDataFrame(
@@ -1136,7 +1147,7 @@ def bq_topk(
         )
     (qrow,) = qrows
     qbits = 0
-    for x, mask in zip(qrow["embedding"], _bq_masks(dim)):
+    for x, mask in zip(qrow["v"], _bq_masks(dim)):
         if float(x) > 0.0:
             qbits |= mask  # bit-63 mask is negative → two's complement
     src = bits if bits is not None else bq_encode(embs, dim)
@@ -1150,13 +1161,7 @@ def bq_topk(
     if not rerank:
         return ranked.limit(k)
     cands = ranked.limit(int(rerank)).select("vec_id")
-    qn = with_norm(embs).filter(F.col("vec_id") == query_vec_id).collect()
-    if len(qn) != 1 or qn[0]["norm"] == 0.0:
-        spark = embs.sparkSession
-        return spark.createDataFrame(
-            spark.sparkContext.emptyRDD(), "vec_id long, cosine double"
-        )
-    qcol = F.array(*[F.lit(float(x)) for x in qn[0]["v"]])
+    qcol = F.array(*[F.lit(float(x)) for x in qrow["v"]])
     exact = (
         with_norm(embs)
         .join(cands, "vec_id")
@@ -1164,7 +1169,7 @@ def bq_topk(
             "vec_id",
             q6(
                 dot(F.col("v"), qcol)
-                / (F.col("norm") * F.lit(float(qn[0]["norm"])))
+                / (F.col("norm") * F.lit(float(qrow["norm"])))
             ).alias("cosine"),
         )
     )

@@ -559,18 +559,19 @@ def heavy_hitters_exact(
     partitions distinct keys, never the full domain).
     Deterministic ties: frequency desc, then item asc.
 
-    Exactness condition: the true k-th most frequent item must have
-    frequency > n/(capacity+1) — below that the MG pass cannot promise
-    the candidate survived. With ``verify=True`` (default) the plan
-    ASSERTS this at runtime (``F.assert_true`` over the recounted
-    min-frequency vs the stream length, evaluated in the same job):
-    an under-sized ``capacity`` fails LOUDLY instead of silently
-    returning a wrong top-k. The check is sufficiency, not necessity —
-    a caller who KNOWS the column's domain ≤ capacity (per-partition
-    MG never evicts, so the recount is exact regardless of skew) may
-    pass ``verify=False``. When fewer than k items satisfy the floor,
-    the certified result is the returned prefix; anything omitted has
-    frequency ≤ n/(capacity+1).
+    Exactness condition: an item is CERTIFIED when its exact recount
+    exceeds n/(capacity+1) — the MG floor above which the candidate
+    pass provably kept it. With ``verify=True`` (default) the result
+    is the certified prefix of the top-k: rows at-or-below the floor
+    are dropped rather than returned unproven (a sparse tail — fewer
+    than k values clearing the floor — returns fewer than k rows, all
+    exact; anything omitted has frequency ≤ n/(capacity+1)), and if
+    NOTHING certifies on a non-empty stream the plan fails LOUDLY at
+    runtime (``F.assert_true`` in the same job) — that is the
+    under-sized-capacity pathology, not a usable answer. A caller who
+    KNOWS the column's domain ≤ capacity (per-partition MG never
+    evicts, so the recount is exact regardless of skew) may pass
+    ``verify=False`` and keep all k rows.
     At 100 TB: capacity 2^16 finds everything above ~0.0015% of the
     corpus with two scans and a kilobyte-scale shuffle.
 
@@ -592,27 +593,34 @@ def heavy_hitters_exact(
     topk = counted.orderBy(F.col("freq").desc(), F.col("item").asc()).limit(int(k))
     if not verify:
         return topk
-    # The guard rides in as a UNION branch (not a join): a union always
-    # evaluates both children, whereas an inner join with an empty topk
-    # — precisely the under-capacity failure mode — would let AQE's
-    # empty-side propagation skip the assert entirely. On success the
-    # assert yields NULL, the isNotNull filter drops the row, and the
-    # branch contributes nothing; on failure the job dies loudly.
+    # certified prefix: keep only rows the MG floor proves complete —
+    # freq · (capacity+1) > n (a sparse tail returns < k rows, all
+    # exact, rather than unproven ones or a spurious failure)
     n_total = src.agg(F.count(F.lit(1)).alias("_n"))
+    certified = (
+        topk.crossJoin(n_total)
+        .filter(F.col("freq") * F.lit(int(capacity) + 1) > F.col("_n"))
+        .select("item", "freq")
+    )
+    # The guard rides in as a UNION branch (not a join): a union always
+    # evaluates both children, whereas an inner join with an empty
+    # certified set — precisely the under-capacity failure mode — would
+    # let AQE's empty-side propagation skip the assert entirely. On
+    # success the assert yields NULL, the isNotNull filter drops the
+    # row, and the branch contributes nothing; on failure (non-empty
+    # stream, ZERO certified rows) the job dies loudly.
     guard_rows = (
-        topk.agg(F.min("freq").alias("_minf"))
+        certified.agg(F.count(F.lit(1)).alias("_nc"))
         .crossJoin(n_total)
         .select(
             F.assert_true(
-                (F.col("_n") == 0)
-                | (F.col("_minf") * F.lit(int(capacity) + 1) > F.col("_n")),
+                (F.col("_n") == 0) | (F.col("_nc") > 0),
                 F.concat(
                     F.lit(
-                        "heavy_hitters_exact: MG exactness condition failed "
-                        f"(capacity={capacity}): min certified freq "
+                        "heavy_hitters_exact: nothing certifies under the "
+                        f"MG floor (capacity={capacity}): every top-k freq "
+                        "<= n/(capacity+1) with n="
                     ),
-                    F.coalesce(F.col("_minf").cast("string"), F.lit("<none>")),
-                    F.lit(" <= n/(capacity+1) with n="),
                     F.col("_n").cast("string"),
                     F.lit(" — raise capacity or pass verify=False if the "
                           "domain is known to fit"),
@@ -622,6 +630,6 @@ def heavy_hitters_exact(
         )
         .where(F.col("item").isNotNull())
     )
-    return topk.unionByName(guard_rows).orderBy(
+    return certified.unionByName(guard_rows).orderBy(
         F.col("freq").desc(), F.col("item").asc()
     )

@@ -161,6 +161,15 @@ class ServiceCoordinator:
         self.lease_s = float(lease_s)
         self._tokens: dict[str, tuple[str, threading.Event]] = {}
 
+    @staticmethod
+    def _name(path: str) -> str:
+        """Lock names ride a space-delimited line protocol — URL-encode
+        them (store roots may contain spaces/newlines). Equality is
+        preserved, which is all the server compares."""
+        from urllib.parse import quote
+
+        return quote(path, safe="")
+
     def _rpc(self, line: str) -> str:
         with socket.create_connection(self.addr, timeout=10.0) as s:
             s.sendall((line + "\n").encode())
@@ -180,15 +189,26 @@ class ServiceCoordinator:
         operation NFS makes untrustworthy). If a stalled writer
         outlives its lease and races the next claimant anyway, the
         ``os.link`` create-if-absent remains the final arbiter —
-        exactly one of them returns True."""
-        name = f"pub:{final}"
-        resp = self._rpc(f"LOCK {name} {os.getpid()} {self.lease_s}")
-        if not resp.startswith("OK"):
-            # another writer is publishing this very name right now —
-            # it will either create final (we lose) or crash (its
-            # lease frees the name); report a clean CAS loss and let
-            # the caller re-read HEAD and retry its commit
-            return False
+        exactly one of them returns True.
+
+        A BUSY pub lease is TRANSIENT contention, not a CAS loss: the
+        holder is mid-publish (it will create ``final`` — we lose for
+        real) or crashed (its lease expires within ``lease_s`` and the
+        name frees). Returning False immediately would make the
+        caller's commit loop re-read an unchanged HEAD and burn its
+        retries into a spurious conflict, so wait the lease out —
+        losing early the moment ``final`` appears."""
+        name = f"pub:{self._name(final)}"
+        deadline = time.monotonic() + 2.0 * self.lease_s
+        while True:
+            resp = self._rpc(f"LOCK {name} {os.getpid()} {self.lease_s}")
+            if resp.startswith("OK"):
+                break
+            if os.path.exists(final):
+                return False  # the holder published — a genuine loss
+            if time.monotonic() > deadline:
+                return False  # wedged service/holder: report the loss
+            time.sleep(0.02)
         token = resp.split()[1]
         try:
             if os.path.exists(final):
@@ -203,7 +223,7 @@ class ServiceCoordinator:
 
     # -- primitive 2: leased mutex ---------------------------------------
     def try_acquire(self, path: str) -> bool:
-        resp = self._rpc(f"LOCK {path} {os.getpid()} {self.lease_s}")
+        resp = self._rpc(f"LOCK {self._name(path)} {os.getpid()} {self.lease_s}")
         if not resp.startswith("OK"):
             return False
         token = resp.split()[1]
@@ -222,14 +242,14 @@ class ServiceCoordinator:
     def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
         while not stop.wait(self.lease_s / 3.0):
             try:
-                if self._rpc(f"RENEW {path} {token} {self.lease_s}") != "OK":
+                if self._rpc(f"RENEW {self._name(path)} {token} {self.lease_s}") != "OK":
                     return  # lease already lost — stop heartbeating
             except OSError:
                 return  # service unreachable; lease will expire
 
     def holder(self, path: str) -> int:
         with contextlib.suppress(ValueError):
-            return int(self._rpc(f"HOLDER {path}"))
+            return int(self._rpc(f"HOLDER {self._name(path)}"))
         return 0
 
     def is_held(self, path: str) -> bool:
@@ -245,7 +265,7 @@ class ServiceCoordinator:
             token, stop = held
             stop.set()
             with contextlib.suppress(OSError):
-                self._rpc(f"UNLOCK {path} {token}")
+                self._rpc(f"UNLOCK {self._name(path)} {token}")
             return
         with contextlib.suppress(OSError):
             os.unlink(path)

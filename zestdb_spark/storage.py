@@ -693,6 +693,16 @@ class ZestStore:
         maintenance (src/server.re:778-793)."""
         real = self._path(table)
         stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
+        # pid-owned sidecar NEXT TO the stage dir (Spark's overwrite
+        # recreates the dir itself): vacuum must never reclaim a LIVE
+        # writer's staging tree — an mtime floor alone can misfire when
+        # a straggler task computes past the floor without touching a
+        # file, silently dropping that task's rows from the batch. The
+        # marker makes liveness explicit: owner alive → never reclaim;
+        # owner dead → reclaim immediately.
+        owner = f"{stage}.owner"
+        with open(owner, "w") as f:
+            f.write(str(os.getpid()))
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -718,6 +728,8 @@ class ZestStore:
                 adds.append(rel)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+            with contextlib.suppress(OSError):
+                os.unlink(owner)
         return adds
 
     def _commit(
@@ -1065,33 +1077,49 @@ class ZestStore:
         if not dry_run and not rewriting:
             # a kill-9 mid-_stage_move leaves a `.stage_<table>_*` dir
             # at the store root (its finally never ran) — invisible to
-            # readers, reclaimable past the same orphan floor. Age by
-            # the NEWEST mtime in the tree, not the dir's: a live
-            # lock-free APPEND (bulk ingest, streaming batch) may stage
-            # here for longer than the floor with the top-level mtime
-            # frozen at job start, but its tasks keep writing files —
-            # only a tree nothing has touched for a full floor is
-            # provably abandoned.
+            # readers. Liveness comes from the pid-owned `.owner`
+            # sidecar _stage_move writes BEFORE staging: owner alive →
+            # never reclaim (a straggler task may legitimately go
+            # quiet past any mtime floor while its job still owns the
+            # tree — an mtime heuristic here once risked silently
+            # dropping that task's rows); owner dead → reclaim now.
+            # Markerless trees (pre-marker crashes) fall back to the
+            # conservative newest-mtime floor.
             floor = max(retention_s, snapshots.ORPHAN_MIN_AGE_S)
             cutoff = time.time() - floor
             for name in os.listdir(self.root):
-                if name.startswith(f".stage_{table}_"):
-                    full = os.path.join(self.root, name)
-                    try:
-                        newest = os.path.getmtime(full)
-                        for dirpath, _dirs, names in os.walk(full):
-                            newest = max(newest, os.path.getmtime(dirpath))
-                            for f in names:
-                                newest = max(
-                                    newest,
-                                    os.path.getmtime(os.path.join(dirpath, f)),
-                                )
-                    except OSError:
-                        # entries changing under the walk = a LIVE
-                        # writer; never reclaim on partial evidence
-                        continue
-                    if newest <= cutoff:
-                        shutil.rmtree(full, ignore_errors=True)
+                if not name.startswith(f".stage_{table}_") or name.endswith(
+                    ".owner"
+                ):
+                    continue
+                full = os.path.join(self.root, name)
+                owner_file = f"{full}.owner"
+                try:
+                    pid = int(open(owner_file).read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid:
+                    if coordination._pid_alive(pid):
+                        continue  # live writer — hands off
+                    shutil.rmtree(full, ignore_errors=True)
+                    with contextlib.suppress(OSError):
+                        os.unlink(owner_file)
+                    continue
+                try:
+                    newest = os.path.getmtime(full)
+                    for dirpath, _dirs, names in os.walk(full):
+                        newest = max(newest, os.path.getmtime(dirpath))
+                        for f in names:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(dirpath, f)),
+                            )
+                except OSError:
+                    # entries changing under the walk = a LIVE
+                    # writer; never reclaim on partial evidence
+                    continue
+                if newest <= cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
         return snapshots.vacuum(
             self._path(table),
             retention_s,
