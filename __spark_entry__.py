@@ -280,6 +280,38 @@ def _snap_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_to_dataframe(plan, hinted, sort=True)
 
 
+def _tbl_generic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERIC manifested tables under the correctness gate
+    (storage.create_table / append_table / optimize_table — the
+    engine's table format opened to arbitrary corpus DataFrames):
+    create from the odd documents rows, append the evens, then an
+    OPTIMIZE ... ZORDER BY (lang, doc_id) rewrite — an atomic
+    whole-table swap whose read-back must STILL be exactly the full
+    documents projection (layout changes, content never does; the
+    pruning property of the layout itself is pinned by
+    tests/test_layout.py and test_generic_tables.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.storage import ZestStore
+
+    store = ZestStore(spark, tempfile.mkdtemp(prefix="zest_gtbl_"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", F.length("text").alias("text_len")
+    )
+    store.create_table(
+        "corpus_docs",
+        docs.filter(F.col("doc_id") % 2 == 1),
+        stats_cols=("doc_id",),
+    )
+    store.append_table("corpus_docs", docs.filter(F.col("doc_id") % 2 == 0))
+    store.optimize_table(
+        "corpus_docs", target_files=4, zorder_by=("text_len", "doc_id")
+    )
+    return store.load("corpus_docs")
+
+
 def _snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed MERGE (upsert) under the correctness gate: bulk-ingest the
     events mapping, then merge an update batch — the Jan-10..15
@@ -844,6 +876,9 @@ _KV_SQL = {
     """,
     # keyed MERGE: the update predicate is key-closed (series+timestamp
     # only), so the merged table is exactly updates ∪ complement
+    "tbl_generic_roundtrip": """
+      SELECT doc_id, lang, source, len(text) AS text_len FROM documents
+    """,
     "snap_merge": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
       upd AS (
@@ -3658,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["snap_time_travel"] = _snap_time_travel
     out["snap_pruned_read"] = _snap_pruned_read
     out["snap_merge"] = _snap_merge
+    out["tbl_generic_roundtrip"] = _tbl_generic_roundtrip
     out["snap_clone"] = _snap_clone
     out["snap_changes"] = _snap_changes
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip

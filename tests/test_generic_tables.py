@@ -1,0 +1,126 @@
+"""Generic manifested tables (storage.create_table / append_table /
+optimize_table): the engine's table format — atomic commits, time
+travel, change feed, restore, vacuum, stats, clone — opened to
+arbitrary corpus DataFrames, with Z-ORDER clustered OPTIMIZE."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from zestdb_spark.errors import BadRequest
+from zestdb_spark.storage import ZestStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ZestStore(spark, str(tmp_path / "store"))
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i % 7, float(i) * 1.5) for i in range(lo, hi)],
+        "doc_id long, host long, score double",
+    )
+
+
+def test_create_load_append_and_time_travel(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 100))
+    assert store.load("corpus_docs").count() == 100
+    store.append_table("corpus_docs", _docs(spark, 100, 150))
+    assert store.load("corpus_docs").count() == 150
+    # version 0 (the create) still reads exactly the original rows
+    v0 = store.history("corpus_docs")[-1].version
+    assert store.load("corpus_docs", version=v0).count() == 100
+    # change feed between create and append = the appended rows
+    diff = store.changes("corpus_docs", v0)
+    assert diff.filter(F.col("_change_type") == "insert").count() == 50
+
+
+def test_create_rejects_duplicates_and_bad_names(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 10))
+    with pytest.raises(BadRequest, match="already exists"):
+        store.create_table("corpus_docs", _docs(spark, 0, 10))
+    for bad in ("ts_numeric", ".hidden", "_meta", "a/b"):
+        with pytest.raises(BadRequest):
+            store.create_table(bad, _docs(spark, 0, 1))
+
+
+def test_append_rejects_schema_drift(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 10))
+    wrong = spark.createDataFrame([(1, 2)], "doc_id long, other long")
+    with pytest.raises(BadRequest, match="columns"):
+        store.append_table("corpus_docs", wrong)
+
+
+def test_reopened_store_discovers_generic_tables(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 25), stats_cols=("doc_id",))
+    again = ZestStore(spark, store.root)
+    assert again.load("corpus_docs").count() == 25
+    assert "corpus_docs" in again._generic
+    assert again._generic["corpus_docs"]["stats_cols"] == ("doc_id",)
+
+
+def test_optimize_zorder_tightens_file_stats(spark, store):
+    """OPTIMIZE ... ZORDER BY through the table format: after
+    clustering on (host, doc_id), each file's host span must be a
+    bounded sub-range — the file-skipping property — and the row
+    multiset must be byte-identical."""
+    df = _docs(spark, 0, 2000).repartition(8)
+    store.create_table("corpus_docs", df, stats_cols=("doc_id", "host"))
+    before = store.load("corpus_docs").groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    replaced = store.optimize_table(
+        "corpus_docs", target_files=4, zorder_by=("host", "doc_id")
+    )
+    assert replaced >= 4
+    after = store.load("corpus_docs").groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
+    # per-file host spans: clustered files cover < the full 0..6 span
+    spans = []
+    for f in glob.glob(os.path.join(store.root, "corpus_docs", "**", "rw-*.parquet"),
+                       recursive=True):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "host" and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    assert len(spans) >= 4
+    assert any(hi - lo < 6 for lo, hi in spans), f"no file clustered: {spans}"
+    # manifest stats carry the clustered spans (the skipping input)
+    ts = store.table_stats("corpus_docs")
+    assert ts["rows"] == 2000
+
+
+def test_restore_and_vacuum_generic(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 50))
+    store.append_table("corpus_docs", _docs(spark, 50, 60))
+    v0 = store.history("corpus_docs")[-1].version
+    store.restore("corpus_docs", v0)
+    assert store.load("corpus_docs").count() == 50
+    store.vacuum("corpus_docs", retention_s=0.0)
+    assert store.load("corpus_docs").count() == 50
+
+
+def test_clone_generic_table(spark, store, tmp_path):
+    store.create_table("corpus_docs", _docs(spark, 0, 30), stats_cols=("doc_id",))
+    dest = ZestStore(spark, str(tmp_path / "backup"))
+    store.clone_table("corpus_docs", dest)
+    assert dest.load("corpus_docs").count() == 30
+    # and the clone is self-describing for a FRESH process
+    fresh = ZestStore(spark, dest.root)
+    assert fresh.load("corpus_docs").count() == 30

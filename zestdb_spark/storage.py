@@ -316,11 +316,139 @@ class ZestStore:
             "collections"
         ).OrderedDict()
         self._reader_lock = __import__("threading").Lock()
+        #: GENERIC manifested tables (create_table): name → {"schema":
+        #: StructType, "stats_cols": tuple} — discovered from each
+        #: table dir's _zest_meta.json so a reopened store sees every
+        #: table a previous process created
+        self._generic: "dict[str, dict]" = {}
+        self._discover_generic()
 
     _READER_CACHE_MAX = 64
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # ------------------------------------------- generic manifested tables
+
+    def _discover_generic(self) -> None:
+        from pyspark.sql import types as T
+
+        try:
+            names = os.listdir(self.root)
+        except OSError:
+            return
+        for name in names:
+            meta_path = os.path.join(self.root, name, "_zest_meta.json")
+            if name in _TABLES or not os.path.isfile(meta_path):
+                continue
+            try:
+                meta = json.load(open(meta_path))
+                self._generic[name] = {
+                    "schema": T.StructType.fromJson(meta["schema"]),
+                    "stats_cols": tuple(meta.get("stats_cols", ())),
+                }
+            except (OSError, ValueError, KeyError):
+                continue  # unreadable meta: leave the dir untouched
+
+    def _is_manifested(self, table: str) -> bool:
+        return table in _MANIFESTED or table in self._generic
+
+    def _schema_of(self, table: str):
+        base = _TABLES.get(table)
+        if base is not None:
+            return base
+        if table in self._generic:
+            return self._generic[table]["schema"]
+        raise KeyError(table)
+
+    def create_table(
+        self, name: str, df: DataFrame, stats_cols=()
+    ) -> None:
+        """Create a GENERIC manifested table from ``df`` — the engine's
+        table format (atomic manifest commits, time travel, ``changes``
+        feed, ``restore``, ``vacuum``, ``table_stats``, ``optimize_table``)
+        opened up to arbitrary corpus DataFrames, not just the
+        reference-shaped TS/KV/catalog tables. ``stats_cols`` opt
+        columns into per-file min/max manifest stats (the file-skipping
+        input for ``load(since_ms=...)``-style pruning and
+        ``table_stats``). The schema and stats choice persist in the
+        table dir (``_zest_meta.json``), so any later process that
+        opens the store sees the table."""
+        if name in _TABLES or name in self._generic:
+            raise BadRequest(f"table {name!r} already exists")
+        if not name or name != os.path.basename(name) or name.startswith((".", "_")):
+            raise BadRequest(f"invalid table name {name!r}")
+        path = self._path(name)
+        if os.path.isdir(path) and os.listdir(path):
+            raise BadRequest(f"directory for {name!r} already has content")
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "schema": df.schema.jsonValue(),
+            "stats_cols": list(stats_cols),
+        }
+        with open(os.path.join(path, "_zest_meta.json"), "w") as f:
+            json.dump(meta, f)
+        from pyspark.sql import types as T
+
+        self._generic[name] = {
+            "schema": T.StructType.fromJson(meta["schema"]),
+            "stats_cols": tuple(stats_cols),
+        }
+        adds = self._stage_move(name, df)
+        self._commit(name, adds=adds, op="create")
+
+    def append_table(self, name: str, df: DataFrame) -> None:
+        """Lock-free append to a generic table (one atomic manifest
+        commit; concurrent appends serialize through the CAS like
+        every other append in the store)."""
+        if name not in self._generic:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        want = set(f.name for f in self._generic[name]["schema"].fields)
+        got = set(df.columns)
+        if want != got:
+            raise BadRequest(
+                f"append_table({name!r}): columns {sorted(got)} != "
+                f"table schema {sorted(want)}"
+            )
+        adds = self._stage_move(name, df)
+        self._commit(name, adds=adds, op="append")
+
+    def optimize_table(
+        self,
+        name: str,
+        target_files: int = 1,
+        zorder_by=(),
+        bits: int = 16,
+        vacuum_retention_s: float = 0.0,
+    ) -> int:
+        """OPTIMIZE for generic tables: merge the live files down to
+        ``target_files``, optionally Z-ORDER clustered on
+        ``zorder_by`` (functions/layout.py — every clustered column
+        gets bounded per-file min/max spans, so multi-dimension box
+        predicates skip files; pair with ``stats_cols`` to surface
+        those spans in the manifest). One atomic swap commit, replaced
+        byte-duplicates reclaimed per ``vacuum_retention_s`` (0 = the
+        OPTIMIZE + VACUUM 0 HOURS posture, same trade as ``compact``).
+        Returns the number of files replaced."""
+        if name not in self._generic:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        with self._rewrite_lock(name):
+            live = self._live_files(name)
+            if not live:
+                return 0
+            df = self._read_files(name, live)
+            if zorder_by:
+                from zestdb_spark.functions.layout import zorder_layout
+
+                clustered = zorder_layout(
+                    df, list(zorder_by), int(target_files), bits=bits
+                )
+            else:
+                clustered = df.repartition(int(target_files))
+            adds = self._stage_move(name, clustered, rewrite=True)
+            self._commit(name, adds=adds, removes=live, op="optimize")
+            self.vacuum(name, retention_s=vacuum_retention_s)
+        return len(live)
 
     @contextlib.contextmanager
     def _rewrite_lock(self, table: str, wait_s: float = 30.0):
@@ -349,7 +477,7 @@ class ZestStore:
     def _snapshot(self, table: str) -> "snapshots.Snapshot | None":
         """Current manifest of a manifested table (None = no log yet —
         a pre-manifest layout or a never-written table)."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             return None
         return snapshots.latest(self._path(table))
 
@@ -424,7 +552,7 @@ class ZestStore:
         path = self._path(table)
         schema = self._read_schema(table)
         if version is not None:
-            if table not in _MANIFESTED:
+            if not self._is_manifested(table):
                 raise BadRequest(f"{table!r} is not under snapshot control")
             snap = snapshots.read_version(path, version)
             if snap is None:
@@ -516,18 +644,17 @@ class ZestStore:
         exact predicate as always; the hint only shrinks the file list
         (correctness is hint-independent, pinned by
         tests/test_stats_pruning.py)."""
-        if table not in _TABLES:
-            raise KeyError(table)
+        schema = self._schema_of(table)  # KeyError on unknown tables
         if as_of_ms is not None:
             if version is not None:
                 raise BadRequest("pass version OR as_of_ms, not both")
             version = self.version_at(table, as_of_ms)
         return self._read_table(
             table, version, since_ms=since_ms, until_ms=until_ms, series=series
-        ).select(*[f.name for f in _TABLES[table].fields])
+        ).select(*[f.name for f in schema.fields])
 
     def _read_schema(self, table: str):
-        base = _TABLES[table]
+        base = self._schema_of(table)
         if table in ("ts_numeric", "ts_blob"):
             from pyspark.sql import types as T
 
@@ -753,6 +880,8 @@ class ZestStore:
         still on disk, so re-added files regain stats even when the
         restored-to manifest predates stats collection)."""
         cols = _STATS_COLS.get(table)
+        if not cols and table in self._generic:
+            cols = self._generic[table]["stats_cols"] or None
         if not cols or not rels:
             return None
         root = self._path(table)
@@ -835,7 +964,7 @@ class ZestStore:
         created_ms, op, live file set) — the reference reads the same
         story from `git log` on its Irmin store; Delta calls it
         DESCRIBE HISTORY. Bounded by vacuum's manifest retention."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise KeyError(f"{table!r} is not under snapshot control")
         return snapshots.history(self._path(table))
 
@@ -869,7 +998,7 @@ class ZestStore:
         version's manifest or any of its files were already reclaimed
         by vacuum. Takes the rewrite lock: a restore races with
         rewrites like any other rewrite."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise KeyError(f"{table!r} is not under snapshot control")
         path = self._path(table)
         with self._rewrite_lock(table):
@@ -917,7 +1046,7 @@ class ZestStore:
         modify bytes the other reads, and vacuum only unlinks its own
         directory entries (the inode survives while the other side's
         link exists)."""
-        if table not in _TABLES:
+        if table not in _TABLES and table not in self._generic:
             raise KeyError(table)
         if dest._exists(table):
             raise BadRequest(
@@ -926,7 +1055,7 @@ class ZestStore:
             )
         src_dir = self._path(table)
         if version is not None:
-            if table not in _MANIFESTED:
+            if not self._is_manifested(table):
                 raise BadRequest(f"{table!r} is not under snapshot control")
             snap = snapshots.read_version(src_dir, version)
             if snap is None:
@@ -948,6 +1077,15 @@ class ZestStore:
             snap = self._snapshot(table)
         files = list(snap.files) if snap is not None else []
         dst_dir = dest._path(table)
+        if table in self._generic:
+            # the clone must be self-describing too: carry the meta
+            # (schema + stats choice) and register it on the dest
+            os.makedirs(dst_dir, exist_ok=True)
+            with open(os.path.join(src_dir, "_zest_meta.json")) as f:
+                meta_raw = f.read()
+            with open(os.path.join(dst_dir, "_zest_meta.json"), "w") as f:
+                f.write(meta_raw)
+            dest._generic[table] = dict(self._generic[table])
         for rel in files:
             src = os.path.join(src_dir, rel)
             dst = os.path.join(dst_dir, rel)
@@ -1000,7 +1138,7 @@ class ZestStore:
         files with no comparison at all. Both endpoint versions must
         still be within vacuum's retention (loud refusal otherwise,
         like time travel)."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise BadRequest(f"{table!r} is not under snapshot control")
         path = self._path(table)
         snaps = {}
@@ -1036,7 +1174,7 @@ class ZestStore:
                 f"readable: {len(gone)} churned files were reclaimed by "
                 f"vacuum (first: {gone[0]!r})"
             )
-        cols = [f.name for f in _TABLES[table].fields]
+        cols = [f.name for f in self._schema_of(table).fields]
         new_rows = self._read_files(table, added).select(*cols)
         old_rows = self._read_files(table, removed).select(*cols)
         if not removed:  # append-only range: every new-file row inserts
@@ -1069,7 +1207,7 @@ class ZestStore:
         concurrently with rewriters, so liveness of staged files is
         only decidable when no rewrite is in flight. Tombstone reclaim
         is safe either way (tombstoned files are never re-referenced)."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise KeyError(f"{table!r} is not under snapshot control")
         rewriting = coordination.get_coordinator().is_held(
             os.path.join(self.root, f".lock_{table}")
@@ -1150,7 +1288,7 @@ class ZestStore:
         from the manifest's per-file footer stats). ``rows`` is None
         when any live file predates stats collection (unknowable
         without a scan — never guessed)."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise KeyError(f"{table!r} is not under snapshot control")
         self._live_files(table)  # bootstrap pre-manifest layouts
         snap = self._snapshot(table)
@@ -1325,7 +1463,7 @@ class ZestStore:
         manifest (Delta's ``txnVersion``/``txnAppId`` lookup). The
         answer and the data it vouches for come from ONE atomic
         record, which is the whole exactly-once argument."""
-        if table not in _MANIFESTED:
+        if not self._is_manifested(table):
             raise KeyError(f"{table!r} is not under snapshot control")
         snap = self._snapshot(table)
         return None if snap is None else snap.txns.get(app_id)
