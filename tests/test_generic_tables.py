@@ -124,3 +124,48 @@ def test_clone_generic_table(spark, store, tmp_path):
     # and the clone is self-describing for a FRESH process
     fresh = ZestStore(spark, dest.root)
     assert fresh.load("corpus_docs").count() == 30
+
+
+def test_generic_table_streams_through_zest_changes(spark, store, tmp_path):
+    """The change-feed source is self-describing over generic tables
+    (_zest_meta.json schema): initial catch-up replays current
+    content, appends arrive incrementally, and OPTIMIZE rewrites stay
+    SILENT (rw-* staging — append purity at the offset level, the
+    same contract the TS tables grade under)."""
+    from zestdb_spark.sources import register
+
+    register(spark)
+    store.create_table("corpus_docs", _docs(spark, 0, 20))
+    live = (
+        spark.readStream.format("zest_changes")
+        .option("root", os.path.join(store.root, "corpus_docs"))
+        .load()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        live.writeStream.format("memory")
+        .queryName("gt_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) n FROM gt_stream").collect()[0]["n"] == 20
+        )
+        assert set(spark.table("gt_stream").columns) == {
+            "doc_id", "host", "score",
+        }
+        # incremental: append 5, optimize (a full rewrite), append 3 —
+        # the live stream must deliver exactly the 8 appended rows
+        store.append_table("corpus_docs", _docs(spark, 20, 25))
+        store.optimize_table(
+            "corpus_docs", target_files=1, vacuum_retention_s=3600
+        )
+        store.append_table("corpus_docs", _docs(spark, 25, 28))
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) n FROM gt_stream").collect()[0]["n"]
+        assert n == 28, f"optimize must not re-notify (got {n}, want 28)"
+    finally:
+        q.stop()

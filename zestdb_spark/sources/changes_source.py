@@ -64,10 +64,13 @@ from zestdb_spark.sources.tail_source import _LAYOUTS
 
 
 class _AppendedFile(InputPartition):
-    def __init__(self, path: str, series_id: str, cols: tuple):
+    def __init__(self, path: str, series_id: str, cols: tuple, meta_json=None):
         self.path = path
         self.series_id = series_id
         self.cols = cols
+        #: generic tables: the table's Spark schema (JSON dict) rides
+        #: into the task so the arrow cast needs no driver round trip
+        self.meta_json = meta_json
 
 
 def _is_append(rel: str) -> bool:
@@ -81,13 +84,34 @@ def _series_of(rel: str) -> str:
     return ""
 
 
+def _generic_meta(root: str):
+    """A generic manifested table is self-describing: its dir carries
+    _zest_meta.json (storage.create_table) — the change feed reads the
+    schema from there, so the SAME source streams reference-shaped TS
+    tables AND arbitrary corpus tables."""
+    import json
+
+    path = os.path.join(root, "_zest_meta.json")
+    if not os.path.isfile(path):
+        return None
+    try:
+        return json.load(open(path))["schema"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 class ZestChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["root"]
-        self.table = options.get("table", "ts_numeric")
-        if self.table not in _LAYOUTS:
-            raise ValueError(f"table must be one of {sorted(_LAYOUTS)}")
-        self.cols = _LAYOUTS[self.table][0]
+        self.meta_json = _generic_meta(self.root)
+        if self.meta_json is not None:
+            self.table = "generic"
+            self.cols = tuple(f["name"] for f in self.meta_json["fields"])
+        else:
+            self.table = options.get("table", "ts_numeric")
+            if self.table not in _LAYOUTS:
+                raise ValueError(f"table must be one of {sorted(_LAYOUTS)}")
+            self.cols = _LAYOUTS[self.table][0]
         self.starting = int(options.get("startingVersion", -1))
         #: admission control: cap how many table versions one
         #: micro-batch may span (maxFilesPerTrigger's role). Bounded
@@ -177,7 +201,12 @@ class ZestChangesStreamReader(DataSourceStreamReader):
         if e <= s:
             return []
         return [
-            _AppendedFile(os.path.join(self.root, rel), _series_of(rel), self.cols)
+            _AppendedFile(
+                os.path.join(self.root, rel),
+                _series_of(rel),
+                self.cols,
+                self.meta_json,
+            )
             for rel in self._appended_between(s, e)
         ]
 
@@ -188,6 +217,18 @@ class ZestChangesStreamReader(DataSourceStreamReader):
             return iter(())
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if partition.meta_json is not None:
+            from pyspark.sql.types import StructType
+
+            from zestdb_spark.storage import _spark_to_arrow_type
+
+            st = StructType.fromJson(partition.meta_json)
+            canonical = pa.schema(
+                [pa.field(f.name, _spark_to_arrow_type(f.dataType)) for f in st.fields]
+            )
+            table = pq.read_table(partition.path, columns=list(partition.cols))
+            return iter(table.cast(canonical).to_batches())
 
         _types = {
             "timestamp": pa.int64(),
@@ -213,7 +254,12 @@ class ZestChangesDataSource(DataSource):
     def name(cls) -> str:
         return "zest_changes"
 
-    def schema(self) -> str:
+    def schema(self):
+        meta = _generic_meta(self.options["root"])
+        if meta is not None:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(meta)
         table = self.options.get("table", "ts_numeric")
         if table not in _LAYOUTS:
             raise ValueError(
