@@ -169,3 +169,45 @@ def test_generic_table_streams_through_zest_changes(spark, store, tmp_path):
         assert n == 28, f"optimize must not re-notify (got {n}, want 28)"
     finally:
         q.stop()
+
+
+def test_merge_table_upserts_by_key_and_prunes(spark, store):
+    """Generic keyed MERGE: matched keys replaced, new keys inserted,
+    one commit; files whose stats exclude the update keys stay
+    byte-identical (candidate pruning on stats-covered keys)."""
+    store.create_table(
+        "corpus_docs", _docs(spark, 0, 100), stats_cols=("doc_id",)
+    )
+    # well-separated second file so pruning has something to skip
+    store.append_table("corpus_docs", _docs(spark, 10_000, 10_100))
+    files_before = set(store._live_files("corpus_docs"))
+    updates = spark.createDataFrame(
+        [(5, 99, 555.0), (10_500, 1, 111.0)],
+        "doc_id long, host long, score double",
+    )
+    touched = store.merge_table("corpus_docs", updates, key_cols=("doc_id",))
+    assert touched >= 1
+    got = {
+        r["doc_id"]: (r["host"], r["score"])
+        for r in store.load("corpus_docs")
+        .filter(F.col("doc_id").isin(5, 10_500))
+        .collect()
+    }
+    assert got[5] == (99, 555.0)       # replaced
+    assert got[10_500] == (1, 111.0)   # inserted
+    assert store.load("corpus_docs").count() == 201  # 200 + 1 new key
+    # the 10k-block file was never touched: its relpaths survive intact
+    survivors = set(store._live_files("corpus_docs")) & files_before
+    assert survivors, "pruning should keep unhit files live and identical"
+    # merge is one commit: history gained exactly one version
+    assert store.history("corpus_docs")[0].op == "merge"
+
+
+def test_merge_table_rejects_bad_keys_and_schema(spark, store):
+    store.create_table("corpus_docs", _docs(spark, 0, 10))
+    ok = _docs(spark, 0, 1)
+    with pytest.raises(BadRequest, match="key_cols"):
+        store.merge_table("corpus_docs", ok, key_cols=("nope",))
+    wrong = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(BadRequest, match="columns"):
+        store.merge_table("corpus_docs", wrong, key_cols=("doc_id",))

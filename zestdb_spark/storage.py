@@ -413,6 +413,107 @@ class ZestStore:
         adds = self._stage_move(name, df)
         self._commit(name, adds=adds, op="append")
 
+    def merge_table(self, name: str, updates: DataFrame, key_cols) -> int:
+        """Keyed MERGE (upsert) into a GENERIC table — the same Delta
+        recipe as ``merge_rows`` on the TS tables, with caller-chosen
+        key columns: every live row whose key appears in ``updates`` is
+        replaced, every other update row is inserted, one atomic
+        commit; duplicate keys replace-by-key on both sides. Cost ∝
+        touched files + update batch: the update batch's min/max on
+        stats-covered key columns prunes the manifest to candidate
+        files, and an ``input_file_name`` semi-join narrows the rewrite
+        to provably-hit files. Returns the number of files rewritten.
+
+        Pruning is conservative: key columns outside ``stats_cols``
+        (or with incomparable stats) simply prune nothing — create the
+        table with its merge keys in ``stats_cols`` to get the skip."""
+        if name not in self._generic:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        schema = self._generic[name]["schema"]
+        names = [f.name for f in schema.fields]
+        key_cols = list(key_cols)
+        if not key_cols or any(k not in names for k in key_cols):
+            raise BadRequest(
+                f"merge_table({name!r}): key_cols {key_cols} must be "
+                f"columns of {names}"
+            )
+        if set(updates.columns) != set(names):
+            raise BadRequest(
+                f"merge_table({name!r}): columns {sorted(updates.columns)} "
+                f"!= table schema {sorted(names)}"
+            )
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        if updates.isEmpty():
+            return 0
+        updates = updates.persist()
+        try:
+            keys = updates.select(*key_cols).distinct()
+            statable = [
+                k for k in key_cols if k in self._generic[name]["stats_cols"]
+            ]
+            bounds: dict[str, tuple] = {}
+            if statable:
+                aggs = []
+                for k in statable:
+                    aggs += [
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    ]
+                row = updates.agg(*aggs).collect()[0]
+                bounds = {
+                    k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in statable
+                }
+
+            def may(rel: str, st) -> bool:
+                st = st or {}
+                for k, (lo, hi) in bounds.items():
+                    if lo is None or hi is None:
+                        continue
+                    fmin = (st.get("min") or {}).get(k)
+                    fmax = (st.get("max") or {}).get(k)
+                    try:
+                        if fmin is not None and fmax is not None and (
+                            fmax < lo or fmin > hi
+                        ):
+                            return False
+                    except TypeError:
+                        continue  # incomparable stats: never prune blind
+                return True
+
+            real = self._path(name)
+            with self._rewrite_lock(name):
+                live = self._live_files(name)
+                snap = self._snapshot(name)
+                stats = snap.stats if snap is not None else {}
+                candidates = [f for f in live if may(f, stats.get(f))]
+                touched: list[str] = []
+                if candidates:
+                    cand = self._read_files(name, candidates).withColumn(
+                        "_zest_file", F.input_file_name()
+                    )
+                    hit = (
+                        cand.join(keys, key_cols, "semi")
+                        .select("_zest_file")
+                        .distinct()
+                        .collect()
+                    )
+                    touched = sorted(
+                        self._rel_of_uri(real, r[0]) for r in hit
+                    )
+                adds: list[str] = []
+                if touched:
+                    survivors = self._read_files(name, touched).join(
+                        keys, key_cols, "left_anti"
+                    )
+                    adds += self._stage_move(name, survivors, rewrite=True)
+                adds += self._stage_move(name, updates)
+                self._commit(name, adds=adds, removes=touched, op="merge")
+            return len(touched)
+        finally:
+            updates.unpersist()
+
     def optimize_table(
         self,
         name: str,
