@@ -211,3 +211,32 @@ def test_merge_table_rejects_bad_keys_and_schema(spark, store):
     wrong = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(BadRequest, match="columns"):
         store.merge_table("corpus_docs", wrong, key_cols=("doc_id",))
+
+
+def test_delete_table_rows_predicate_and_null_semantics(spark, store):
+    """Predicate DELETE: hit files rewritten without matching rows,
+    unhit files byte-identical, NULL-predicate rows KEPT (Delta's
+    DELETE-where-TRUE contract), all one commit."""
+    store.create_table("corpus_docs", _docs(spark, 0, 100))
+    store.append_table("corpus_docs", _docs(spark, 10_000, 10_050))
+    # a NULL-scoring row: the predicate (score < 15) is NULL for it
+    store.append_table(
+        "corpus_docs",
+        spark.createDataFrame(
+            [(77_777, 0, None)], "doc_id long, host long, score double"
+        ),
+    )
+    files_before = set(store._live_files("corpus_docs"))
+    touched = store.delete_table_rows("corpus_docs", "score < 15.0")
+    assert touched >= 1
+    left = store.load("corpus_docs")
+    assert left.filter(F.col("score") < 15.0).count() == 0
+    assert left.filter(F.col("doc_id") == 77_777).count() == 1  # NULL kept
+    assert left.count() == 100 + 50 + 1 - 10  # scores 0..13.5 = ids 0..9
+    # the far block (scores >= 15000) was never touched
+    assert set(store._live_files("corpus_docs")) & files_before
+    assert store.history("corpus_docs")[0].op == "delete"
+    # no-match predicate is a no-op commit-wise
+    v = store.history("corpus_docs")[0].version
+    assert store.delete_table_rows("corpus_docs", "score < -1.0") == 0
+    assert store.history("corpus_docs")[0].version == v

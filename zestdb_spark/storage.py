@@ -514,6 +514,40 @@ class ZestStore:
         finally:
             updates.unpersist()
 
+    def delete_table_rows(self, name: str, predicate: str) -> int:
+        """Predicate DELETE from a generic table (Delta's ``DELETE
+        WHERE``): rows matching the SQL ``predicate`` are removed by
+        rewriting ONLY the files that actually contain a match
+        (``input_file_name`` scan), survivors staged as ``rw-*`` and
+        swapped with the removals in one atomic commit — every unhit
+        file stays live and byte-identical, and a crash before the
+        commit leaves the table fully old. Returns the number of files
+        rewritten."""
+        if name not in self._generic:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        cond = F.expr(predicate)
+        real = self._path(name)
+        with self._rewrite_lock(name):
+            live = self._live_files(name)
+            if not live:
+                return 0
+            scan = self._read_files(name, live).withColumn(
+                "_zest_file", F.input_file_name()
+            )
+            hit = scan.filter(cond).select("_zest_file").distinct().collect()
+            touched = sorted(self._rel_of_uri(real, r[0]) for r in hit)
+            if not touched:
+                return 0
+            # survivors = rows where the predicate is NOT TRUE: a NULL
+            # predicate must KEEP the row (Delta's DELETE semantics),
+            # and a bare ~cond would silently drop NULL-valued rows
+            survivors = self._read_files(name, touched).filter(
+                F.coalesce(~cond, F.lit(True))
+            )
+            adds = self._stage_move(name, survivors, rewrite=True)
+            self._commit(name, adds=adds, removes=touched, op="delete")
+        return len(touched)
+
     def optimize_table(
         self,
         name: str,
