@@ -52,3 +52,25 @@ def test_example_ann_ladder_runs_with_sane_recall(spark):
     assert r["exact"] == 1.0
     for tier in ("ivf_probe8", "pq_refine", "ivfpq_refine", "bq_refine"):
         assert 0.3 <= r[tier] <= 1.0, f"{tier} recall out of band: {r[tier]}"
+
+
+def test_example_lakehouse_tables_runs(spark):
+    """The generic-table walkthrough must keep running end-to-end with
+    its documented invariants: append grows, delete shrinks by the
+    empty docs, optimize preserves content, v0 time travel still reads
+    the create, merge relabels exactly the 10 keys."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "lakehouse_tables.py"
+    )
+    spec = importlib.util.spec_from_file_location("example_lakehouse", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(spark, "/root/testdata/sf0.001")
+    assert out["after_append"] > out["created"] > 0
+    assert out["after_delete"] <= out["after_append"]
+    assert out["after_optimize"] == out["after_delete"]
+    assert out["v0_rows"] == out["created"]
+    assert out["curated"] == 10
+    assert out["history_ops"][0] == "optimize"
+    assert set(out["history_ops"]) >= {"create", "append", "merge", "optimize"}
