@@ -240,3 +240,97 @@ def test_delete_table_rows_predicate_and_null_semantics(spark, store):
     v = store.history("corpus_docs")[0].version
     assert store.delete_table_rows("corpus_docs", "score < -1.0") == 0
     assert store.history("corpus_docs")[0].version == v
+
+
+def test_create_guards_reserved_and_stats_typos(spark, store):
+    bad = spark.createDataFrame([(1, 2)], "doc_id long, zkey long")
+    with pytest.raises(BadRequest, match="reserved"):
+        store.create_table("t1", bad)
+    ok = _docs(spark, 0, 3)
+    with pytest.raises(BadRequest, match="stats_cols"):
+        store.create_table("t2", ok, stats_cols=("doc_Id",))
+
+
+def test_append_casts_to_persisted_types(spark, store):
+    """Matching names with drifted physical types must be cast to the
+    table's persisted schema, never written as-is (a float file in a
+    double table poisons every later schema-pinned read)."""
+    store.create_table("corpus_docs", _docs(spark, 0, 5))
+    drifted = spark.createDataFrame(
+        [(100, 1, 2.5)], "doc_id int, host int, score float"
+    )
+    store.append_table("corpus_docs", drifted)
+    rows = store.load("corpus_docs").filter(F.col("doc_id") == 100).collect()
+    assert rows and rows[0]["score"] == 2.5  # readable, right value
+
+
+def test_timestamp_column_streams_through_changes(spark, store):
+    """A generic table with a TIMESTAMP column (outside the TS tables'
+    hand-kept arrow map) must stream — the Spark↔Arrow mapping falls
+    back to Spark's canonical converter."""
+    from zestdb_spark.sources import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "doc_id long, at string"
+    ).select("doc_id", F.col("at").cast("timestamp").alias("at"))
+    store.create_table("evented", df)
+    live = (
+        spark.readStream.format("zest_changes")
+        .option("root", os.path.join(store.root, "evented"))
+        .load()
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("ts_generic")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) n FROM ts_generic").collect()[0]["n"] == 1
+        )
+    finally:
+        q.stop()
+
+
+def test_concurrent_create_has_one_winner(spark, store):
+    """TWO PROCESSES racing the same create: exactly one wins, the
+    other gets a loud BadRequest — never a silent union (the
+    existence check + meta write + commit run under the table's
+    rewrite lock)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    child_src = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from zestdb_spark.errors import BadRequest
+        from zestdb_spark.session import get_spark
+        from zestdb_spark.storage import ZestStore
+        spark = get_spark("create_race_child")
+        store = ZestStore(spark, {store.root!r})
+        df = spark.createDataFrame([(1, 1, 1.0)],
+                                   "doc_id long, host long, score double")
+        try:
+            store.create_table("raced", df)
+            print("WON")
+        except BadRequest:
+            print("LOST")
+    """)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src], stdout=subprocess.PIPE
+    )
+    try:
+        store.create_table("raced", _docs(spark, 0, 2))
+        mine = "WON"
+    except BadRequest:
+        mine = "LOST"
+    out, _ = child.communicate(timeout=300)
+    theirs = out.decode().strip().splitlines()[-1]
+    assert sorted([mine, theirs]) == ["LOST", "WON"]
+    # and the table is exactly one creator's content, not a union
+    n = ZestStore(spark, store.root).load("raced").count()
+    assert n in (1, 2)

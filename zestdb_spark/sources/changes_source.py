@@ -96,8 +96,14 @@ def _generic_meta(root: str):
         return None
     try:
         return json.load(open(path))["schema"]
-    except (OSError, ValueError, KeyError):
-        return None
+    except (OSError, ValueError, KeyError) as e:
+        # present-but-unreadable must be LOUD: silently falling back to
+        # the ts_numeric layout would read generic parquet with the
+        # wrong columns and fail opaquely per task (or half-work)
+        raise ValueError(
+            f"zest_changes: {path} exists but is unreadable ({e!r}) — "
+            "the table's meta is corrupt; repair it before streaming"
+        ) from e
 
 
 class ZestChangesStreamReader(DataSourceStreamReader):

@@ -188,14 +188,22 @@ def _spark_to_arrow_type(dt):
                 for f in dt.fields
             ]
         )
-    return {
+    simple = {
         "long": pa.int64(),
         "integer": pa.int32(),
         "string": pa.string(),
         "double": pa.float64(),
         "boolean": pa.bool_(),
         "binary": pa.binary(),
-    }[name]
+    }
+    if name in simple:
+        return simple[name]
+    # generic tables carry arbitrary user schemas (float, date,
+    # timestamp, decimal, map, ...): defer to Spark's own canonical
+    # Spark↔Arrow mapping instead of failing on a hand-kept table
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
 
 
 def _arrow_log_schema(table: str):
@@ -374,28 +382,55 @@ class ZestStore:
         ``table_stats``). The schema and stats choice persist in the
         table dir (``_zest_meta.json``), so any later process that
         opens the store sees the table."""
-        if name in _TABLES or name in self._generic:
-            raise BadRequest(f"table {name!r} already exists")
         if not name or name != os.path.basename(name) or name.startswith((".", "_")):
             raise BadRequest(f"invalid table name {name!r}")
+        reserved = {"zkey", "_zest_file"} & set(df.columns)
+        if reserved:
+            raise BadRequest(
+                f"create_table({name!r}): column names {sorted(reserved)} are "
+                "reserved by the DML working columns (z-order key, hit-file "
+                "scan) — rename them"
+            )
+        bad_stats = [c for c in stats_cols if c not in df.columns]
+        if bad_stats:
+            raise BadRequest(
+                f"create_table({name!r}): stats_cols {bad_stats} are not "
+                f"columns of {sorted(df.columns)} — a typo here would "
+                "silently disable stats pruning"
+            )
         path = self._path(name)
-        if os.path.isdir(path) and os.listdir(path):
-            raise BadRequest(f"directory for {name!r} already has content")
-        os.makedirs(path, exist_ok=True)
-        meta = {
-            "schema": df.schema.jsonValue(),
-            "stats_cols": list(stats_cols),
-        }
-        with open(os.path.join(path, "_zest_meta.json"), "w") as f:
-            json.dump(meta, f)
-        from pyspark.sql import types as T
+        meta_path = os.path.join(path, "_zest_meta.json")
+        # the whole existence-check → stage → meta → commit sequence runs
+        # under the table's rewrite lock so two processes racing the same
+        # create get one winner and one loud BadRequest, never a silent
+        # union of both DataFrames (the cross-process posture every other
+        # commit path already has)
+        with self._rewrite_lock(name):
+            if name in _TABLES or name in self._generic or os.path.isfile(meta_path):
+                raise BadRequest(f"table {name!r} already exists")
+            if os.path.isdir(path) and os.listdir(path):
+                raise BadRequest(f"directory for {name!r} already has content")
+            os.makedirs(path, exist_ok=True)
+            # data FIRST: a failed Spark write leaves only reclaimable
+            # stage litter, and retrying the create works; the meta file
+            # (the table's existence marker) lands atomically (tmp +
+            # rename) only once the data is staged into the tree
+            adds = self._stage_move(name, df)
+            meta = {
+                "schema": df.schema.jsonValue(),
+                "stats_cols": list(stats_cols),
+            }
+            tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_meta, meta_path)
+            from pyspark.sql import types as T
 
-        self._generic[name] = {
-            "schema": T.StructType.fromJson(meta["schema"]),
-            "stats_cols": tuple(stats_cols),
-        }
-        adds = self._stage_move(name, df)
-        self._commit(name, adds=adds, op="create")
+            self._generic[name] = {
+                "schema": T.StructType.fromJson(meta["schema"]),
+                "stats_cols": tuple(stats_cols),
+            }
+            self._commit(name, adds=adds, op="create")
 
     def append_table(self, name: str, df: DataFrame) -> None:
         """Lock-free append to a generic table (one atomic manifest
@@ -403,13 +438,20 @@ class ZestStore:
         every other append in the store)."""
         if name not in self._generic:
             raise KeyError(f"{name!r} is not a generic manifested table")
-        want = set(f.name for f in self._generic[name]["schema"].fields)
+        schema = self._generic[name]["schema"]
+        want = set(f.name for f in schema.fields)
         got = set(df.columns)
         if want != got:
             raise BadRequest(
                 f"append_table({name!r}): columns {sorted(got)} != "
                 f"table schema {sorted(want)}"
             )
+        # cast to the PERSISTED physical types: appending a frame with
+        # matching names but drifted types (float vs double, string vs
+        # long) would otherwise poison every later schema-pinned read
+        # of the whole table — the same guard every other write path
+        # applies
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         adds = self._stage_move(name, df)
         self._commit(name, adds=adds, op="append")
 
