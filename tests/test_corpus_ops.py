@@ -587,6 +587,59 @@ def test_bpe_encode_strips_stray_separators(spark):
     assert row.n_subwords == 3
 
 
+def test_bpe_encode_kernel_matches_literal(spark, docs):
+    # the Arrow kernel (large-merge-table path) must be bit-identical
+    # to the chained-replace expression — same encoded stream, same
+    # counts, on real fixture text including nulls and stray separators
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    extra = spark.createDataFrame(
+        [(100, None), (101, f"a{BPE_SEP}bab  ab")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit(None).cast("string")).withColumn(
+        "source", F.lit(None).cast("string")
+    )
+    corpus = docs.unionByName(extra)
+    merges = corpus_ops.bpe_train(corpus, n_merges=12)
+    assert merges  # the fixture corpus trains a non-trivial table
+    lit = {
+        r.doc_id: (r.encoded, r.n_subwords)
+        for r in corpus_ops.bpe_encode(corpus, merges, method="literal").collect()
+    }
+    ker = {
+        r.doc_id: (r.encoded, r.n_subwords)
+        for r in corpus_ops.bpe_encode(corpus, merges, method="kernel").collect()
+    }
+    assert lit == ker
+    assert lit[100] == (None, None)
+
+
+def test_bpe_encode_32k_merge_table_plans_and_runs(spark):
+    # the regime the literal path cannot reach: a real tokenizer's
+    # ~32k merges would be a 32k-deep nested-replace expression tree.
+    # auto-dispatch must pick the kernel and encode correctly.
+    import itertools
+    import string
+
+    pairs = itertools.product(
+        ["".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)],
+        string.ascii_lowercase,
+    )
+    merges = [(a, b) for a, b in itertools.islice(pairs, 32_000)]
+    # seed two real merges at the FRONT so order-dependent application
+    # is exercised, not just a no-op sweep
+    merges = [("a", "b"), ("ab", "ab")] + merges
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "xyz")], "doc_id long, text string"
+    )
+    assert len(merges) > corpus_ops.BPE_KERNEL_MERGES
+    rows = {r.doc_id: r for r in corpus_ops.bpe_encode(df, merges).collect()}
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    assert rows[1].encoded.replace(BPE_SEP, "") == "abab abab ab"
+    assert rows[1].n_subwords == 3  # abab, abab, ab after the seeded merges
+
+
 def test_probe_fit_drops_null_rows(spark):
     import math
 

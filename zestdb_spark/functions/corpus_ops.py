@@ -518,13 +518,77 @@ def bpe_train(
     return merges
 
 
+#: Merge-table size above which ``bpe_encode`` switches from the
+#: chained-literal-replace Catalyst expression (one nested F.replace
+#: node per merge — a real tokenizer's 32k-100k merges would be a
+#: 32k-deep expression tree that analysis/codegen cannot survive; the
+#: repo measured janino's 64 KB method limit on far smaller unrolled
+#: expressions, see similarity._pq_kernel) to the Arrow ``mapInPandas``
+#: kernel that applies the merge table in a Python loop per batch.
+#: Both paths are bit-identical (tests/test_corpus_ops.py pins them).
+BPE_KERNEL_MERGES = 64
+
+
+def _bpe_kernel(merges: list[tuple[str, str]], text: str):
+    """Arrow-batched BPE encoder — the merge table is broadcast inside
+    the closure (model-sized: a tokenizer is ≤100k short strings) and
+    applied per DISTINCT WORD with a memo dict, then words are
+    reassembled. This is bit-identical to the chained global replace
+    because merge patterns never contain a space (symbols come from
+    characters of space-split words), so no match can cross a word
+    boundary: global left-to-right non-overlapping replace over the
+    document equals the concatenation of per-word replaces — and
+    Python ``str.replace`` has exactly Spark ``F.replace``'s
+    left-to-right non-overlapping literal semantics. The memo makes
+    the kernel O(distinct words × merges) per batch instead of
+    O(corpus chars × merges): with Zipf-distributed text the head of
+    the vocabulary amortizes almost every document."""
+    import pandas as pd
+
+    reps = [(a + BPE_SEP + b + BPE_SEP, a + b + BPE_SEP) for a, b in merges]
+
+    def _encode_word(w: str) -> str:
+        s = "".join(ch + BPE_SEP for ch in w)
+        for old, new in reps:
+            s = s.replace(old, new)
+        return s
+
+    def run(batches):
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            enc, cnt = [], []
+            for t in pdf[text]:
+                if t is None:
+                    enc.append(None)
+                    cnt.append(None)
+                    continue
+                words = str(t).replace(BPE_SEP, "").split(" ")
+                out = []
+                for w in words:
+                    e = memo.get(w)
+                    if e is None:
+                        e = _encode_word(w)
+                        memo[w] = e
+                    out.append(e)
+                joined = " ".join(out)
+                enc.append(joined)
+                cnt.append(joined.count(BPE_SEP))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "encoded": enc, "n_subwords": cnt}
+            )
+
+    return run
+
+
 def bpe_encode(
-    docs: DataFrame, merges: list[tuple[str, str]], text: str = "text"
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    method: str = "auto",
 ) -> DataFrame:
     """(doc_id, encoded, n_subwords): apply a BPE merge table to the
-    whole corpus as a chain of LITERAL string replaces — scan-local,
-    whole-stage codegen, zero shuffles, and bit-replayable in any
-    engine with the same left-to-right non-overlapping replace
+    whole corpus — scan-local, zero shuffles, and bit-replayable in
+    any engine with the same left-to-right non-overlapping replace
     semantics (no regex involved, so no metacharacter hazards).
 
     Representation: every non-space character is suffixed with the
@@ -533,7 +597,22 @@ def bpe_encode(
     boundaries (spaces) never carry the separator, so merges cannot
     cross words. ``n_subwords`` counts the separators left after all
     merges; ``encoded`` keeps the full subword stream (split on the
-    separator to materialize token arrays)."""
+    separator to materialize token arrays).
+
+    ``method``: ``"literal"`` = one chained ``F.replace`` per merge in
+    whole-stage codegen (best for small merge tables — the oracle-
+    replayable form); ``"kernel"`` = one Arrow ``mapInPandas`` pass
+    applying the broadcast merge table per distinct word (plans at ANY
+    merge count — a real 32k-merge tokenizer is a 32k-deep expression
+    tree the literal path cannot build); ``"auto"`` switches at
+    ``BPE_KERNEL_MERGES``. Both are bit-identical (pinned by test)."""
+    if method not in ("auto", "literal", "kernel"):
+        raise ValueError(f"method must be auto|literal|kernel, got {method!r}")
+    if method == "kernel" or (method == "auto" and len(merges) > BPE_KERNEL_MERGES):
+        return docs.select("doc_id", text).mapInPandas(
+            _bpe_kernel(merges, text),
+            "doc_id long, encoded string, n_subwords long",
+        )
     # strip any stray separator bytes from the input first — a document
     # that already contains the control char would otherwise corrupt
     # the symbol stream (and the subword count)
