@@ -371,19 +371,21 @@ def test_concurrent_fastpath_writers_all_land(spark, store):
 
 
 def test_vacuum_stage_reclaim_is_pid_owned(spark, store):
-    """The owner sidecar decides, not mtimes: a LIVE owner's staging
-    tree survives any age (a straggler task may go quiet past every
-    floor while its job still owns the tree — reclaiming it would
-    silently drop that task's rows from the batch), while a DEAD
-    owner's tree is reclaimed immediately, no floor wait."""
+    """The owner sidecar decides, not mtimes — but ONLY for sidecars
+    recorded on THIS host: a LIVE same-host owner's staging tree
+    survives any age (a straggler task may go quiet past every floor
+    while its job still owns the tree), a DEAD same-host owner's tree
+    is reclaimed immediately, no floor wait."""
     import time as _time
+
+    from zestdb_spark import coordination
 
     store.write_numeric("s", {"value": 1.0}, 1000)
     # live owner, ancient mtimes → must survive
     live = os.path.join(store.root, ".stage_ts_numeric_liveowner000")
     os.makedirs(live)
     with open(f"{live}.owner", "w") as f:
-        f.write(str(os.getpid()))
+        f.write(f"{os.getpid()} {coordination.host_id()}")
     old = _time.time() - 10_000
     os.utime(live, (old, old))
     store.vacuum("ts_numeric", retention_s=0.0)
@@ -392,8 +394,47 @@ def test_vacuum_stage_reclaim_is_pid_owned(spark, store):
     dead = os.path.join(store.root, ".stage_ts_numeric_deadowner000")
     os.makedirs(dead)
     with open(f"{dead}.owner", "w") as f:
-        f.write("999999999")  # beyond pid_max — never a live process
+        # beyond pid_max — never a live process
+        f.write(f"999999999 {coordination.host_id()}")
     store.vacuum("ts_numeric", retention_s=0.0)
     assert not os.path.exists(dead)
     assert not os.path.exists(f"{dead}.owner")
     os.unlink(f"{live}.owner")
+
+
+def test_vacuum_stage_reclaim_distrusts_foreign_host_pids(spark, store):
+    """ADVICE r9 (high): over shared storage, a vacuum on host B will
+    almost never find host A's pid in ITS process table — treating
+    that absence as 'writer dead' would rmtree a LIVE remote append's
+    staging tree mid-write. A sidecar recorded on another host (or in
+    the legacy pid-only format) must fall back to the conservative
+    newest-mtime floor: fresh trees survive, only genuinely old ones
+    are reclaimed."""
+    import time as _time
+
+    store.write_numeric("s", {"value": 1.0}, 1000)
+    # FOREIGN host, dead-looking pid, FRESH mtimes → must survive
+    foreign = os.path.join(store.root, ".stage_ts_numeric_foreign00000")
+    os.makedirs(foreign)
+    with open(f"{foreign}.owner", "w") as f:
+        f.write("999999999 otherhost:not-this-boot")
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert os.path.exists(foreign), "fresh foreign-host stage tree reclaimed"
+    # FOREIGN host, ancient mtimes → reclaimed via the mtime floor,
+    # sidecar removed with it
+    old = _time.time() - 10_000
+    os.utime(foreign, (old, old))
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert not os.path.exists(foreign)
+    assert not os.path.exists(f"{foreign}.owner")
+    # legacy pid-only sidecar (pre-host-identity writer) → same
+    # conservative treatment, even for a pid that is dead HERE
+    legacy = os.path.join(store.root, ".stage_ts_numeric_legacy000000")
+    os.makedirs(legacy)
+    with open(f"{legacy}.owner", "w") as f:
+        f.write("999999999")
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert os.path.exists(legacy), "fresh legacy-format stage tree reclaimed"
+    os.utime(legacy, (old, old))
+    store.vacuum("ts_numeric", retention_s=0.0)
+    assert not os.path.exists(legacy)

@@ -199,3 +199,64 @@ def test_long_hold_outlives_lease_via_renewal(server, tmp_path):
     holder.remove(lock)
     assert contender.try_acquire(lock)
     contender.remove(lock)
+
+
+def test_renew_retries_transient_rpc_failures(server, tmp_path):
+    """ADVICE r9: one dropped connection must not abandon the
+    heartbeat — during a sub-lease-window RPC outage the renew loop
+    retries on a short interval, the lease stays alive, no contender
+    gets in, and the loss flag never latches."""
+    lock = str(tmp_path / "flaky.lock")
+    holder = ServiceCoordinator(server.addr, lease_s=1.2)
+    contender = ServiceCoordinator(server.addr, lease_s=1.2)
+    real_rpc = holder._rpc
+    outage_end = time.monotonic() + 0.8  # < the 1.2 s lease window
+
+    def flaky(line):
+        if line.startswith("RENEW") and time.monotonic() < outage_end:
+            raise OSError("connection dropped")
+        return real_rpc(line)
+
+    holder._rpc = flaky
+    assert holder.try_acquire(lock)
+    deadline = time.monotonic() + 2.4  # through the outage and past it
+    while time.monotonic() < deadline:
+        assert not contender.try_acquire(lock), "lease lost to a transient RPC failure"
+        time.sleep(0.1)
+    holder.assert_held(lock)  # no loss latched
+    holder.remove(lock)
+    assert contender.try_acquire(lock)
+    contender.remove(lock)
+
+
+def test_lease_loss_latches_and_blocks_commit(server, tmp_path):
+    """When the service definitively reports the lease gone (state
+    lost to a restart, or expired and re-granted), the loss latches
+    and the commit-boundary guard raises LeaseLost instead of letting
+    the holder's read-modify-write race the next owner."""
+    lock = str(tmp_path / "lost.lock")
+    holder = ServiceCoordinator(server.addr, lease_s=0.4)
+    assert holder.try_acquire(lock)
+    # simulate a service restart: in-memory lease state vanishes
+    with server.state.guard:
+        server.state.locks.clear()
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline:
+        try:
+            holder.assert_held(lock)
+        except coordination.LeaseLost:
+            break
+        time.sleep(0.05)
+    with pytest.raises(coordination.LeaseLost):
+        holder.assert_held(lock)
+    # the composite guard sees it through the configured coordinator
+    old = coordination.get_coordinator()
+    coordination.set_coordinator(holder)
+    try:
+        with pytest.raises(coordination.LeaseLost):
+            coordination.assert_lease(lock)
+        # untracked paths (lock-free appends) are never blocked
+        coordination.assert_lease(str(tmp_path / "other.lock"))
+    finally:
+        coordination.set_coordinator(old)
+    holder.remove(lock)

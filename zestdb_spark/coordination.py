@@ -133,6 +133,44 @@ class LocalFSCoordinator:
             os.unlink(path)
 
 
+class LeaseLost(RuntimeError):
+    """A held mutex's lease could not be maintained (heartbeat failed
+    past the lease window, or the service reported the lease gone):
+    another writer may already hold the lock, so the protected
+    read-modify-write MUST NOT commit. Raised by ``assert_lease`` at
+    the commit boundary — aborting there is always safe (staged files
+    are unreferenced until the manifest commit)."""
+
+
+def assert_lease(path: str) -> None:
+    """Commit-boundary guard: if the configured coordinator tracks the
+    mutex at ``path`` as held by THIS process and knows its lease was
+    lost, raise ``LeaseLost`` instead of letting the commit race the
+    lease's new owner. Backends without lease tracking (local FS: the
+    O_EXCL file cannot silently expire) no-op."""
+    check = getattr(get_coordinator(), "assert_held", None)
+    if check is not None:
+        check(path)
+
+
+def host_id() -> str:
+    """A stable identity for THIS host: hostname plus the kernel boot
+    id when readable (the boot id also distinguishes 'same hostname,
+    rebooted since' — a recycled pid on a rebooted host must not read
+    as the original writer). Pid probes are only meaningful on the
+    host that RECORDED the pid: on any other host the probe answers a
+    question about an unrelated process table, and 'absent' there says
+    nothing about the real writer."""
+    import socket
+
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        boot = ""
+    return f"{socket.gethostname()}:{boot}"
+
+
 def _pid_alive(pid: int) -> bool:
     """Does ``pid`` exist on this host? (signal 0 = existence probe;
     EPERM means alive-but-foreign, which counts as alive)."""

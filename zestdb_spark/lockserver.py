@@ -36,7 +36,14 @@ tests/test_lockservice.py), not hypothetical. Its state is
 in-memory: restarting it drops advisory leases only — every durable
 fact (manifests, data files) lives in the store, and `publish`
 re-validates against the filesystem, so a service restart can stall
-writers briefly but cannot corrupt a table.
+writers briefly but cannot corrupt a table. That claim is enforced,
+not assumed, for IN-FLIGHT rewrites too: the renew heartbeat retries
+transient RPC failures rather than abandoning the lease, and if no
+renew lands within a full lease window (or the server reports the
+lease gone) the loss is latched and surfaced at the holder's commit
+boundary (``assert_held`` via ``coordination.assert_lease``) — the
+rewrite aborts with ``LeaseLost`` while its staged files are still
+unreferenced, instead of racing the lease's next owner.
 """
 
 from __future__ import annotations
@@ -159,7 +166,8 @@ class ServiceCoordinator:
     def __init__(self, addr: tuple[str, int], lease_s: float = 30.0) -> None:
         self.addr = (addr[0], int(addr[1]))
         self.lease_s = float(lease_s)
-        self._tokens: dict[str, tuple[str, threading.Event]] = {}
+        # path -> (token, stop heartbeating, lease provably lost)
+        self._tokens: dict[str, tuple[str, threading.Event, threading.Event]] = {}
 
     @staticmethod
     def _name(path: str) -> str:
@@ -233,19 +241,68 @@ class ServiceCoordinator:
         # renewal thread is the live/dead distinction, replacing the
         # local backend's pid probe
         stop = threading.Event()
+        lost = threading.Event()
         threading.Thread(
-            target=self._renew_loop, args=(path, token, stop), daemon=True
+            target=self._renew_loop, args=(path, token, stop, lost), daemon=True
         ).start()
-        self._tokens[path] = (token, stop)
+        self._tokens[path] = (token, stop, lost)
         return True
 
-    def _renew_loop(self, path: str, token: str, stop: threading.Event) -> None:
-        while not stop.wait(self.lease_s / 3.0):
+    def _renew_loop(
+        self,
+        path: str,
+        token: str,
+        stop: threading.Event,
+        lost: threading.Event,
+    ) -> None:
+        """Heartbeat until released. A transient RPC failure (dropped
+        connection, service restart mid-request) must NOT abandon the
+        heartbeat — the holder's rewrite keeps running unaware, the
+        lease expires, and a second writer acquires: exactly the
+        lost-update the lock exists to prevent (ADVICE r9). So: retry
+        on a short interval until stop is set, a renew succeeds, or
+        the lease is PROVABLY unprotected (no successful renew within
+        a full lease window — the server may have expired it), and in
+        that case latch ``lost`` so ``assert_held`` blocks the
+        holder's commit instead of letting it race the next owner."""
+        interval = self.lease_s / 3.0
+        retry = min(interval / 4.0, 0.25)
+        last_ok = time.monotonic()
+        delay = interval
+        while not stop.wait(delay):
             try:
-                if self._rpc(f"RENEW {self._name(path)} {token} {self.lease_s}") != "OK":
-                    return  # lease already lost — stop heartbeating
+                resp = self._rpc(
+                    f"RENEW {self._name(path)} {token} {self.lease_s}"
+                )
             except OSError:
-                return  # service unreachable; lease will expire
+                if time.monotonic() - last_ok >= self.lease_s:
+                    lost.set()  # a full window without a renew: expired
+                    return
+                delay = retry
+                continue
+            if resp == "OK":
+                last_ok = time.monotonic()
+                delay = interval
+                continue
+            # the server answered and says this token no longer holds
+            # the lease (expired and possibly re-granted) — definitive
+            lost.set()
+            return
+
+    def assert_held(self, path: str) -> None:
+        """Commit-boundary guard (see ``coordination.assert_lease``):
+        raise if THIS process holds the mutex at ``path`` but its
+        lease was lost — committing now could interleave with the
+        lease's next owner mid-rewrite."""
+        from zestdb_spark import coordination
+
+        held = self._tokens.get(path)
+        if held is not None and held[2].is_set():
+            raise coordination.LeaseLost(
+                f"lease on {path} was lost while held (heartbeat could "
+                f"not renew within {self.lease_s}s); aborting before "
+                "commit — another writer may hold the lock"
+            )
 
     def holder(self, path: str) -> int:
         with contextlib.suppress(ValueError):
@@ -262,7 +319,7 @@ class ServiceCoordinator:
     def remove(self, path: str) -> None:
         held = self._tokens.pop(path, None)
         if held is not None:
-            token, stop = held
+            token, stop, _lost = held
             stop.set()
             with contextlib.suppress(OSError):
                 self._rpc(f"UNLOCK {self._name(path)} {token}")

@@ -1006,7 +1006,11 @@ class ZestStore:
         # owner dead → reclaim immediately.
         owner = f"{stage}.owner"
         with open(owner, "w") as f:
-            f.write(str(os.getpid()))
+            # pid + host identity: a vacuum on ANOTHER host must not
+            # treat its own process table's "no such pid" as evidence
+            # this writer is dead (ADVICE r9 — over shared storage that
+            # misfire would rmtree a live remote append's staging tree)
+            f.write(f"{os.getpid()} {coordination.host_id()}")
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -1039,6 +1043,14 @@ class ZestStore:
     def _commit(
         self, table: str, adds=(), removes=(), op: str = "", txn=None
     ) -> "snapshots.Snapshot":
+        # lease-loss guard: if this process holds the table's rewrite
+        # mutex through a lease-based coordinator and the heartbeat
+        # could not keep the lease alive, abort HERE — staged files are
+        # still unreferenced, so stopping short of the manifest commit
+        # is always safe, while committing could interleave with the
+        # lease's next owner mid-rewrite. No-op for lock-free appends
+        # (the path isn't tracked) and for the local-FS backend.
+        coordination.assert_lease(os.path.join(self.root, f".lock_{table}"))
         return snapshots.commit(
             self._path(table),
             list(adds),
@@ -1410,16 +1422,25 @@ class ZestStore:
                 full = os.path.join(self.root, name)
                 owner_file = f"{full}.owner"
                 try:
-                    pid = int(open(owner_file).read().strip() or "0")
+                    parts = open(owner_file).read().split(None, 1)
+                    pid = int(parts[0]) if parts else 0
+                    owner_host = parts[1].strip() if len(parts) > 1 else ""
                 except (OSError, ValueError):
-                    pid = 0
-                if pid:
+                    pid, owner_host = 0, ""
+                if pid and owner_host == coordination.host_id():
+                    # the pid probe is only evidence on the host that
+                    # recorded it (ADVICE r9): a foreign host's probe
+                    # answers an unrelated process table and would
+                    # rmtree a LIVE remote writer's staging tree
                     if coordination._pid_alive(pid):
                         continue  # live writer — hands off
                     shutil.rmtree(full, ignore_errors=True)
                     with contextlib.suppress(OSError):
                         os.unlink(owner_file)
                     continue
+                # markerless (pre-marker crash), legacy pid-only, or
+                # FOREIGN-host owner: the conservative newest-mtime
+                # floor is the only cross-host-safe liveness signal
                 try:
                     newest = os.path.getmtime(full)
                     for dirpath, _dirs, names in os.walk(full):
@@ -1435,6 +1456,8 @@ class ZestStore:
                     continue
                 if newest <= cutoff:
                     shutil.rmtree(full, ignore_errors=True)
+                    with contextlib.suppress(OSError):
+                        os.unlink(owner_file)
         return snapshots.vacuum(
             self._path(table),
             retention_s,
