@@ -334,3 +334,26 @@ def test_concurrent_create_has_one_winner(spark, store):
     # and the table is exactly one creator's content, not a union
     n = ZestStore(spark, store.root).load("raced").count()
     assert n in (1, 2)
+
+
+def test_long_lived_store_sees_tables_created_after_open(spark, store, tmp_path):
+    """ADVICE r9: discovery ran only at __init__, so a long-lived
+    process (the server) never saw a generic table another process
+    created after the store was opened — append/merge/load raised
+    KeyError with the table sitting on disk. Lookup misses now
+    re-probe the table dir lazily."""
+    early = ZestStore(spark, store.root)  # opened BEFORE the create
+    store.create_table("latecomer", _docs(spark, 0, 50), stats_cols=("doc_id",))
+    # the pre-open store must see it on every surface, not just load
+    assert early.load("latecomer").count() == 50
+    early.append_table("latecomer", _docs(spark, 50, 60))
+    assert store.load("latecomer").count() == 60
+    n = early.merge_table(
+        "latecomer",
+        _docs(spark, 0, 5).withColumn("score", F.lit(0.0)),
+        key_cols=("doc_id",),
+    )
+    assert early.load("latecomer").filter("score = 0.0").count() == 5
+    # a genuinely absent table still raises
+    with pytest.raises(KeyError):
+        early.append_table("never_created", _docs(spark, 0, 1))

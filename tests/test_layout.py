@@ -173,3 +173,36 @@ def test_rejects_too_many_bits(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError, match="exceeds 63"):
         layout.zorder_key_col(["x", "y"], {"x": (0, 1), "y": (0, 1)}, bits=32)
+
+
+def test_zorder_clamps_rows_outside_pinned_bounds(spark):
+    """ADVICE r9: under pinned bounds (incremental writes), a late row
+    outside the creation-time bounds must scale to the EDGE bucket —
+    not sign-extend into an arbitrary key pattern."""
+    from zestdb_spark.functions import layout
+
+    df = spark.createDataFrame(
+        [(1, -50), (2, 0), (3, 100), (4, 150)], "id long, x long"
+    )
+    bounds = {"x": (0, 100)}
+    keys = {
+        r["id"]: r["zkey"]
+        for r in layout.with_zorder_key(df, ["x"], bits=4, bounds=bounds).collect()
+    }
+    assert keys[1] == keys[2] == 0      # below lo → lo bucket
+    assert keys[4] == keys[3] == 15     # above hi → hi bucket
+    assert 0 <= keys[3] <= 15
+
+
+def test_zorder_rejects_overflowing_span(spark):
+    """(hi − lo) × (2^bits − 1) past BIGINT would wrap silently under
+    Spark's non-ANSI arithmetic (while an oracle raises) — rejected at
+    plan time with a usable bits hint."""
+    from zestdb_spark.functions import layout
+
+    bad = {"x": (0, 2**50)}
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        layout.zorder_key_col(["x"], bad, bits=16)
+    # the suggested regime works: a coarser key for a huge span
+    col = layout.zorder_key_col(["x"], bad, bits=12)
+    assert col is not None

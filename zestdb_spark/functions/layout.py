@@ -54,13 +54,23 @@ def zorder_key_col(
 ) -> Column:
     """The Morton key as one BIGINT column expression.
 
-    Per column: scale to ``[0, 2^bits)`` with INTEGER math —
-    ``((x − lo) · (2^bits − 1)) div (hi − lo)`` — exact at any
-    magnitude (no double rounding: the product stays in BIGINT), NULL
-    and degenerate (lo == hi) columns scale to 0. Then interleave:
-    bit b of column i lands at position ``b·k + i``.
+    Per column: CLAMP to the bounds, then scale to ``[0, 2^bits)``
+    with INTEGER math — ``((clamp(x) − lo) · (2^bits − 1)) div
+    (hi − lo)`` — exact with no double rounding (the product stays in
+    BIGINT), NULL and degenerate (lo == hi) columns scale to 0. The
+    clamp matters under PINNED bounds (the documented
+    incremental-write posture): a late row outside the creation-time
+    bounds scales to the nearest edge bucket instead of producing a
+    negative/over-range value whose sign bits would interleave into an
+    arbitrary key pattern. Then interleave: bit b of column i lands at
+    position ``b·k + i``.
 
-    ``bits · len(cols)`` must fit a signed BIGINT (≤ 63)."""
+    ``bits · len(cols)`` must fit a signed BIGINT (≤ 63), and
+    ``(hi − lo) · (2^bits − 1)`` must fit one too — above that the
+    product would wrap silently under Spark's non-ANSI arithmetic
+    (while an oracle engine raises), so it is rejected here at plan
+    time: reduce ``bits`` for columns spanning more than
+    ``2^63 / 2^bits`` (≈1.4e14 at bits=16)."""
     k = len(cols)
     if not cols:
         raise ValueError("zorder needs at least one column")
@@ -71,17 +81,23 @@ def zorder_key_col(
     for c in cols:
         lo, hi = bounds[c]
         span = hi - lo
+        if span > (2**63 - 1) // mask:
+            raise ValueError(
+                f"zorder column {c!r} spans {span} — (span x {mask}) "
+                f"overflows BIGINT; use bits <= "
+                f"{max(1, ((2**63 - 1) // span).bit_length() - 1)} for "
+                "this span"
+            )
         if span <= 0:
             scaled.append(F.lit(0).cast("long"))
         else:
             # BIGINT div BIGINT: `div` is Spark SQL's integral division
             # (DuckDB's `//`) — both truncate, and the operands are
-            # non-negative by construction, so they agree exactly
+            # non-negative by construction (clamp first), so they
+            # agree exactly
+            x = f"least(greatest(CAST(`{c}` AS BIGINT), {lo}L), {hi}L)"
             scaled.append(
-                F.expr(
-                    f"(( CAST(`{c}` AS BIGINT) - {lo}L ) * {mask}L)"
-                    f" div {span}L"
-                )
+                F.expr(f"(({x} - {lo}L) * {mask}L) div {span}L")
             )
     z = F.lit(0).cast("long")
     for b in range(bits):

@@ -358,15 +358,43 @@ class ZestStore:
             except (OSError, ValueError, KeyError):
                 continue  # unreadable meta: leave the dir untouched
 
+    def _generic_entry(self, name: str) -> "dict | None":
+        """Registry lookup with LAZY re-discovery: ``_discover_generic``
+        runs at open, so a long-lived process (the server) would never
+        see a generic table ANOTHER process created afterwards — its
+        appends/merges would raise KeyError even though the table and
+        its ``_zest_meta.json`` exist on disk (ADVICE r9). On a miss,
+        re-probe the table dir before giving up; unreadable meta stays
+        a miss (same contract as discovery)."""
+        entry = self._generic.get(name)
+        if entry is not None or name in _TABLES:
+            return entry
+        meta_path = os.path.join(self.root, name, "_zest_meta.json")
+        if not os.path.isfile(meta_path):
+            return None
+        from pyspark.sql import types as T
+
+        try:
+            meta = json.load(open(meta_path))
+            entry = {
+                "schema": T.StructType.fromJson(meta["schema"]),
+                "stats_cols": tuple(meta.get("stats_cols", ())),
+            }
+        except (OSError, ValueError, KeyError):
+            return None
+        self._generic[name] = entry
+        return entry
+
     def _is_manifested(self, table: str) -> bool:
-        return table in _MANIFESTED or table in self._generic
+        return table in _MANIFESTED or self._generic_entry(table) is not None
 
     def _schema_of(self, table: str):
         base = _TABLES.get(table)
         if base is not None:
             return base
-        if table in self._generic:
-            return self._generic[table]["schema"]
+        entry = self._generic_entry(table)
+        if entry is not None:
+            return entry["schema"]
         raise KeyError(table)
 
     def create_table(
@@ -436,7 +464,7 @@ class ZestStore:
         """Lock-free append to a generic table (one atomic manifest
         commit; concurrent appends serialize through the CAS like
         every other append in the store)."""
-        if name not in self._generic:
+        if self._generic_entry(name) is None:
             raise KeyError(f"{name!r} is not a generic manifested table")
         schema = self._generic[name]["schema"]
         want = set(f.name for f in schema.fields)
@@ -469,7 +497,7 @@ class ZestStore:
         Pruning is conservative: key columns outside ``stats_cols``
         (or with incomparable stats) simply prune nothing — create the
         table with its merge keys in ``stats_cols`` to get the skip."""
-        if name not in self._generic:
+        if self._generic_entry(name) is None:
             raise KeyError(f"{name!r} is not a generic manifested table")
         schema = self._generic[name]["schema"]
         names = [f.name for f in schema.fields]
@@ -565,7 +593,7 @@ class ZestStore:
         file stays live and byte-identical, and a crash before the
         commit leaves the table fully old. Returns the number of files
         rewritten."""
-        if name not in self._generic:
+        if self._generic_entry(name) is None:
             raise KeyError(f"{name!r} is not a generic manifested table")
         cond = F.expr(predicate)
         real = self._path(name)
@@ -607,7 +635,7 @@ class ZestStore:
         byte-duplicates reclaimed per ``vacuum_retention_s`` (0 = the
         OPTIMIZE + VACUUM 0 HOURS posture, same trade as ``compact``).
         Returns the number of files replaced."""
-        if name not in self._generic:
+        if self._generic_entry(name) is None:
             raise KeyError(f"{name!r} is not a generic manifested table")
         with self._rewrite_lock(name):
             live = self._live_files(name)
@@ -1069,7 +1097,7 @@ class ZestStore:
         still on disk, so re-added files regain stats even when the
         restored-to manifest predates stats collection)."""
         cols = _STATS_COLS.get(table)
-        if not cols and table in self._generic:
+        if not cols and self._generic_entry(table) is not None:
             cols = self._generic[table]["stats_cols"] or None
         if not cols or not rels:
             return None
@@ -1235,7 +1263,7 @@ class ZestStore:
         modify bytes the other reads, and vacuum only unlinks its own
         directory entries (the inode survives while the other side's
         link exists)."""
-        if table not in _TABLES and table not in self._generic:
+        if table not in _TABLES and self._generic_entry(table) is None:
             raise KeyError(table)
         if dest._exists(table):
             raise BadRequest(
@@ -1266,7 +1294,7 @@ class ZestStore:
             snap = self._snapshot(table)
         files = list(snap.files) if snap is not None else []
         dst_dir = dest._path(table)
-        if table in self._generic:
+        if self._generic_entry(table) is not None:
             # the clone must be self-describing too: carry the meta
             # (schema + stats choice) and register it on the dest
             os.makedirs(dst_dir, exist_ok=True)
