@@ -3579,7 +3579,13 @@ GRADED_WINDOW: list[str] = [
     # table format's flagship — time travel to a pre-delete version —
     # carries DIRECT driver evidence (S7 storage format, the r6
     # verdict's one remaining storage gap, now closed)
-    "ts_latest_multi", "kv_del_roundtrip", "ts_first_n_multi",
+    # Round-10 swap: ts_first_n_multi (T3 — derivable family sibling;
+    # T2/T4 stay graded via li_last_n_multi/ts_latest_multi, and the
+    # row stays oracle-exact in selfcheck) demoted to the tail so the
+    # round-9 flagship surface — generic manifested tables with full
+    # DML (create/append/Z-ORDER OPTIMIZE round-trip through the
+    # store, tbl_generic_roundtrip) — carries DIRECT driver evidence
+    "ts_latest_multi", "kv_del_roundtrip", "tbl_generic_roundtrip",
     "ts_since", "snap_time_travel",
     "filter_equals", "observe_roundtrip",
     # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
