@@ -203,3 +203,33 @@ def test_knn_join_matches_per_query_ivf(embs, truth):
             for r in similarity.ivf_topk(embs, q, K, 16, 8, codebook=cb).collect()
         ]
         assert batch.get(q) == solo, f"batch/solo divergence at query {q}"
+
+
+def test_knn_join_recall_floors(embs, truth):
+    """Pinned floors for the BATCH path itself, independent of the
+    per-query equality pin (which could in principle drift with it):
+    under trained codebooks on the hard fixture, knn_join measured
+    0.810 at (16 cells, probe 8 — half the lists) and 0.540 at
+    (16, probe 4 — a quarter) — pinned above 0.75 / 0.45. The spread
+    between the two settings is the probe-width knob doing its job."""
+    from pyspark.sql import functions as F
+
+    qs = embs.filter(F.col("vec_id").isin(QUERIES))
+
+    def _batch_recall(nc, n_probe, cb):
+        got = {}
+        rows = similarity.knn_join(
+            embs, qs, k=K, n_centroids=nc, n_probe=n_probe, codebook=cb
+        ).collect()
+        for r in rows:
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & truth[q]) / K for q in QUERIES) / len(
+            QUERIES
+        )
+
+    cb16 = similarity.ivf_train(embs, 16, iters=2)
+    r_wide = _batch_recall(16, 8, cb16)
+    assert r_wide >= 0.75, f"knn_join(16,8) recall@10 regressed: {r_wide:.3f}"
+    r_narrow = _batch_recall(16, 4, cb16)
+    assert r_narrow >= 0.45, f"knn_join(16,4) recall@10 regressed: {r_narrow:.3f}"
+    assert r_wide > r_narrow  # wider probes must buy recall
