@@ -1470,6 +1470,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_image": lambda s, d: multimodal.decode_features(
             multimodal.synth_image_assets(s, d)
         ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        # baseline JFIF through the pure-numpy Huffman + IDCT decoder
+        # (jpeg_codec.py): solid-gray JPEGs at quant=1 round-trip the
+        # DCT exactly, so the decoded stats stay closed-form in doc_id
+        "mm_decode_jpeg": lambda s, d: multimodal.decode_features(
+            multimodal.synth_jpeg_assets(s, d)
+        ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
         # composed transform: synth BMP → NN-resize to 8×4 → re-decode.
         # Solid colors are resize-invariant, so means stay closed-form
         # while the resize path itself is exercised for real
@@ -2648,6 +2654,18 @@ _EXT_SQL: dict[str, str] = {
              CAST(doc_id % 256 AS DOUBLE) AS mean_r,
              CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
              CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+      FROM documents
+    """,
+    # synth_jpeg_assets: solid GRAY (d%256) of (d%16+1)×(d%8+1), baseline
+    # JFIF at quant=1 — a uniform plane is DC-only and integer-exact
+    # through the DCT round trip, so every channel mean equals the gray
+    "mm_decode_jpeg": """
+      SELECT doc_id AS asset_id,
+             CAST((doc_id % 16) + 1 AS INTEGER) AS width,
+             CAST((doc_id % 8) + 1 AS INTEGER) AS height,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_g,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_b
       FROM documents
     """,
     # resize to 8×4: dims become constant; solid colors are NN-invariant

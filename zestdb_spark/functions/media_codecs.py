@@ -1,14 +1,16 @@
 """Real media decoders, dependency-free (numpy + stdlib only).
 
 Round-1 shipped the multimodal plumbing with ``decode_media`` stubbed
-"until image/audio libraries appear". They haven't — but four useful
+"until image/audio libraries appear". They haven't — but five useful
 container formats need none: RIFF/WAV PCM, BMP (BI_RGB), Netpbm
-P5/P6, and PNG (zlib IS in the stdlib; the filter pass is plain
-numpy). These are complete decoders for their declared subsets, not
-stubs: they parse the actual container, decode actual samples/pixels,
-and raise ``UnsupportedMedia`` (a clearly-typed error, no longer
-NotImplementedError) on anything outside the subset (JPEG/MP3/video
-genuinely need codec libraries).
+P5/P6, PNG (zlib IS in the stdlib; the filter pass is plain numpy),
+and baseline JFIF JPEG (jpeg_codec.py — Huffman + IDCT are spec
+arithmetic, no codec library involved). These are complete decoders
+for their declared subsets, not stubs: they parse the actual
+container, decode actual samples/pixels, and raise
+``UnsupportedMedia`` (a clearly-typed error, no longer
+NotImplementedError) on anything outside the subset (progressive
+JPEG / MP3 / video genuinely need codec libraries).
 
 Everything here is driver-free pure-Python over ``bytes`` — invoked
 per-asset inside Arrow-batched ``mapInPandas``
@@ -281,10 +283,17 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------ transforms
 
+def _jpeg_pixels_lazy(payload: bytes):
+    from zestdb_spark.functions.jpeg_codec import _jpeg_pixels
+
+    return _jpeg_pixels(payload)
+
+
 _PIXEL_DECODERS = (
     (lambda p: p[:8] == _PNG_MAGIC, _png_pixels),
     (lambda p: p[:2] == b"BM", _bmp_pixels),
     (lambda p: p[:2] in (b"P5", b"P6"), _netpbm_pixels),
+    (lambda p: p[:2] == b"\xff\xd8", _jpeg_pixels_lazy),
 )
 
 
@@ -321,11 +330,20 @@ def resize_media(payload: bytes, width: int, height: int) -> bytes:
 
 # ------------------------------------------------------------- dispatch
 
+def _decode_jpeg_lazy(payload: bytes) -> dict:
+    from zestdb_spark.functions.jpeg_codec import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+_decode_jpeg_lazy.__name__ = "decode_jpeg"  # error messages name the format
+
 _SNIFFERS = (
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
     (lambda p: p[:8] == _PNG_MAGIC, decode_png),
     (lambda p: p[:2] == b"BM", decode_bmp),
     (lambda p: p[:2] in (b"P5", b"P6"), decode_netpbm),
+    (lambda p: p[:2] == b"\xff\xd8", _decode_jpeg_lazy),
 )
 
 
@@ -345,5 +363,6 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
             except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
                 raise UnsupportedMedia(f"malformed {dec.__name__[7:]} payload: {e}") from e
     raise UnsupportedMedia(
-        f"undecodable payload (mime={mime!r}); JPEG/MP3/video need codec libs"
+        f"undecodable payload (mime={mime!r}); progressive JPEG/MP3/video "
+        "need codec libs"
     )

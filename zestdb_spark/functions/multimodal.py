@@ -180,6 +180,40 @@ def synth_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 
+def synth_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real-JPEG corpus: doc_id ``d`` becomes a solid
+    GRAY ``(d%16+1) × (d%8+1)`` baseline JFIF JPEG at quant=1
+    (jpeg_codec.encode_jpeg_baseline). A uniform gray plane survives
+    the DCT round trip EXACTLY (single DC coefficient, integer at
+    quant=1, no chroma transform), so decoded dimensions and channel
+    means are closed-form in doc_id — the same oracle posture as the
+    BMP corpus, now through the Huffman + IDCT pipeline."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from zestdb_spark.functions.jpeg_codec import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 16 + 1, d % 8 + 1
+                gray = np.full((h, w), d % 256, dtype=np.uint8)
+                payloads.append(encode_jpeg_baseline(gray))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
+
+
 RESIZED_SCHEMA = "asset_id long, kind string, payload binary, mime string"
 
 
