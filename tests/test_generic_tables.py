@@ -357,3 +357,77 @@ def test_long_lived_store_sees_tables_created_after_open(spark, store, tmp_path)
     # a genuinely absent table still raises
     with pytest.raises(KeyError):
         early.append_table("never_created", _docs(spark, 0, 1))
+
+
+def test_predicate_term_analysis():
+    """The conservative DELETE-predicate analyzer: recognizes AND-ed
+    simple comparisons, bails (None) on anything else — a bail can
+    only cost reads, never correctness."""
+    t = ZestStore._predicate_terms
+    assert t("doc_id < 100") == [("doc_id", "<", 100)]
+    assert t("100 >= doc_id") == [("doc_id", "<=", 100)]
+    assert t("`host` = 3 AND score <= 1.5") == [
+        ("host", "=", 3), ("score", "<=", 1.5)
+    ]
+    assert t("doc_id BETWEEN 10 AND 20") == [
+        ("doc_id", ">=", 10), ("doc_id", "<=", 20)
+    ]
+    assert t("lang = 'en'") == [("lang", "=", "en")]
+    # conservative bails
+    assert t("doc_id < 100 OR host = 1") is None
+    assert t("doc_id % 2 = 0") is None
+    assert t("(doc_id < 100)") is None
+    assert t("f(doc_id) = 3") is None
+    assert t("title = 'war AND peace'") is None  # split breaks literal → bail
+
+
+def test_stats_may_match_proof_only():
+    m = ZestStore._stats_may_match
+    st = {"min": {"doc_id": 100}, "max": {"doc_id": 199}}
+    assert not m(st, [("doc_id", "<", 100)])
+    assert m(st, [("doc_id", "<=", 100)])
+    assert not m(st, [("doc_id", ">", 199)])
+    assert m(st, [("doc_id", ">=", 150)])
+    assert not m(st, [("doc_id", "=", 50)])
+    assert m(st, [("doc_id", "=", 150)])
+    # missing / None / incomparable stats never prune
+    assert m(None, [("doc_id", "<", 0)])
+    assert m({"min": {}, "max": {}}, [("doc_id", "<", 0)])
+    assert m({"min": {"doc_id": None}, "max": {"doc_id": None}}, [("doc_id", "<", 0)])
+    assert m({"min": {"doc_id": "a"}, "max": {"doc_id": "b"}}, [("doc_id", "<", 0)])
+
+
+def test_delete_prunes_files_by_manifest_stats(spark, store):
+    """Self-enforcing pruning pin: commit extra manifest entries whose
+    files DO NOT EXIST but whose stats prove they cannot match the
+    predicate — if delete's hit scan ever reads past the stats prune,
+    Spark fails loudly on the missing files."""
+    from zestdb_spark import snapshots
+
+    store.create_table("pruned_del", _docs(spark, 0, 100), stats_cols=("doc_id",))
+    ghost_stats = {
+        f"ghost-{i}.parquet": {
+            "min": {"doc_id": 10_000 + i * 100},
+            "max": {"doc_id": 10_099 + i * 100},
+        }
+        for i in range(50)
+    }
+    snapshots.commit(
+        store._path("pruned_del"),
+        adds=list(ghost_stats),
+        op="append",
+        stats=ghost_stats,
+    )
+    n = store.delete_table_rows("pruned_del", "doc_id < 10")
+    assert n >= 1
+    # an unanalyzable predicate must fall back to the full scan and
+    # blow up on the ghosts — proving the fallback really reads all
+    with pytest.raises(Exception):
+        store.delete_table_rows("pruned_del", "doc_id % 97 = 1")
+    # drop the ghosts (manifest-only) and check row-level correctness
+    snapshots.commit(
+        store._path("pruned_del"), removes=list(ghost_stats), op="delete"
+    )
+    remaining = store.load("pruned_del")
+    assert remaining.filter("doc_id < 10").count() == 0
+    assert remaining.filter("doc_id >= 10 AND doc_id < 100").count() == 90
