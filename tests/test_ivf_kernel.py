@@ -160,3 +160,30 @@ def test_large_codebook_plans_and_runs(spark, embs):
     kj = knn_join(embs, queries, k=3, codebook=cents, n_probe=512)
     got = kj.groupBy("qid").count().collect()
     assert len(got) == 5  # every query produced neighbors
+
+
+def test_ivf_train_sampled_lloyd(embs):
+    """train_cap: driver-side Lloyd over a hash sample — deterministic,
+    produces a usable codebook at quality comparable to the
+    distributed loop, and with a cap covering the whole fixture it is
+    exactly equivalent up to the mean-accumulation order (same
+    members per cell, same update rule)."""
+    full = ivf_train(embs, 16, iters=2)
+    samp = ivf_train(embs, 16, iters=2, train_cap=10_000)  # cap > corpus
+    assert len(samp) == len(full) == 16
+    assert {c["vec_id"] for c in samp} == {c["vec_id"] for c in full}
+    for a, b in zip(
+        sorted(samp, key=lambda c: c["vec_id"]),
+        sorted(full, key=lambda c: c["vec_id"]),
+    ):
+        # means accumulate in different orders (numpy pairwise vs
+        # Spark avg) — equal to float tolerance, not bit-equal
+        assert abs(a["norm"] - b["norm"]) < 1e-9
+        assert max(abs(x - y) for x, y in zip(a["v"], b["v"])) < 1e-9
+    # determinism: same inputs, same codebook, twice
+    again = ivf_train(embs, 16, iters=2, train_cap=10_000)
+    assert again == samp
+    # a bounded sample still yields full cell coverage on this corpus
+    small = ivf_train(embs, 16, iters=2, train_cap=256)
+    assigned = ivf_assign(embs, codebook=small)
+    assert assigned.select("cent").distinct().count() >= 12

@@ -422,9 +422,18 @@ def ivf_train(
     init: str = "fps",
     sample_cap: int = 2048,
     method: str = "auto",
+    train_cap: int | None = None,
 ) -> list[dict]:
     """Train the IVF codebook with ``iters`` Lloyd (k-means) rounds —
     spherical k-means (cosine assignment, mean + renormalize update).
+
+    ``train_cap``: when set, the Lloyd rounds run entirely on the
+    driver over a ``train_cap``-row md5-hash sample (the FAISS
+    posture — PQ training already does this) instead of the
+    full-corpus distributed loop, whose per-iteration means collect
+    is m·dim rows — the right call at large ``n_centroids``. Same
+    deterministic rules either way; the default (None) keeps the
+    legacy full-corpus loop.
 
     Fully deterministic: init = ``kmeans_seed`` farthest-point seeding
     over a bounded hash-sample (``init="fps"``, the default) or the
@@ -445,6 +454,54 @@ def ivf_train(
         ]
     else:
         raise ValueError(f"init must be 'fps' or 'ids', got {init!r}")
+    if train_cap:
+        # bounded-sample Lloyd entirely on the driver — the FAISS
+        # training posture (max(10k, 256·k) points regardless of
+        # corpus size) and the path that scales to large codebooks:
+        # the full-corpus loop below collects m·dim per-dimension
+        # means PER ITERATION (6.4M rows at 100k centroids × dim 64)
+        # and re-assigns the whole corpus each round, both pointless
+        # when a bounded sample trains the same model. Deterministic
+        # like everything here: md5-hash sample, argmax ties to the
+        # lowest centroid id, mean + renorm update, empty cells keep
+        # their centroid. The returned codebook feeds the SAME
+        # downstream assignment paths (oracle rows pin assignment
+        # GIVEN a codebook, so training locus doesn't affect parity).
+        rows = (
+            with_norm(embs)
+            .filter(F.col("norm") > 0.0)
+            .withColumn("_hk", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_hk", "vec_id")
+            .limit(int(train_cap))
+            .select("vec_id", "v", "norm")
+            .collect()
+        )
+        if not rows:
+            return cents
+        X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+        U = X / np.asarray([float(r["norm"]) for r in rows])[:, None]
+        order = sorted(range(len(cents)), key=lambda i: int(cents[i]["vec_id"]))
+        cents = [cents[i] for i in order]  # argmax ties → lowest cid
+        for _ in range(iters):
+            C = np.asarray([c["v"] for c in cents], dtype=np.float64)
+            cn = np.asarray([c["norm"] for c in cents], dtype=np.float64)
+            a = np.argmax((U @ C.T) / cn[None, :], axis=1)
+            new_cents = []
+            for ci, c in enumerate(cents):
+                members = X[a == ci]
+                if not len(members):
+                    new_cents.append(c)
+                    continue
+                v = members.mean(axis=0)
+                norm = float(np.sqrt(np.sum(v * v)))
+                if norm == 0.0:
+                    new_cents.append(c)
+                    continue
+                new_cents.append(
+                    {"vec_id": c["vec_id"], "v": [float(x) for x in v], "norm": norm}
+                )
+            cents = new_cents
+        return cents
     for _ in range(iters):
         assigned = ivf_assign(embs, codebook=cents, method=method)
         means = (
