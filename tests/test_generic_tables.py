@@ -431,3 +431,27 @@ def test_delete_prunes_files_by_manifest_stats(spark, store):
     remaining = store.load("pruned_del")
     assert remaining.filter("doc_id < 10").count() == 0
     assert remaining.filter("doc_id >= 10 AND doc_id < 100").count() == 90
+
+
+def test_merge_update_batch_self_duplicates(spark, store):
+    """Exact duplicate update rows collapse (idempotent resend); two
+    DIFFERENT payloads for one key raise — Delta's 'multiple source
+    rows matched' contract, instead of a partition-order-dependent
+    winner."""
+    store.create_table("m_dups", _docs(spark, 0, 20), stats_cols=("doc_id",))
+    dup_rows = spark.createDataFrame(
+        [(5, 0, 9.0), (5, 0, 9.0), (21, 1, 2.0)],
+        "doc_id long, host long, score double",
+    )
+    store.merge_table("m_dups", dup_rows, key_cols=("doc_id",))
+    out = store.load("m_dups")
+    assert out.filter("doc_id = 5").count() == 1
+    assert out.filter("doc_id = 5").first()["score"] == 9.0
+    assert out.filter("doc_id = 21").count() == 1
+    ambiguous = spark.createDataFrame(
+        [(7, 0, 1.0), (7, 0, 2.0)], "doc_id long, host long, score double"
+    )
+    with pytest.raises(BadRequest, match="multiple DIFFERENT rows"):
+        store.merge_table("m_dups", ambiguous, key_cols=("doc_id",))
+    # the failed merge changed nothing
+    assert store.load("m_dups").filter("doc_id = 7").first()["score"] == 7 * 1.5

@@ -187,3 +187,30 @@ def test_ivf_train_sampled_lloyd(embs):
     small = ivf_train(embs, 16, iters=2, train_cap=256)
     assigned = ivf_assign(embs, codebook=small)
     assert assigned.select("cent").distinct().count() >= 12
+
+
+def test_persisted_assignment_reuse(embs, codebook):
+    """knn_join/semantic_dedup with ``assigned=`` (a persisted
+    ivf_assign output — the build-once search-many production path)
+    must equal the recompute-inline path exactly."""
+    from pyspark.sql import functions as F
+
+    built = ivf_assign(embs, codebook=codebook).cache()
+    built.count()
+    queries = embs.filter(F.col("vec_id") < 10)
+    inline = _rows(
+        knn_join(embs, queries, k=5, codebook=codebook),
+        "qid", "cosine", "vec_id",
+    )
+    reused = _rows(
+        knn_join(embs, queries, k=5, codebook=codebook, assigned=built),
+        "qid", "cosine", "vec_id",
+    )
+    assert inline == reused and len(inline) == 10 * 5
+    a = _rows(semantic_dedup(embs, tau=0.8, codebook=codebook), "vec_id")
+    b = _rows(
+        semantic_dedup(embs, tau=0.8, codebook=codebook, assigned=built),
+        "vec_id",
+    )
+    assert a == b
+    built.unpersist()

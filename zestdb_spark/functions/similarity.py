@@ -640,6 +640,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     codebook: list | None = None,
     method: str = "auto",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the IVF coarse codebook,
@@ -669,7 +670,13 @@ def semantic_dedup(
     # expression over the whole corpus (measured ~2× end-to-end at
     # bench scale). This is also the 100 TB shape — SemDeDup persists
     # cluster assignments as a build artifact, not a throwaway subtree.
-    assigned = _persist_bounded(ivf_assign(embs, n_centroids, codebook, method=method))
+    # ``assigned=`` short-circuits the build with a PERSISTED
+    # ivf_assign output — SemDeDup's cluster assignment is a build
+    # artifact at scale, not a throwaway subtree
+    if assigned is None:
+        assigned = _persist_bounded(
+            ivf_assign(embs, n_centroids, codebook, method=method)
+        )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("norm").alias("norm_a"), "cent",
@@ -1215,6 +1222,7 @@ def knn_join(
     n_probe: int = 4,
     codebook: list | None = None,
     method: str = "auto",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN: the top-``k`` corpus neighbors for EVERY query row —
     the k-NN JOIN (RAG batch retrieval, embedding-dedup candidate
@@ -1241,10 +1249,21 @@ def knn_join(
     # corpus side drops zero-norm vectors inside ivf_assign: a zero-norm
     # row would score 0.0/0.0 = NaN against every query, and Spark
     # orders NaN ABOVE every real double — NaN-desc would rank it first
-    # in the top-k of every query probing its cell (ADVICE r9)
-    ca = ivf_assign(corpus, n_centroids, codebook=cents, method=method).select(
-        F.col("vec_id"), F.col("v"), F.col("norm"), F.col("cent")
-    )
+    # in the top-k of every query probing its cell (ADVICE r9).
+    # ``assigned=`` passes a PERSISTED ivf_assign output (vec_id, v,
+    # norm, cent) instead — the 100 TB path: the assignment is a build
+    # artifact written once (partitioned/bucketed by cent), and every
+    # batch search after that reads it partition-pruned instead of
+    # re-assigning the corpus per query batch. Must have been built
+    # with the SAME codebook passed here (probes are ranked against it).
+    if assigned is not None:
+        ca = assigned.select(
+            F.col("vec_id"), F.col("v"), F.col("norm"), F.col("cent")
+        )
+    else:
+        ca = ivf_assign(corpus, n_centroids, codebook=cents, method=method).select(
+            F.col("vec_id"), F.col("v"), F.col("norm"), F.col("cent")
+        )
     if _use_ivf_kernel(cents, method):
         # large-codebook path: probe ranking in the Arrow kernel — the
         # literal struct array below is O(m) expression nodes per query

@@ -517,8 +517,29 @@ class ZestStore:
         )
         if updates.isEmpty():
             return 0
-        updates = updates.persist()
+        # self-duplicate handling (the round-9 review's one deferral):
+        # exact duplicate rows in the batch collapse (idempotent —
+        # re-sending a row is harmless), but two DIFFERENT payloads for
+        # the same key are an ambiguous merge and raise, Delta's
+        # "multiple source rows matched" contract — silently picking a
+        # winner would make the result depend on partition order. Both
+        # checks are batch-sized jobs, never table-sized.
+        updates = updates.distinct().persist()
         try:
+            dup = (
+                updates.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                dup_key = {k: dup[0][k] for k in key_cols}
+                raise BadRequest(
+                    f"merge_table({name!r}): update batch has multiple "
+                    f"DIFFERENT rows for key {dup_key} — an ambiguous "
+                    "merge; dedupe the batch to one row per key first"
+                )
             keys = updates.select(*key_cols).distinct()
             statable = [
                 k for k in key_cols if k in self._generic[name]["stats_cols"]
