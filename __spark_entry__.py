@@ -1387,6 +1387,25 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": lambda s, d: similarity.knn_join(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 20), k=5
         ),
+        # Batch k-NN join over the COMPRESSED index (round 10): ADC
+        # against the persisted (vec_id, cent, codes) table — per-pair
+        # work is m LUT lookups in codegen, embeddings never read;
+        # per-query answers pinned equal to ivfpq_topk(codes=...) by
+        # test. Both quantizers ids-init so the search replays in SQL.
+        "sim_knn_join_pq": lambda s, d: (
+            lambda e, icb, pcb: similarity.knn_join_pq(
+                similarity.pq_encode(e, pcb, ivf_codebook=icb),
+                e.filter(F.col("vec_id") < 8),
+                pcb,
+                icb,
+                k=5,
+                n_probe=4,
+            )
+        )(
+            embs(s, d),
+            similarity._ivf_centroids(embs(s, d), 16),
+            similarity.pq_train(embs(s, d), init="ids"),
+        ),
         # last-mile shard layout: hash-deterministic shard + in-shard
         # position (hash order IS the reproducible training shuffle)
         "pack_shard_plan": lambda s, d: __import__(
@@ -2497,6 +2516,56 @@ _EXT_SQL: dict[str, str] = {
                row_number() OVER (PARTITION BY qid
                                   ORDER BY cosine DESC, vec_id ASC) AS rn
         FROM pairs) t
+      WHERE rn <= 5
+    """,
+    # batch IVFPQ: per-query probes + per-query ADC LUTs over the SAME
+    # assign/cb CTEs as sim_topk_ivfpq, generalized over the query set
+    "sim_knn_join_pq": f"""
+      WITH {_EMB_NORM_CTE},
+      {_PQ_CTES},
+      icents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+                 FROM n ORDER BY vec_id LIMIT 16),
+      iassign AS (
+        SELECT vec_id, cid AS cent FROM (
+          SELECT n.vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, cv) / (n.norm * cnorm) DESC,
+                            cid ASC) AS rn
+          FROM n CROSS JOIN icents) t
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm
+            FROM n WHERE vec_id < 8 AND norm > 0),
+      qprobe AS (
+        SELECT qid, cid FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC,
+                            c.cid ASC) AS rn
+          FROM q CROSS JOIN icents c) t
+        WHERE rn <= 4),
+      qu AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 8),
+      lut AS (
+        SELECT qu.qid, cb.code, sub.s,
+               list_dot_product(qu.quv[sub.s*8+1 : sub.s*8+8],
+                                cb.cv[sub.s*8+1 : sub.s*8+8]) AS val
+        FROM qu CROSS JOIN sub CROSS JOIN cb),
+      scores AS (
+        SELECT l.qid, a.vec_id,
+               floor(list_dot_product(list(l.val ORDER BY a.s),
+                                      list_transform(range(8), x -> 1.0))
+                     * 1000000.0) / 1000000.0 AS score
+        FROM assign a JOIN lut l ON l.s = a.s AND l.code = a.code
+        GROUP BY l.qid, a.vec_id)
+      SELECT qid, vec_id, score FROM (
+        SELECT sc.qid, sc.vec_id, sc.score,
+               row_number() OVER (PARTITION BY sc.qid
+                                  ORDER BY sc.score DESC, sc.vec_id ASC) AS rn
+        FROM scores sc
+        JOIN iassign ia ON ia.vec_id = sc.vec_id
+        JOIN qprobe p ON p.qid = sc.qid AND p.cid = ia.cent
+        WHERE sc.vec_id <> sc.qid) t
       WHERE rn <= 5
     """,
     "sim_bq_bits": f"""

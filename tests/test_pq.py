@@ -221,3 +221,56 @@ def test_bq_zero_norm_query_returns_empty(spark):
     )
     assert similarity.bq_topk(df, 0, 5).count() == 0
     assert similarity.bq_topk(df, 0, 5, rerank=5).count() == 0
+
+
+def test_knn_join_pq_matches_per_query_ivfpq(spark, embs):
+    """The batch compressed-index join must equal ivfpq_topk(codes=...)
+    query for query — the batch plan changes EXECUTION (one cell
+    equi-join over the codes table + per-qid windows), never the
+    answer. Refine path pinned the same way."""
+    from zestdb_spark.functions.similarity import (
+        _ivf_centroids,
+        ivfpq_topk,
+        knn_join_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    icb = _ivf_centroids(embs, 16)
+    pcb = pq_train(embs, m=8, n_codes=16, init="ids")
+    codes = pq_encode(embs, pcb, ivf_codebook=icb).cache()
+    codes.count()
+    queries = embs.filter(embs.vec_id < 8)
+
+    batch = {}
+    for r in knn_join_pq(codes, queries, pcb, icb, k=5, n_probe=4).collect():
+        batch.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    assert set(batch) == set(range(8))
+    for qid in range(8):
+        solo = [
+            (r["vec_id"], r["score"])
+            for r in ivfpq_topk(
+                embs, qid, k=5, n_centroids=16, n_probe=4,
+                ivf_codebook=icb, pq_codebook=pcb, codes=codes,
+            ).collect()
+        ]
+        got = sorted(batch[qid], key=lambda t: (-t[1], t[0]))
+        assert got == solo, qid
+
+    # refine: exact cosines over the ADC top-20, equal to the solo path
+    rb = {}
+    for r in knn_join_pq(
+        codes, queries, pcb, icb, k=5, n_probe=4, rerank=20, embs=embs
+    ).collect():
+        rb.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for qid in range(8):
+        solo = [
+            (r["vec_id"], r["cosine"])
+            for r in ivfpq_topk(
+                embs, qid, k=5, n_centroids=16, n_probe=4,
+                ivf_codebook=icb, pq_codebook=pcb, codes=codes, rerank=20,
+            ).collect()
+        ]
+        got = sorted(rb[qid], key=lambda t: (-t[1], t[0]))
+        assert got == solo, qid
+    codes.unpersist()

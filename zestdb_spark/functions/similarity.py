@@ -1322,6 +1322,134 @@ def knn_join(
     )
 
 
+def _ivfpq_query_kernel(ivf_codebook: list, pq_codebook: dict, n_probe: int):
+    """Arrow-batched query preparation for ``knn_join_pq``: per query
+    row, rank the ``n_probe`` coarse cells (cos DESC, cid ASC — same
+    stable rule as ``_ivf_probe_kernel``) and fold the per-query ADC
+    lookup table LUT[s][c] = dot(q̂_s, cent[s][c]) with LEFT-FOLD
+    accumulation, bit-identical to the driver-side ``_seq_dot_py``
+    LUTs of pq_topk/ivfpq_topk. Emits one row per (query, probe cell)
+    carrying the LUT and the exact query vector (for the optional
+    refine)."""
+    import pandas as pd
+
+    Ci, cids, cnorm = _cent_arrays(ivf_codebook)
+    m, sub = pq_codebook["m"], pq_codebook["sub"]
+    P = [np.asarray(pq_codebook["cents"][s], dtype=np.float64) for s in range(m)]
+    n_probe = int(n_probe)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = _cosines_to_cents(pdf, Ci, cnorm)
+            if out is None:
+                continue
+            ids, V, norm, cs = out
+            order = np.argsort(-cs, axis=1, kind="stable")[:, :n_probe]
+            width = order.shape[1]
+            U = V / norm[:, None]
+            luts = []
+            for r in range(len(U)):
+                lut = []
+                for s in range(m):
+                    acc = np.zeros(len(P[s]), dtype=np.float64)
+                    for j in range(sub):
+                        acc += U[r, s * sub + j] * P[s][:, j]
+                    lut.append([float(x) for x in acc])
+                luts.append(lut)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(ids, width),
+                    "qv": [x.tolist() for x in np.repeat(V, width, axis=0)],
+                    "qnorm": np.repeat(norm, width),
+                    "cent": cids[order].reshape(-1).astype("int32"),
+                    "lut": [luts[r] for r in range(len(U)) for _ in range(width)],
+                }
+            )
+
+    return run
+
+
+def knn_join_pq(
+    codes: DataFrame,
+    queries: DataFrame,
+    pq_codebook: dict,
+    ivf_codebook: list,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 0,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """Batch ANN over the COMPRESSED index: the top-``k`` corpus
+    neighbors for EVERY query row, scored by ADC against a persisted
+    ``pq_encode(..., ivf_codebook=...)`` codes table — the corpus's
+    embeddings are never read (except by the optional refine). This is
+    ``knn_join``'s production sibling at full compression: per-pair
+    work is m integer lookups + adds in whole-stage codegen over
+    8-byte codes, and the corpus side prunes to the probed cells
+    BEFORE the join (a partition/stats-prunable ``cent`` equi-join
+    when the codes table is laid out by cell).
+
+    Plan shape: ONE Arrow pass over the (small) query side computes
+    each query's probe cells + ADC LUT (model-sized per row: m ×
+    n_codes doubles); the LUT rides the join as a column, so scoring
+    is ``element_at(element_at(lut, s), code_s)`` chains — pure
+    codegen, no Python on the corpus side, no cartesian anywhere.
+    Per-query answers equal ``ivfpq_topk(codes=...)`` exactly (pinned
+    by test); output (qid, vec_id, score) q6-floored, or
+    (qid, vec_id, cosine) with ``rerank`` (requires ``embs``)."""
+    from pyspark.sql import Window
+
+    m = pq_codebook["m"]
+    qp = queries.select("vec_id", "embedding").mapInPandas(
+        _ivfpq_query_kernel(ivf_codebook, pq_codebook, n_probe),
+        "qid long, qv array<double>, qnorm double, cent int, "
+        "lut array<array<double>>",
+    )
+    terms = [
+        F.element_at(
+            F.element_at(F.col("lut"), s + 1), F.col("codes").getItem(s) + F.lit(1)
+        )
+        for s in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    scored = (
+        codes.join(qp, "cent")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", q6(adc).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= (rerank or k)).drop("rn")
+    if not rerank:
+        return top
+    if embs is None:
+        raise ValueError("knn_join_pq: rerank requires embs")
+    qvecs = qp.select("qid", "qv", "qnorm").dropDuplicates(["qid"])
+    exact = (
+        top.select("qid", "vec_id")
+        .join(with_norm(embs), "vec_id")
+        .join(qvecs, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            q6(dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # ------------------------------------------- binary quantization (BQ)
 
 
