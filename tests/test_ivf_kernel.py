@@ -125,12 +125,13 @@ def test_knn_join_excludes_zero_norm_corpus_rows(spark, codebook):
         )  # no NaN anywhere
 
 
-def test_auto_threshold_dispatch(embs, codebook):
-    # auto == literal below the threshold; an explicit bad method raises
-    assert not similarity._use_ivf_kernel(codebook, "auto")
+def test_auto_dispatch_prefers_kernel(embs, codebook):
+    # auto picks the kernel at every size (HOF folds are interpreted —
+    # the kernel measured 3-4× faster even at m=16, and the two paths
+    # are bit-identical); "literal" stays an explicit opt-in
+    assert similarity._use_ivf_kernel(codebook, "auto")
     assert similarity._use_ivf_kernel(codebook, "kernel")
-    big = [dict(codebook[0], vec_id=i) for i in range(similarity.IVF_KERNEL_CENTROIDS + 1)]
-    assert similarity._use_ivf_kernel(big, "auto")
+    assert not similarity._use_ivf_kernel(codebook, "literal")
     with pytest.raises(ValueError):
         similarity._use_ivf_kernel(codebook, "bogus")
 

@@ -228,14 +228,19 @@ def _nearest_centroid(cents: list) -> Column:
     return -F.array_max(F.array(*opts)).getField("neg")
 
 
-#: Codebook size above which IVF assignment switches from the literal
-#: Catalyst expression (one HOF fold per centroid — CodegenFallback,
-#: and unplannable at the ~100k-centroid codebooks SCALE.md recommends
-#: for crawl scale) to the Arrow ``mapInPandas`` kernel (one
-#: broadcast numpy codebook, one loop-ordered matmul per batch — the
-#: ``_pq_kernel`` deployment shape). Both paths are bit-identical
-#: (pinned by tests/test_ivf_kernel.py), so the switch is purely a
-#: planning concern.
+#: Ceiling documentation for the literal-expression path: above this
+#: codebook size the Catalyst expression (one HOF fold per centroid)
+#: cannot realistically be planned at all — the ~100k-centroid
+#: codebooks SCALE.md recommends for crawl scale need the kernel.
+#: ``method="auto"`` now picks the Arrow kernel at EVERY size, not
+#: just above this: Spark's higher-order functions are CodegenFallback
+#: (interpreted), and the measured assignment cost at sf0.1 is 3-4×
+#: LOWER through the kernel even at m=16 (knn_join 4.3 s → 1.1 s,
+#: semantic_dedup 2.3 s → 0.7 s, ivf_topk 2.1 s → 0.6 s, steady-state
+#: min-of-3). Both paths are bit-identical (pinned row-for-row by
+#: tests/test_ivf_kernel.py), so the choice is purely cost; the
+#: literal path remains for pure-JVM deployments (``method=
+#: "literal"``) and as the oracle-replay reference.
 IVF_KERNEL_CENTROIDS = 256
 
 
@@ -353,9 +358,7 @@ def _ivf_probe_kernel(cents: list, n_probe: int):
 def _use_ivf_kernel(cents: list, method: str) -> bool:
     if method not in ("auto", "literal", "kernel"):
         raise ValueError(f"method must be auto|literal|kernel, got {method!r}")
-    return method == "kernel" or (
-        method == "auto" and len(cents) > IVF_KERNEL_CENTROIDS
-    )
+    return method != "literal"
 
 
 def kmeans_seed(
