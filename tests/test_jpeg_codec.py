@@ -1,12 +1,16 @@
-"""Baseline JPEG codec (zestdb_spark/functions/jpeg_codec.py).
+"""JPEG codec (zestdb_spark/functions/jpeg_codec.py) — sequential and
+progressive.
 
-The decoder is pinned three independent ways:
+The decoder is pinned four independent ways:
 1. a HAND-ASSEMBLED golden stream (bytes written from the T.81 spec,
    no encoder involved) whose decoded pixels have a closed form;
 2. encode→decode round trips at quant=1 (error bounded by DCT
    rounding alone) across 4:4:4, grayscale, 4:2:0, and restart
    intervals;
-3. typed rejection of everything outside the subset (progressive,
+3. progressive decodes pinned PIXEL-IDENTICAL to the baseline decode
+   of the same image across every scan species (spectral selection,
+   DC/AC successive approximation, EOB-run batching);
+4. typed rejection of everything outside the subset (arithmetic,
    truncation, non-JPEG).
 No Spark session needed — pure numpy over bytes.
 """
@@ -133,11 +137,11 @@ def test_quantization_actually_applies():
 def test_rejects_out_of_subset():
     img = np.full((8, 8), 50, dtype=np.uint8)
     enc = bytearray(encode_jpeg_baseline(img))
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # arithmetic coding: flip SOF0 (FFC0) to SOF9 (FFC9)
     sof = bytes(enc).find(b"\xff\xc0")
-    prog = bytes(enc[:sof]) + b"\xff\xc2" + bytes(enc[sof + 2 :])
-    with pytest.raises(UnsupportedMedia, match="progressive"):
-        _jpeg_pixels(prog)
+    arith = bytes(enc[:sof]) + b"\xff\xc9" + bytes(enc[sof + 2 :])
+    with pytest.raises(UnsupportedMedia, match="arithmetic"):
+        _jpeg_pixels(arith)
     # truncated entropy data
     with pytest.raises(UnsupportedMedia):
         _jpeg_pixels(bytes(enc[:-12]))
@@ -183,3 +187,66 @@ def test_spark_decode_features_over_jpeg_assets(spark):
         assert r["width"] == d % 16 + 1
         assert r["height"] == d % 8 + 1
         assert r["mean_r"] == float(d % 256)
+
+
+# ------------------------------------------------------- progressive
+
+def test_progressive_roundtrips_match_baseline_decode():
+    """Every progressive scan species (spectral selection, DC/AC
+    successive approximation at several depths, EOB-run batching
+    across many blocks) must reconstruct the EXACT same coefficients
+    as the sequential encoding of the same pixels — pinned as
+    pixel-identical decodes."""
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 256, (24, 33, 3)) * 0.4 + 80).astype(np.uint8)
+    base = _jpeg_pixels(encode_jpeg_baseline(img))
+    for kw in (
+        {},
+        {"al_dc": 2},
+        {"al_ac": 2},
+        {"al_dc": 1, "al_ac": 3},
+    ):
+        dec = _jpeg_pixels(encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(dec, base), kw
+    # noise across many blocks at deep SA: the hardest refinement load
+    noise = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    b = _jpeg_pixels(encode_jpeg_baseline(noise))
+    p = _jpeg_pixels(encode_jpeg_progressive(noise, al_dc=3, al_ac=3))
+    assert np.array_equal(p, b)
+
+
+def test_progressive_subsampled_and_gray():
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:20, 0:30]
+    img = np.dstack([100 + y * 2, 80 + x, 120 + (x + y)]).astype(np.uint8)
+    base = _jpeg_pixels(encode_jpeg_baseline(img, subsample=True))
+    prog = _jpeg_pixels(
+        encode_jpeg_progressive(img, subsample=True, al_dc=2, al_ac=2)
+    )
+    assert np.array_equal(prog, base)
+    g = (np.add.outer(np.arange(16) * 7, np.arange(24) * 3) % 256).astype(
+        np.uint8
+    )
+    dec = _jpeg_pixels(encode_jpeg_progressive(g, al_dc=2, al_ac=3))
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_progressive_through_media_dispatch():
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    img = np.full((6, 10), 99, dtype=np.uint8)
+    stats = media_codecs.decode_media(encode_jpeg_progressive(img, al_ac=1))
+    assert stats["width"] == 10 and stats["mean_r"] == 99.0
+
+
+def test_progressive_truncation_is_typed():
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    enc = encode_jpeg_progressive(img, al_ac=2)
+    with pytest.raises(UnsupportedMedia):
+        _jpeg_pixels(enc[: len(enc) // 2])

@@ -4,13 +4,15 @@ Round-1 shipped the multimodal plumbing with ``decode_media`` stubbed
 "until image/audio libraries appear". They haven't — but five useful
 container formats need none: RIFF/WAV PCM, BMP (BI_RGB), Netpbm
 P5/P6, PNG (zlib IS in the stdlib; the filter pass is plain numpy),
-and baseline JFIF JPEG (jpeg_codec.py — Huffman + IDCT are spec
+and JFIF JPEG — both sequential AND progressive (jpeg_codec.py —
+Huffman, the Annex-G refinement walks, and the IDCT are spec
 arithmetic, no codec library involved). These are complete decoders
 for their declared subsets, not stubs: they parse the actual
 container, decode actual samples/pixels, and raise
 ``UnsupportedMedia`` (a clearly-typed error, no longer
-NotImplementedError) on anything outside the subset (progressive
-JPEG / MP3 / video genuinely need codec libraries).
+NotImplementedError) on anything outside the subset
+(arithmetic-coded JPEG / MP3 / video genuinely need codec
+libraries).
 
 Everything here is driver-free pure-Python over ``bytes`` — invoked
 per-asset inside Arrow-batched ``mapInPandas``
@@ -363,6 +365,5 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
             except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
                 raise UnsupportedMedia(f"malformed {dec.__name__[7:]} payload: {e}") from e
     raise UnsupportedMedia(
-        f"undecodable payload (mime={mime!r}); progressive JPEG/MP3/video "
-        "need codec libs"
+        f"undecodable payload (mime={mime!r}); MP3/video need codec libs"
     )
