@@ -250,3 +250,39 @@ def test_progressive_truncation_is_typed():
     enc = encode_jpeg_progressive(img, al_ac=2)
     with pytest.raises(UnsupportedMedia):
         _jpeg_pixels(enc[: len(enc) // 2])
+
+
+def test_corruption_fuzz_is_always_typed():
+    """The decode_media contract under hostile bytes: any corruption of
+    a valid stream (byte flips, truncations, splices) either decodes
+    or raises the ONE typed error — never an IndexError/struct.error
+    escape, never a hang. Deterministic fuzz (fixed seed)."""
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(17)
+    img = (rng.integers(0, 256, (16, 24, 3)) * 0.5 + 60).astype(np.uint8)
+    seeds = [
+        encode_jpeg_baseline(img, subsample=True, restart_interval=2),
+        encode_jpeg_progressive(img, al_dc=1, al_ac=2),
+    ]
+    n_ok, n_typed = 0, 0
+    for seed in seeds:
+        arr = np.frombuffer(seed, dtype=np.uint8).copy()
+        for trial in range(150):
+            mutated = arr.copy()
+            kind = trial % 3
+            if kind == 0:  # flip 1-4 random bytes
+                idx = rng.integers(2, len(arr), size=rng.integers(1, 5))
+                mutated[idx] ^= rng.integers(1, 256, size=len(idx)).astype(np.uint8)
+            elif kind == 1:  # truncate
+                mutated = mutated[: rng.integers(2, len(arr))]
+            else:  # splice a random window elsewhere
+                a, b = sorted(rng.integers(2, len(arr), size=2))
+                mutated = np.concatenate([mutated[:a], mutated[b:]])
+            try:
+                media_codecs.decode_media(bytes(mutated.tobytes()))
+                n_ok += 1
+            except UnsupportedMedia:
+                n_typed += 1
+    assert n_ok + n_typed == 2 * 150
+    assert n_typed > 0  # the fuzz genuinely broke streams
