@@ -1463,6 +1463,16 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": lambda s, d: corpus_ops.bpe_encode(
             docs(s, d), _BPE_FIXED_MERGES
         ),
+        # the OTHER subword family (SentencePiece-style unigram LM,
+        # round 10): max-likelihood Viterbi segmentation against a
+        # fixed engine-constant vocabulary (tie-free on this corpus by
+        # construction — pinned by pytest) so DuckDB can replay the
+        # argmax by enumerating every segmentation per distinct word
+        "text_unigram_encode": lambda s, d: corpus_ops.unigram_encode(
+            docs(s, d).select("doc_id", "text"),
+            _UNIGRAM_FIXED_VOCAB,
+            max_piece_len=4,
+        ),
         "text_redact": lambda s, d: textstats.redact_pii(docs(s, d)),
         "text_url_stats": lambda s, d: textstats.url_stats(docs(s, d)),
         "text_strip_markup": lambda s, d: textstats.strip_markup(docs(s, d)),
@@ -1852,6 +1862,91 @@ _BPE_FIXED_MERGES = [
     ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
     ("t", "h"), ("th", "e"),
 ]
+
+
+#: Fixed unigram-LM vocabulary for the graded Viterbi-encode row — an
+#: engine constant like the LSH hyperplanes: full single-char coverage
+#: of the corpus alphabet plus multi-char pieces priced below their
+#: character sums. The logps are GENERIC 6-dp values chosen so no two
+#: segmentations of any corpus word tie (asserted by pytest), which
+#: lets the oracle pick the argmax with a plain score ordering.
+_UNIGRAM_FIXED_VOCAB = {
+    **{
+        c: __import__("math").floor(-(3.0 + 0.0137 * i) * 1e6) / 1e6
+        for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
+    },
+    "the": -1.234567, "row": -1.345678, "scan": -1.456789, "ta": -1.567891,
+    "er": -1.678912, "qu": -1.789123, "win": -1.891234, "dow": -1.912345,
+    "val": -2.123456, "ue": -2.234567, "st": -2.345678, "re": -2.456789,
+    "am": -2.567891, "ar": -2.678912, "ge": -2.789123, "or": -2.891234,
+    "lu": -2.912345, "in": -2.134567, "an": -2.245678, "at": -2.356789,
+}
+
+
+def _unigram_encode_sql() -> str:
+    """Exact SQL replay of the Viterbi encode: enumerate EVERY
+    segmentation of every distinct word against the literal vocabulary
+    (words are short and few — the recursion is bounded), pick the
+    max-score path (unique by the tie-free construction; np ASC is a
+    safety ordinal), and reassemble documents word by word. Score sums
+    accumulate left-to-right in the recursion — the same association
+    as the engine's DP."""
+    from zestdb_spark.functions.corpus_ops import BPE_SEP
+
+    vals = ", ".join(
+        f"('{p}', {lp!r}::DOUBLE)"
+        for p, lp in sorted(_UNIGRAM_FIXED_VOCAB.items())
+    )
+    sep = f"chr({ord(BPE_SEP)})"
+    return f"""
+      WITH RECURSIVE
+      vocab(piece, lp) AS (VALUES {vals}),
+      nw AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ),
+      seg AS (
+        SELECT w, 0 AS pos, 0 AS np, CAST(0.0 AS DOUBLE) AS score,
+               CAST([] AS VARCHAR[]) AS pieces
+        FROM nw WHERE w <> ''
+        UNION ALL
+        SELECT s.w, s.pos + len(v.piece), s.np + 1, s.score + v.lp,
+               list_append(s.pieces, v.piece)
+        FROM seg s JOIN vocab v
+          ON len(v.piece) <= 4
+         AND substr(s.w, s.pos + 1, len(v.piece)) = v.piece
+        WHERE s.pos < len(s.w)
+      ),
+      best AS (
+        SELECT w, np, pieces FROM (
+          SELECT w, np, pieces,
+                 row_number() OVER (PARTITION BY w
+                                    ORDER BY score DESC, np ASC) AS rn
+          FROM seg WHERE pos = len(w)) t
+        WHERE rn = 1
+      ),
+      enc AS (
+        SELECT w, array_to_string(pieces, {sep}) || {sep} AS ew, np
+        FROM best
+      ),
+      doc_words AS (
+        SELECT doc_id, ord, ws[ord] AS word FROM (
+          SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS ord
+          FROM (SELECT doc_id,
+                       string_split(replace(text, {sep}, ''), ' ') AS ws
+                FROM documents WHERE text IS NOT NULL) b) t
+      ),
+      joined AS (
+        SELECT dw.doc_id, dw.ord,
+               CASE WHEN dw.word = '' THEN '' ELSE e.ew END AS ew,
+               CASE WHEN dw.word = '' THEN 0 ELSE e.np END AS np
+        FROM doc_words dw LEFT JOIN enc e ON e.w = dw.word
+      )
+      SELECT doc_id,
+             string_agg(ew, ' ' ORDER BY ord) AS encoded,
+             CAST(sum(np) AS BIGINT) AS n_pieces
+      FROM joined GROUP BY doc_id
+    """
 
 
 def _bpe_encode_sql() -> str:
@@ -2583,6 +2678,7 @@ _EXT_SQL: dict[str, str] = {
     """,
     "emb_covariance": _emb_cov_sql(),
     "text_bpe_encode": _bpe_encode_sql(),
+    "text_unigram_encode": _unigram_encode_sql(),
     "sim_topk_ivf": f"""
       WITH {_EMB_NORM_CTE},
       cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm

@@ -658,3 +658,143 @@ def test_probe_fit_drops_null_rows(spark):
     m = probe.fit_probe(spark.createDataFrame(dirty, schema), "y", ["x1"], 1e-9)
     assert m["n_rows"] == 50
     assert math.isclose(m["weights"]["x1"], 2.0, abs_tol=1e-6)
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+def test_viterbi_matches_bruteforce_on_random_words():
+    """The Viterbi DP must find the EXACT max over all segmentations
+    (value = (Σ logp, fewer pieces, longest last piece)) — pinned
+    against brute-force enumeration on random short words."""
+    import itertools
+    import random
+
+    from zestdb_spark.functions.corpus_ops import (
+        UNIGRAM_UNK_LOGP,
+        _viterbi_pieces,
+    )
+
+    rnd = random.Random(7)
+    alphabet = "abc"
+    vocab = {}
+    for ln in (1, 2, 3):
+        for tup in itertools.product(alphabet, repeat=ln):
+            if rnd.random() < (1.0 if ln == 1 else 0.5):
+                vocab["".join(tup)] = round(rnd.uniform(-8, -1), 6)
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for idx, cut in enumerate(cuts, 1):
+                if cut:
+                    pieces.append(word[start:idx])
+                    start = idx
+            pieces.append(word[start:])
+            if any(len(p) > 3 for p in pieces):
+                continue
+            score = 0.0
+            ok = True
+            for p in pieces:
+                lp = vocab.get(p)
+                if lp is None:
+                    if len(p) != 1:
+                        ok = False
+                        break
+                    lp = UNIGRAM_UNK_LOGP
+                score += lp
+            if not ok:
+                continue
+            # same tie rule as the DP: more score, fewer pieces, then
+            # longest LAST piece (smaller start of last piece)
+            key = (score, -len(pieces), -(len(pieces[-1])))
+            if best is None or key > best[0]:
+                best = (key, pieces)
+        return best[1]
+
+    for _ in range(300):
+        w = "".join(rnd.choice(alphabet + "z") for _ in range(rnd.randint(1, 8)))
+        got = _viterbi_pieces(w, vocab, 3)
+        assert "".join(got) == w
+        exp = brute(w)
+        s_got = sum(vocab.get(p, UNIGRAM_UNK_LOGP) for p in got)
+        s_exp = sum(vocab.get(p, UNIGRAM_UNK_LOGP) for p in exp)
+        assert s_got == s_exp and len(got) == len(exp), (w, got, exp)
+
+
+def test_unigram_train_and_encode(spark):
+    from zestdb_spark.functions.corpus_ops import (
+        BPE_SEP,
+        unigram_encode,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab xyz"), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = unigram_train(df, vocab_size=12, max_piece_len=4)
+    # every character is covered; frequent substrings are pieces
+    for ch in "abxyz":
+        assert ch in vocab
+    assert "abab" in vocab  # the dominant word survives pruning
+    assert all(lp < 0 for lp in vocab.values())
+    # determinism
+    assert unigram_train(df, vocab_size=12, max_piece_len=4) == vocab
+    rows = {r.doc_id: r for r in unigram_encode(df, vocab).collect()}
+    assert rows[1].encoded.replace(BPE_SEP, "") == "abab abab ab"
+    assert rows[1].n_pieces == 3  # abab, abab, ab — max-likelihood
+    assert rows[3].encoded is None and rows[3].n_pieces is None
+    # pieces are vocabulary members (or unk single chars)
+    for r in (rows[1], rows[2]):
+        for word in r.encoded.split(" "):
+            for p in filter(None, word.split(BPE_SEP)):
+                assert p in vocab or len(p) == 1
+
+
+def test_unigram_fixed_vocab_is_tie_free_on_corpus():
+    """The graded row's oracle ranks segmentations by score alone
+    (np ASC as a safety ordinal) — sound ONLY because no two
+    segmentations of any corpus word tie under the fixed vocabulary.
+    Enumerate and assert; if the driver corpus ever changes, this
+    trips before the oracle silently diverges."""
+    import itertools
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    vocab = entry._UNIGRAM_FIXED_VOCAB
+    con = duckdb.connect()
+    words = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+            "FROM '/root/testdata/sf0.001/documents.parquet' "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+        if r[0]
+    ]
+    assert words and all(len(w) <= 12 for w in words)  # enumeration stays cheap
+    for w in words:
+        assert all(ch in vocab for ch in w)  # full coverage: no unk path
+        scores = []
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for idx, c in enumerate(cuts, 1):
+                if c:
+                    pieces.append(w[start:idx])
+                    start = idx
+            pieces.append(w[start:])
+            if any(len(p) > 4 or p not in vocab for p in pieces):
+                continue
+            s = 0.0
+            for p in pieces:
+                s += vocab[p]
+            scores.append(s)
+        top = sorted(scores, reverse=True)
+        assert len(top) >= 1
+        if len(top) > 1:
+            assert top[0] != top[1], (w, top[:2])

@@ -633,6 +633,186 @@ def bpe_encode(
     )
 
 
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    text: str = "text",
+    max_vocab: int = 1_000_000,
+    max_piece_len: int = 6,
+    em_iters: int = 2,
+    seed_factor: int = 4,
+) -> dict[str, float]:
+    """Train a SentencePiece-style UNIGRAM language-model vocabulary
+    (Kudo 2018, arXiv:1804.10959) — the other major subword family
+    beside BPE: pieces carry log-probabilities and encoding picks the
+    max-likelihood segmentation (Viterbi), instead of replaying a
+    merge history.
+
+    Same corpus/driver split as ``bpe_train``: Spark does the ONE
+    corpus-sized job (the Zipf-bounded distinct-word frequency table,
+    map-side combined, top ``max_vocab``), and the driver runs the
+    classic loop over that bounded table — seed pieces = all word
+    substrings up to ``max_piece_len`` scored by occurrence
+    (truncated to ``seed_factor × vocab_size``), then ``em_iters``
+    hard-EM (Viterbi) rounds re-estimating piece counts and pruning
+    to ``vocab_size``. Single characters are never pruned (full
+    coverage — any string segments). Fully deterministic: integer
+    counts, lexicographic tie-breaks, no RNG.
+
+    Returns {piece: logp} with log-probabilities floor-quantized to
+    6 dp (engine-portable determinism, the q6 convention)."""
+    import math
+
+    rows = (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    words = [(r["w"], int(r["c"])) for r in rows]
+    if not words:
+        return {}
+    chars = sorted({ch for w, _ in words for ch in w})
+    seed_counts: dict[str, int] = {}
+    for w, c in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                p = w[i : j]
+                seed_counts[p] = seed_counts.get(p, 0) + c
+    multi = sorted(
+        (p for p in seed_counts if len(p) > 1),
+        key=lambda p: (-seed_counts[p] * len(p), p),  # favor long, frequent
+    )[: max(0, seed_factor * vocab_size - len(chars))]
+    pieces = {p: seed_counts[p] for p in chars + multi}
+
+    def _logprobs(counts: dict[str, int]) -> dict[str, float]:
+        total = sum(counts.values())
+        return {
+            p: math.floor(math.log(c / total) * 1e6) / 1e6
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    vocab = _logprobs(pieces)
+    for _ in range(em_iters):
+        counts: dict[str, int] = {}
+        for w, c in words:
+            for p in _viterbi_pieces(w, vocab, max_piece_len):
+                counts[p] = counts.get(p, 0) + c
+        for ch in chars:  # coverage floor: characters survive at count ≥ 1
+            counts[ch] = counts.get(ch, 0) + 1
+        keep = set(chars) | set(
+            sorted(
+                (p for p in counts if len(p) > 1),
+                key=lambda p: (-counts[p], p),
+            )[: max(0, vocab_size - len(chars))]
+        )
+        vocab = _logprobs({p: c for p, c in counts.items() if p in keep})
+    return vocab
+
+
+#: encode-time floor for characters never seen in training: strictly
+#: below every trained piece so a real piece always wins, but finite
+#: so segmentation never fails (SentencePiece's <unk> posture)
+UNIGRAM_UNK_LOGP = -1e6
+
+
+def _viterbi_pieces(
+    word: str, vocab: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Max-likelihood segmentation of one word: DP over positions,
+    value = (Σ logp, −n_pieces) maximized lexicographically — ties
+    prefer FEWER pieces, then the longest last piece (smallest start
+    index): fully deterministic. Σ accumulates left-to-right. Unknown
+    single characters fall back to ``UNIGRAM_UNK_LOGP``."""
+    n = len(word)
+    NEG = float("-inf")
+    # best[j] = (score, -npieces, start_of_last_piece)
+    best: list[tuple[float, int, int]] = [(NEG, 0, -1)] * (n + 1)
+    best[0] = (0.0, 0, -1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i][0] == NEG:
+                continue
+            piece = word[i:j]
+            lp = vocab.get(piece)
+            if lp is None:
+                if j - i != 1:
+                    continue
+                lp = UNIGRAM_UNK_LOGP  # single unknown char: coverage
+            cand = (best[i][0] + lp, best[i][1] - 1, i)
+            # ties prefer fewer pieces then smaller i (longer last piece
+            # — note smaller i sorts LOWER, so compare explicitly)
+            cur = best[j]
+            if cand[0] > cur[0] or (
+                cand[0] == cur[0]
+                and (cand[1] > cur[1] or (cand[1] == cur[1] and cand[2] < cur[2]))
+            ):
+                best[j] = cand
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = best[j][2]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: dict[str, float],
+    text: str = "text",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """(doc_id, encoded, n_pieces): Viterbi-encode the corpus against a
+    trained unigram vocabulary — ``bpe_encode``'s output shape (pieces
+    separated by the ``BPE_SEP`` control byte, word boundaries stay
+    plain spaces) so downstream packing/counting composes unchanged.
+
+    One Arrow ``mapInPandas`` pass: the vocabulary is broadcast inside
+    the closure (model-sized) and each DISTINCT word is segmented once
+    per batch via a memo dict (the ``_bpe_kernel`` shape — with
+    Zipf-distributed text the head of the vocabulary amortizes almost
+    every document). Viterbi DP per distinct word is
+    O(len × max_piece_len); null text passes through as null."""
+    import pandas as pd
+
+    vocab = dict(vocab)
+
+    def run(batches):
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            enc, cnt = [], []
+            for t in pdf[text]:
+                if t is None:
+                    enc.append(None)
+                    cnt.append(None)
+                    continue
+                out = []
+                for w in str(t).replace(BPE_SEP, "").split(" "):
+                    e = memo.get(w)
+                    if e is None:
+                        e = "".join(
+                            p + BPE_SEP
+                            for p in _viterbi_pieces(w, vocab, max_piece_len)
+                        )
+                        memo[w] = e
+                    out.append(e)
+                joined = " ".join(out)
+                enc.append(joined)
+                cnt.append(joined.count(BPE_SEP))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "encoded": enc, "n_pieces": cnt}
+            )
+
+    return docs.select("doc_id", text).mapInPandas(
+        run, "doc_id long, encoded string, n_pieces long"
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     alpha: float = 0.5,
