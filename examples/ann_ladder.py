@@ -67,6 +67,18 @@ def run(spark, sf_dir: str) -> dict[str, float]:
             S.bq_topk(embs, QUERY, K, bits=bq_index, rerank=RERANK)
         ),
     }
+    # the BATCH faces of the ladder (round 10): every query row at
+    # once — knn_join over the float assignment, knn_join_pq over the
+    # 8-byte compressed index. Single-query recall carries over (the
+    # batch plans are pinned equal per query by test); here we check
+    # the QUERY row's answer survives the batch plan.
+    queries = embs.filter(f"vec_id < {max(QUERY + 1, 5)}")
+    batch = S.knn_join(embs, queries, k=K, n_centroids=16, n_probe=8, codebook=icb)
+    out["knn_join_probe8"] = recall(batch.filter(f"qid = {QUERY}"))
+    batch_pq = S.knn_join_pq(
+        ivfpq_index, queries, pcb, icb, k=K, n_probe=8, rerank=RERANK, embs=embs
+    )
+    out["knn_join_pq_refine"] = recall(batch_pq.filter(f"qid = {QUERY}"))
     return out
 
 

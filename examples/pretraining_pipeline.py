@@ -85,6 +85,16 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     merges = corpus_ops.bpe_train(docs5, n_merges=16)
     encoded = corpus_ops.bpe_encode(docs5, merges)
     counts["bpe_merges"] = len(merges)
+    # 6b. the OTHER subword family as a drop-in: unigram-LM (Viterbi)
+    # against a trained vocabulary — same output shape, so the packer
+    # below would consume either stream unchanged
+    uvocab = corpus_ops.unigram_train(docs5, vocab_size=64, max_piece_len=4)
+    counts["unigram_pieces"] = len(uvocab)
+    counts["unigram_tokens"] = int(
+        corpus_ops.unigram_encode(docs5, uvocab)
+        .agg(F.sum("n_pieces"))
+        .first()[0]
+    )
 
     # 7. pack the SUBWORD stream into fixed-length training sequences
     # (the separator byte becomes the packer's token delimiter)

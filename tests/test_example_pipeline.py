@@ -30,6 +30,8 @@ def test_example_pipeline_runs_and_narrows(spark):
     # the probe cut keeps roughly half of the gated docs (median split)
     assert counts["probe_kept"] >= counts["rule_gated"] * 0.4
     assert counts["bpe_merges"] > 0
+    assert counts["unigram_pieces"] > 0
+    assert counts["unigram_tokens"] > 0
     assert counts["sequences"] > 0
     # the shard plan places every packed sequence exactly once
     assert counts["sharded"] == counts["sequences"]
@@ -52,6 +54,10 @@ def test_example_ann_ladder_runs_with_sane_recall(spark):
     assert r["exact"] == 1.0
     for tier in ("ivf_probe8", "pq_refine", "ivfpq_refine", "bq_refine"):
         assert 0.3 <= r[tier] <= 1.0, f"{tier} recall out of band: {r[tier]}"
+    # the batch faces answer the SAME query identically to their
+    # per-query siblings (the plans are pinned equal by test)
+    assert r["knn_join_probe8"] == r["ivf_probe8"]
+    assert 0.3 <= r["knn_join_pq_refine"] <= 1.0
 
 
 def test_example_lakehouse_tables_runs(spark):
