@@ -286,3 +286,26 @@ def test_corruption_fuzz_is_always_typed():
                 n_typed += 1
     assert n_ok + n_typed == 2 * 150
     assert n_typed > 0  # the fuzz genuinely broke streams
+
+
+def test_roundtrip_422_sampling():
+    """4:2:2 (horizontal-only chroma subsampling — the other common
+    crawl variant): exercises the mixed-ratio upsampling path the 4:2:0
+    and 4:4:4 tests cannot reach, sequential and progressive."""
+    from zestdb_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:20, 0:30]
+    img = np.dstack([100 + y * 2, 80 + x, 120 + (x + y)]).astype(np.uint8)
+    enc = encode_jpeg_baseline(img, subsample="422")
+    dec = _jpeg_pixels(enc)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+    # vertical chroma is NOT averaged in 4:2:2 — on this vertically
+    # smooth image it must beat 4:2:0 on worst-case error
+    dec420 = _jpeg_pixels(encode_jpeg_baseline(img, subsample=True))
+    e422 = np.abs(dec.astype(int) - img.astype(int)).max()
+    e420 = np.abs(dec420.astype(int) - img.astype(int)).max()
+    assert e422 <= e420
+    # progressive agrees with sequential at the same sampling
+    prog = _jpeg_pixels(encode_jpeg_progressive(img, subsample="422", al_ac=1))
+    assert np.array_equal(prog, dec)

@@ -576,10 +576,11 @@ def _encode_block(bw, block, quant, pred, dc_codes, ac_codes):
     return pred
 
 
-def _prep_components(rgb: np.ndarray, subsample: bool):
-    """Shared encoder front half: color-convert, optionally 4:2:0
-    subsample, MCU-pad. Returns (h, w, padded planes, samp,
-    mcus_x, mcus_y)."""
+def _prep_components(rgb: np.ndarray, subsample):
+    """Shared encoder front half: color-convert, optionally subsample
+    chroma, MCU-pad. ``subsample``: falsy = 4:4:4, True/"420" = 4:2:0,
+    "422" = 4:2:2 (horizontal-only). Returns (h, w, padded planes,
+    samp, mcus_x, mcus_y)."""
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
     if gray:
@@ -592,12 +593,13 @@ def _prep_components(rgb: np.ndarray, subsample: bool):
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample:
-            pad_h, pad_w = -(-h // 2) * 2, -(-w // 2) * 2
-            def _pad(p):
-                return np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
-            cb = _pad(cb).reshape(pad_h // 2, 2, pad_w // 2, 2).mean(axis=(1, 3))
-            cr = _pad(cr).reshape(pad_h // 2, 2, pad_w // 2, 2).mean(axis=(1, 3))
-            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+            fy, fx = (1, 2) if subsample == "422" else (2, 2)
+            pad_h, pad_w = -(-h // fy) * fy, -(-w // fx) * fx
+            def _sub(p):
+                p = np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+                return p.reshape(pad_h // fy, fy, pad_w // fx, fx).mean(axis=(1, 3))
+            planes = [y, _sub(cb), _sub(cr)]
+            samp = [(fx, fy), (1, 1), (1, 1)]
         else:
             planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
     h_max = max(s[0] for s in samp)
