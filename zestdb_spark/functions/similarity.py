@@ -442,8 +442,9 @@ def ivf_train(
     over a bounded hash-sample (``init="fps"``, the default) or the
     ``n_centroids`` smallest vec_ids (``init="ids"`` — the legacy
     oracle-stable placeholder), then each round is one distributed
-    pass (scan-local assignment against the literal codebook →
-    per-(centroid, dim) mean via posexplode + groupBy) with only the
+    pass (scan-local assignment via ``ivf_assign`` — the Arrow kernel
+    by default → per-(centroid, dim) mean via posexplode + groupBy)
+    with only the
     m·dim codebook itself coming back to the driver — the canonical
     Spark iterative-ML shape (the data never moves; the model does).
     Returns codebook rows shaped like ``_ivf_centroids`` output
@@ -659,8 +660,9 @@ def semantic_dedup(
     cluster — never all-pairs (``embedding_dup_pairs`` is the guarded
     O(n²) baseline). At 100 TB, raise ``n_centroids`` ∝ corpus size
     (the paper uses ~100k clusters for LAION-scale) so per-cluster
-    membership stays ~constant; assignment itself is scan-local
-    against the literal codebook (zero shuffles) and the per-cluster
+    membership stays ~constant; assignment itself is one scan-local
+    pass (the Arrow kernel by default — plans at any codebook size,
+    zero shuffles) and the per-cluster
     self-join shuffles once on the small int key. A trained codebook
     (``ivf_train``) tightens clusters; the deterministic seeded
     codebook is the replayable default.
