@@ -455,3 +455,46 @@ def test_merge_update_batch_self_duplicates(spark, store):
         store.merge_table("m_dups", ambiguous, key_cols=("doc_id",))
     # the failed merge changed nothing
     assert store.load("m_dups").filter("doc_id = 7").first()["score"] == 7 * 1.5
+
+
+def test_schema_evolution_additive(spark, store):
+    """Delta-style mergeSchema: new nullable columns join the table
+    without rewriting a byte — old files read NULL for them, new
+    appends carry them, a fresh process sees the evolved schema, and
+    non-additive changes are refused."""
+    from pyspark.sql import types as T
+
+    store.create_table("evolving", _docs(spark, 0, 30), stats_cols=("doc_id",))
+    wider = spark.createDataFrame(
+        [(100 + i, i % 3, 1.0, f"en{i%2}") for i in range(10)],
+        "doc_id long, host long, score double, lang string",
+    )
+    # without merge_schema the drift is still refused
+    with pytest.raises(BadRequest, match="columns"):
+        store.append_table("evolving", wider)
+    store.append_table("evolving", wider, merge_schema=True)
+    out = store.load("evolving")
+    assert set(out.columns) == {"doc_id", "host", "score", "lang"}
+    assert out.count() == 40
+    assert out.filter("lang IS NULL").count() == 30  # old files: NULL
+    assert out.filter("lang IS NOT NULL").count() == 10
+    # narrower frames fill the missing column with NULL under the flag
+    store.append_table("evolving", _docs(spark, 200, 205), merge_schema=True)
+    assert store.load("evolving").filter("doc_id >= 200").count() == 5
+    # a fresh process discovers the evolved schema from the meta file
+    fresh = ZestStore(spark, store.root)
+    assert set(fresh.load("evolving").columns) == {"doc_id", "host", "score", "lang"}
+    # time travel reads v0 rows through the CURRENT schema (Delta's
+    # posture): old snapshot, NULL new columns
+    v0 = store.history("evolving")[-1].version
+    t0 = store.load("evolving", version=v0)
+    assert t0.count() == 30 and t0.filter("lang IS NULL").count() == 30
+    # non-additive evolution is refused loudly
+    with pytest.raises(BadRequest, match="already exists"):
+        store.evolve_table_schema(
+            "evolving", [T.StructField("score", T.StringType())]
+        )
+    with pytest.raises(BadRequest, match="reserved"):
+        store.evolve_table_schema(
+            "evolving", [T.StructField("zkey", T.LongType())]
+        )

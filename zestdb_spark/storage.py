@@ -460,15 +460,83 @@ class ZestStore:
             }
             self._commit(name, adds=adds, op="create")
 
-    def append_table(self, name: str, df: DataFrame) -> None:
+    def evolve_table_schema(self, name: str, new_fields) -> None:
+        """ADD COLUMNS for a generic table (Delta's additive schema
+        evolution): extend the persisted schema with NEW nullable
+        fields — never a drop, rename, or type change (those rewrite
+        history; additions don't: every already-written file simply
+        reads NULL for the new columns through the schema-pinned
+        scan). Runs under the rewrite lock so concurrent evolutions
+        serialize; the meta file lands atomically (tmp + rename), and
+        the in-memory registry updates only after it is durable."""
+        from pyspark.sql import types as T
+
+        if self._generic_entry(name) is None:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        with self._rewrite_lock(name):
+            # re-read under the lock: another process may have evolved
+            self._generic.pop(name, None)
+            entry = self._generic_entry(name)
+            schema = entry["schema"]
+            have = {f.name for f in schema.fields}
+            fields = list(schema.fields)
+            for nf in new_fields:
+                if not isinstance(nf, T.StructField):
+                    raise BadRequest(
+                        "evolve_table_schema: new_fields must be StructFields"
+                    )
+                if nf.name in have:
+                    raise BadRequest(
+                        f"evolve_table_schema({name!r}): column "
+                        f"{nf.name!r} already exists — only ADDITIVE "
+                        "evolution is supported"
+                    )
+                if nf.name in ("zkey", "_zest_file"):
+                    raise BadRequest(
+                        f"evolve_table_schema({name!r}): {nf.name!r} is "
+                        "a reserved working-column name"
+                    )
+                fields.append(T.StructField(nf.name, nf.dataType, True))
+                have.add(nf.name)
+            new_schema = T.StructType(fields)
+            meta_path = os.path.join(self._path(name), "_zest_meta.json")
+            meta = json.load(open(meta_path))
+            meta["schema"] = new_schema.jsonValue()
+            tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_meta, meta_path)
+            self._generic[name]["schema"] = new_schema
+
+    def append_table(
+        self, name: str, df: DataFrame, merge_schema: bool = False
+    ) -> None:
         """Lock-free append to a generic table (one atomic manifest
         commit; concurrent appends serialize through the CAS like
-        every other append in the store)."""
+        every other append in the store).
+
+        ``merge_schema=True`` (Delta's mergeSchema posture): columns in
+        ``df`` that the table lacks are first ADDED to the table schema
+        as nullable fields (``evolve_table_schema`` — one locked meta
+        update), and table columns ``df`` lacks are filled with NULL.
+        Old files read NULL for new columns; nothing is rewritten."""
         if self._generic_entry(name) is None:
             raise KeyError(f"{name!r} is not a generic manifested table")
         schema = self._generic[name]["schema"]
         want = set(f.name for f in schema.fields)
         got = set(df.columns)
+        if merge_schema and got - want:
+            from pyspark.sql import types as T
+
+            extras = [f for f in df.schema.fields if f.name not in want]
+            self.evolve_table_schema(name, extras)
+            schema = self._generic[name]["schema"]
+            want = set(f.name for f in schema.fields)
+        if merge_schema and want - got:
+            for f in schema.fields:
+                if f.name not in got:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            got = set(df.columns)
         if want != got:
             raise BadRequest(
                 f"append_table({name!r}): columns {sorted(got)} != "
