@@ -498,3 +498,86 @@ def test_schema_evolution_additive(spark, store):
         store.evolve_table_schema(
             "evolving", [T.StructField("zkey", T.LongType())]
         )
+
+
+def test_dml_after_schema_evolution(spark, store):
+    """MERGE and DELETE keep working on an evolved table: updates
+    carry the full current schema, hit detection and pruning operate
+    over the mixed old/new files."""
+    store.create_table("evolved_dml", _docs(spark, 0, 50), stats_cols=("doc_id",))
+    store.append_table(
+        "evolved_dml",
+        spark.createDataFrame(
+            [(100, 1, 5.0, "en")],
+            "doc_id long, host long, score double, lang string",
+        ),
+        merge_schema=True,
+    )
+    n = store.merge_table(
+        "evolved_dml",
+        spark.createDataFrame(
+            [(5, 9, -1.0, "de"), (100, 9, -2.0, "de")],
+            "doc_id long, host long, score double, lang string",
+        ),
+        key_cols=("doc_id",),
+    )
+    assert n >= 1
+    out = store.load("evolved_dml")
+    assert out.filter("doc_id = 5").first()["lang"] == "de"
+    assert out.filter("doc_id = 100").first()["score"] == -2.0
+    assert store.delete_table_rows("evolved_dml", "doc_id < 3") >= 1
+    assert store.load("evolved_dml").filter("doc_id < 3").count() == 0
+
+
+def test_predicate_pruner_soundness_properties():
+    """Property pins for the DELETE pruner:
+    (1) parser fidelity — for every parsed predicate, the term
+        conjunction evaluates identically to DuckDB evaluating the
+        predicate itself on random rows (catches flipped operands /
+        wrong op mapping);
+    (2) prune soundness — if _stats_may_match says False for a file,
+        NO value within [min, max] satisfies the terms."""
+    import duckdb
+    import random
+
+    rnd = random.Random(42)
+    con = duckdb.connect()
+    ops = ["<", "<=", ">", ">=", "="]
+
+    def apply_terms(terms, val):
+        for _, op, v in terms:
+            if op == "<" and not val < v:
+                return False
+            if op == "<=" and not val <= v:
+                return False
+            if op == ">" and not val > v:
+                return False
+            if op == ">=" and not val >= v:
+                return False
+            if op == "=" and not val == v:
+                return False
+        return True
+
+    for _ in range(200):
+        lit = rnd.randint(-50, 50)
+        op = rnd.choice(ops)
+        flipped = rnd.random() < 0.5
+        pred = f"{lit} {op} x" if flipped else f"x {op} {lit}"
+        if rnd.random() < 0.3:
+            lo, hi = sorted((rnd.randint(-50, 50), rnd.randint(-50, 50)))
+            pred = f"x BETWEEN {lo} AND {hi}"
+        terms = ZestStore._predicate_terms(pred)
+        assert terms is not None, pred
+        for _ in range(10):
+            val = rnd.randint(-60, 60)
+            duck = con.execute(
+                f"SELECT {pred} FROM (SELECT {val} AS x)"
+            ).fetchone()[0]
+            assert bool(duck) == apply_terms(terms, val), (pred, val)
+        # prune soundness on a random stats window
+        lo, hi = sorted((rnd.randint(-60, 60), rnd.randint(-60, 60)))
+        st = {"min": {"x": lo}, "max": {"x": hi}}
+        if not ZestStore._stats_may_match(st, terms):
+            for val in range(lo, hi + 1):
+                assert not apply_terms(terms, val), (pred, lo, hi, val)
+    con.close()
