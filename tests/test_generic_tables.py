@@ -581,3 +581,37 @@ def test_predicate_pruner_soundness_properties():
             for val in range(lo, hi + 1):
                 assert not apply_terms(terms, val), (pred, lo, hi, val)
     con.close()
+
+
+def test_evolution_can_extend_stats_cols(spark, store):
+    """New columns can opt into manifest stats at evolution time: files
+    written AFTER carry min/max for them (pruning input), files from
+    before simply have no entry — conservative by the existing
+    missing-stats contract."""
+    from pyspark.sql import types as T
+
+    store.create_table("ev_stats", _docs(spark, 0, 20), stats_cols=("doc_id",))
+    store.evolve_table_schema(
+        "ev_stats", [T.StructField("ts", T.LongType())], stats_cols=("ts",)
+    )
+    assert store._generic["ev_stats"]["stats_cols"] == ("doc_id", "ts")
+    store.append_table(
+        "ev_stats",
+        spark.createDataFrame(
+            [(100 + i, 0, 1.0, 5000 + i) for i in range(5)],
+            "doc_id long, host long, score double, ts long",
+        ),
+    )
+    snap = store._snapshot("ev_stats")
+    with_ts = [
+        s for s in snap.stats.values() if (s.get("min") or {}).get("ts") is not None
+    ]
+    assert with_ts and with_ts[0]["min"]["ts"] == 5000
+    # stats on a non-new column is a loud error
+    with pytest.raises(BadRequest, match="NEW columns"):
+        store.evolve_table_schema(
+            "ev_stats", [T.StructField("x", T.LongType())], stats_cols=("score",)
+        )
+    # fresh process sees the merged stats choice
+    fresh = ZestStore(spark, store.root)
+    assert fresh._generic_entry("ev_stats")["stats_cols"] == ("doc_id", "ts")

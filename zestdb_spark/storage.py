@@ -460,7 +460,9 @@ class ZestStore:
             }
             self._commit(name, adds=adds, op="create")
 
-    def evolve_table_schema(self, name: str, new_fields) -> None:
+    def evolve_table_schema(
+        self, name: str, new_fields, stats_cols=()
+    ) -> None:
         """ADD COLUMNS for a generic table (Delta's additive schema
         evolution): extend the persisted schema with NEW nullable
         fields — never a drop, rename, or type change (those rewrite
@@ -468,7 +470,13 @@ class ZestStore:
         reads NULL for the new columns through the schema-pinned
         scan). Runs under the rewrite lock so concurrent evolutions
         serialize; the meta file lands atomically (tmp + rename), and
-        the in-memory registry updates only after it is durable."""
+        the in-memory registry updates only after it is durable.
+
+        ``stats_cols`` opts a subset of the NEW columns into per-file
+        min/max manifest stats: files written from now on carry them
+        (merge/delete pruning, scan hints), while files written before
+        simply have no entry — which readers already treat as "could
+        match anything", so pruning stays conservative for history."""
         from pyspark.sql import types as T
 
         if self._generic_entry(name) is None:
@@ -498,15 +506,25 @@ class ZestStore:
                     )
                 fields.append(T.StructField(nf.name, nf.dataType, True))
                 have.add(nf.name)
+            new_names = {f.name for f in new_fields}
+            bad_stats = [c for c in stats_cols if c not in new_names]
+            if bad_stats:
+                raise BadRequest(
+                    f"evolve_table_schema({name!r}): stats_cols "
+                    f"{bad_stats} must be among the NEW columns"
+                )
             new_schema = T.StructType(fields)
             meta_path = os.path.join(self._path(name), "_zest_meta.json")
             meta = json.load(open(meta_path))
             meta["schema"] = new_schema.jsonValue()
+            merged_stats = tuple(meta.get("stats_cols", ())) + tuple(stats_cols)
+            meta["stats_cols"] = list(merged_stats)
             tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
             with open(tmp_meta, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp_meta, meta_path)
             self._generic[name]["schema"] = new_schema
+            self._generic[name]["stats_cols"] = merged_stats
 
     def append_table(
         self, name: str, df: DataFrame, merge_schema: bool = False
