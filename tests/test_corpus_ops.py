@@ -798,3 +798,38 @@ def test_unigram_fixed_vocab_is_tie_free_on_corpus():
         assert len(top) >= 1
         if len(top) > 1:
             assert top[0] != top[1], (w, top[:2])
+
+
+def test_unigram_encode_roundtrip_property(spark):
+    """Hypothesis-style roundtrip over arbitrary text (unicode,
+    multi-space runs, stray separator bytes): stripping the separators
+    always recovers the (separator-scrubbed) original, and every piece
+    is either a vocab member or a single covered-by-unk character."""
+    import random
+
+    from zestdb_spark.functions.corpus_ops import (
+        BPE_SEP,
+        unigram_encode,
+        unigram_train,
+    )
+
+    rnd = random.Random(11)
+    alphabet = "abcdeé中 ~!"
+    texts = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 40)))
+        for _ in range(30)
+    ]
+    texts.append(f"with{BPE_SEP}stray{BPE_SEP}separators")
+    texts.append("")
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vocab = unigram_train(df, vocab_size=32, max_piece_len=3)
+    rows = {r.doc_id: r for r in unigram_encode(df, vocab, max_piece_len=3).collect()}
+    for i, t in enumerate(texts):
+        scrubbed = t.replace(BPE_SEP, "")
+        assert rows[i].encoded.replace(BPE_SEP, "") == scrubbed, repr(t)
+        assert rows[i].n_pieces == rows[i].encoded.count(BPE_SEP)
+        for word in rows[i].encoded.split(" "):
+            for p in filter(None, word.split(BPE_SEP)):
+                assert p in vocab or len(p) == 1, (t, p)

@@ -615,3 +615,64 @@ def test_evolution_can_extend_stats_cols(spark, store):
     # fresh process sees the merged stats choice
     fresh = ZestStore(spark, store.root)
     assert fresh._generic_entry("ev_stats")["stats_cols"] == ("doc_id", "ts")
+
+
+def test_streaming_changes_across_schema_evolution(spark, store, tmp_path):
+    """The change-feed contract under evolution: a stream started
+    BEFORE the evolution keeps its original schema (Spark pins stream
+    schemas at start — the standard restart-to-pick-up-columns
+    posture) and keeps receiving post-evolution appends projected onto
+    it; a stream started AFTER sees the evolved schema."""
+    from zestdb_spark.sources import register
+
+    register(spark)
+    store.create_table("ev_stream", _docs(spark, 0, 10))
+    live = (
+        spark.readStream.format("zest_changes")
+        .option("root", os.path.join(store.root, "ev_stream"))
+        .load()
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("ev_old")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM ev_old").first()["n"] == 10
+        wider = spark.createDataFrame(
+            [(100, 0, 1.0, "en")],
+            "doc_id long, host long, score double, lang string",
+        )
+        store.append_table("ev_stream", wider, merge_schema=True)
+        q.processAllAvailable()
+        # pre-evolution stream: original columns, new rows still arrive
+        assert set(spark.table("ev_old").columns) == {"doc_id", "host", "score"}
+        assert spark.sql("SELECT count(*) n FROM ev_old").first()["n"] == 11
+    finally:
+        q.stop()
+    # a FRESH stream sees the evolved schema and full catch-up
+    live2 = (
+        spark.readStream.format("zest_changes")
+        .option("root", os.path.join(store.root, "ev_stream"))
+        .load()
+    )
+    q2 = (
+        live2.writeStream.format("memory")
+        .queryName("ev_new")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert set(spark.table("ev_new").columns) == {
+            "doc_id", "host", "score", "lang",
+        }
+        assert spark.sql(
+            "SELECT count(*) n FROM ev_new WHERE lang IS NOT NULL"
+        ).first()["n"] == 1
+    finally:
+        q2.stop()

@@ -107,11 +107,20 @@ def _generic_meta(root: str):
 
 
 class ZestChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, pinned_schema=None):
         self.root = options["root"]
         self.meta_json = _generic_meta(self.root)
         if self.meta_json is not None:
             self.table = "generic"
+            if pinned_schema is not None:
+                # the STREAM's schema is what Spark planned against at
+                # start — after an additive schema evolution the meta
+                # file grows, but a RUNNING stream must keep producing
+                # exactly its planned columns (restart the query to
+                # pick up new ones, the standard posture); re-reading
+                # the meta here would make this reader's batches drift
+                # from the pinned plan mid-stream
+                self.meta_json = pinned_schema.jsonValue()
             self.cols = tuple(f["name"] for f in self.meta_json["fields"])
         else:
             self.table = options.get("table", "ts_numeric")
@@ -233,7 +242,21 @@ class ZestChangesStreamReader(DataSourceStreamReader):
             canonical = pa.schema(
                 [pa.field(f.name, _spark_to_arrow_type(f.dataType)) for f in st.fields]
             )
-            table = pq.read_table(partition.path, columns=list(partition.cols))
+            # schema evolution tolerance: a pre-evolution file lacks
+            # the evolved columns — read what it has, null-fill the
+            # rest (the same NULL-for-new-columns contract the batch
+            # scan gives), and keep the canonical column order
+            have = set(pq.ParquetFile(partition.path).schema_arrow.names)
+            table = pq.read_table(
+                partition.path,
+                columns=[c for c in partition.cols if c in have],
+            )
+            for field in canonical:
+                if field.name not in table.column_names:
+                    table = table.append_column(
+                        field.name, pa.nulls(table.num_rows, field.type)
+                    )
+            table = table.select([f.name for f in canonical])
             return iter(table.cast(canonical).to_batches())
 
         _types = {
@@ -275,4 +298,4 @@ class ZestChangesDataSource(DataSource):
         return _LAYOUTS[table][1]
 
     def streamReader(self, schema) -> ZestChangesStreamReader:
-        return ZestChangesStreamReader(self.options)
+        return ZestChangesStreamReader(self.options, pinned_schema=schema)
