@@ -645,6 +645,81 @@ def _stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_sessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM-STATEFUL streaming tier (applyInPandasWithState —
+    streaming/stateful.py streaming_sessions) under the correctness
+    gate (VERDICT r10 #7): gap-based sessionization of the events
+    mapping driven as a stream, with the per-key open session carried
+    in the state store ACROSS two time-split micro-batches (file
+    mtimes pin the source order: all of batch 1's events precede all
+    of batch 2's, so cross-batch state carry-over is genuinely
+    exercised, not a single-batch degenerate run).
+
+    Finite-replay semantics make this exactly SQL-expressible: the
+    replay runs with ``idle_timeout=False`` (NoTimeout — a
+    ProcessingTimeTimeout query schedules timeout-check batches
+    forever, so an availableNow replay would never terminate), so a
+    session is emitted exactly when a LATER event closes it (gap
+    exceeded) and each series' final session stays open in the state
+    store. The oracle is therefore the batch sessionization (the
+    graded tmp_sessionize machinery, gap 600000 ms) MINUS each
+    series' last session."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from zestdb_spark.streaming.stateful import streaming_sessions
+
+    base = tempfile.mkdtemp(prefix="zest_ssess_")
+    data = fixtures.ts_numeric_from_events(spark, sf_dir).select(
+        "series_id", "timestamp"
+    )
+    row = data.agg(
+        F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+    ).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir)
+    # two event-time-disjoint files, mtime-ordered: the file source
+    # (latestFirst=false) replays oldest-mtime first, so every key's
+    # events arrive in timestamp order across micro-batches — the
+    # precondition for the state fold to equal the batch fold
+    splits = (
+        data.filter(F.col("timestamp") < mid),
+        data.filter(F.col("timestamp") >= mid),
+    )
+    for i, part in enumerate(splits):
+        stage = _os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = _os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        _os.utime(dst, (1_600_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    name = f"ssess_{uuid.uuid4().hex[:10]}"
+    q = (
+        streaming_sessions(stream, gap_ms=600000, idle_timeout=False)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_sessions_roundtrip: replay did not finish in 300s")
+    return spark.table(name).select(
+        "series_id", "session_start", "session_end", "n_events"
+    )
+
+
 def _stream_hll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch streaming contract under the correctness
     gate: HLL registers are a groupBy-max, so Spark maintains them
@@ -930,6 +1005,40 @@ _KV_SQL = {
              CAST(min(v) AS DOUBLE) AS min_value,
              CAST(max(v) AS DOUBLE) AS max_value
       FROM c GROUP BY 1, 2
+    """,
+    # custom-stateful streaming sessionization over a finite replay:
+    # every session CLOSED by a later event is emitted; each series'
+    # final session stays open in the state store (the processing-time
+    # idle timeout cannot fire inside a seconds-long replay), so the
+    # oracle is batch gap-sessionization minus each series' LAST
+    # session. Session membership depends only on timestamps, so the
+    # window needs no tie-break columns: equal timestamps always land
+    # in one session and min/max/count are order-free.
+    "stream_sessions_roundtrip": f"""
+      WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
+      brk AS (
+        SELECT series_id, "timestamp",
+               CASE WHEN "timestamp" - lag("timestamp") OVER (
+                        PARTITION BY series_id ORDER BY "timestamp" ASC
+                    ) > 600000 THEN 1 ELSE 0 END AS gap_break
+        FROM ts),
+      s AS (
+        SELECT series_id, "timestamp",
+               sum(gap_break) OVER (PARTITION BY series_id
+                   ORDER BY "timestamp" ASC
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk),
+      g AS (
+        SELECT series_id, sid,
+               min("timestamp") AS session_start,
+               max("timestamp") AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY series_id, sid)
+      SELECT series_id, session_start, session_end, n_events
+      FROM (SELECT g.*, row_number() OVER (
+                PARTITION BY series_id ORDER BY session_start DESC
+            ) AS rn FROM g) t
+      WHERE rn > 1
     """,
     # stream-stream interval join over a finite replay must equal the
     # plain batch closed-range join (inner joins emit on match; the
@@ -3746,8 +3855,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #                      exact-Jaccard oracle; family stays graded 3×
 #   dedup_hybrid     — composition of minhash (graded) + cosine (graded)
 #   text_token_count — n_tokens is a graded column of text_quality
-#   mm_features      — stub path; the REAL decode paths (mm_decode_wav/
-#                      image) stay graded
+#   mm_features      — stub path; a REAL decode path stays graded
+#                      (mm_decode_jpeg as of round 11; wav/image are
+#                      selfcheck-exact in the tail)
 # Their four slots grade the corpus_ops family (round-6 addition):
 # stratified sampling, mixture stats, tf-idf, decontamination.
 GRADED_WINDOW: list[str] = [
@@ -3844,8 +3954,17 @@ GRADED_WINDOW: list[str] = [
     # (sim_topk_pq: per-subspace argmax encode + driver-folded ADC
     # lookup scoring, the 32×-smaller 100 TB index shape) — carries
     # DIRECT driver evidence
+    # Round-11 swap: sim_topk_ivf demoted to the tail (its IVF
+    # machinery — kernel assignment, probe pruning, exact in-cell
+    # cosines — keeps driver evidence through graded dedup_semantic
+    # and sim_topk_pq's coarse stage; the row stays oracle-exact in
+    # selfcheck) so the round-10 production retrieval shape — the
+    # batch k-NN join over the COMPRESSED index (sim_knn_join_pq:
+    # one Arrow query pass builds probe cells + ADC LUTs, codegen
+    # element_at scoring over 8-byte codes, per-qid window top-k) —
+    # carries DIRECT driver evidence (VERDICT r10 #3)
     "dedup_exact", "dedup_minhash", "dedup_semantic",
-    "text_probe_score", "sim_topk_ivf", "sim_topk_pq",
+    "text_probe_score", "sim_knn_join_pq", "sim_topk_pq",
     # retrieval family graded via BM25 (tf_idf demoted to the tail —
     # same term-weighting family, BM25 is the member a user would run)
     "text_quality", "text_langid", "text_gopher", "text_winnow",
@@ -3860,7 +3979,13 @@ GRADED_WINDOW: list[str] = [
     # two-pass exact heavy hitters (Misra-Gries candidates in one
     # Arrow pass, AQE-decided recount, runtime-asserted exactness
     # floor) — carries DIRECT driver evidence
-    "mm_decode_wav", "sk_heavy_hitters",
+    # Round-11 swap: mm_decode_wav demoted to the tail (the WAV/RIFF
+    # decode family stays selfcheck-exact + pytest golden-pinned) so
+    # the round-10 flagship decoder — baseline/progressive JPEG, the
+    # DOMINANT crawl image format, pure numpy+stdlib T.81
+    # (mm_decode_jpeg) — carries DIRECT driver evidence (VERDICT r10
+    # #3)
+    "mm_decode_jpeg", "sk_heavy_hitters",
 ]
 
 
@@ -3888,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip
     out["stream_ingest_roundtrip"] = _stream_ingest_roundtrip
     out["stream_window_rollup"] = _stream_window_rollup
+    out["stream_sessions_roundtrip"] = _stream_sessions_roundtrip
     out["stream_hll_roundtrip"] = _stream_hll_roundtrip
     out["stream_interval_join"] = _stream_interval_join
     out["kv_del_roundtrip"] = _kv_del_roundtrip

@@ -200,6 +200,13 @@ def main() -> None:
         "unit": "sec",
         "queries": composite,
         "sf": sf,
+        # the headline numbers are per-query MINs across every observed
+        # cycle — say so IN the artifact (VERDICT r10 #9) so cross-round
+        # deltas are read as like-for-like: pass 0 runs each query
+        # twice back-to-back, later passes once each
+        "passes": n_passes,
+        "cycles": n_passes + 1,
+        "agg": "min",
     }
     if waited:
         result["settle_wait_s"] = waited

@@ -233,3 +233,41 @@ def test_knn_join_recall_floors(embs, truth):
     r_narrow = _batch_recall(16, 4, cb16)
     assert r_narrow >= 0.45, f"knn_join(16,4) recall@10 regressed: {r_narrow:.3f}"
     assert r_wide > r_narrow  # wider probes must buy recall
+
+
+def test_knn_join_pq_recall_floors(embs, truth):
+    """Pinned floors for the COMPRESSED batch path itself (VERDICT r10
+    #8) — independent of the per-query ivfpq equality pin, which could
+    in principle drift together with it. Same trained codebooks as
+    test_ivfpq_recall_floor (fps IVF 16 cells, fps PQ m=8); measured
+    on the hard fixture: ADC-only 0.320 at probe 8 and 0.290 at
+    probe 4 (pinned above 0.26 / 0.22), exact refine over the ADC
+    top-100 0.745 (pinned above 0.68). The refine must dominate
+    ADC-only — that ordering is the knob's contract."""
+    from pyspark.sql import functions as F
+
+    icb = similarity.ivf_train(embs, 16, iters=2)
+    pcb = similarity.pq_train(embs, m=8, n_codes=16, init="fps", iters=8)
+    codes = similarity.pq_encode(embs, pcb, ivf_codebook=icb).cache()
+    codes.count()
+    qs = embs.filter(F.col("vec_id").isin(QUERIES))
+
+    def _batch_recall(n_probe, rerank=0):
+        kw = dict(k=K, n_probe=n_probe)
+        if rerank:
+            kw.update(rerank=rerank, embs=embs)
+        got = {}
+        for r in similarity.knn_join_pq(codes, qs, pcb, icb, **kw).collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & truth[q]) / K for q in QUERIES) / len(
+            QUERIES
+        )
+
+    r_adc8 = _batch_recall(8)
+    assert r_adc8 >= 0.26, f"knn_join_pq adc(8) recall@10 regressed: {r_adc8:.3f}"
+    r_adc4 = _batch_recall(4)
+    assert r_adc4 >= 0.22, f"knn_join_pq adc(4) recall@10 regressed: {r_adc4:.3f}"
+    r_rr = _batch_recall(8, rerank=100)
+    assert r_rr >= 0.68, f"knn_join_pq rerank recall@10 regressed: {r_rr:.3f}"
+    assert r_rr > r_adc8  # exact refine must dominate ADC-only
+    codes.unpersist()

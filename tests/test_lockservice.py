@@ -260,3 +260,67 @@ def test_lease_loss_latches_and_blocks_commit(server, tmp_path):
     finally:
         coordination.set_coordinator(old)
     holder.remove(lock)
+
+
+def test_assert_held_scoped_to_acquiring_thread(server, tmp_path):
+    """ADVICE r10: a lost lease must abort only the CONTEXT that
+    acquired the mutex. A lock-free append committed from another
+    thread of the same process never staked anything on the lease (it
+    serializes through the publish CAS) and proceeds untouched."""
+    import threading
+
+    lock = str(tmp_path / "scoped.lock")
+    holder = ServiceCoordinator(server.addr, lease_s=0.4)
+    assert holder.try_acquire(lock)
+    with server.state.guard:  # service restart: the loss will latch
+        server.state.locks.clear()
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline:
+        if holder._tokens[lock][2].is_set():
+            break
+        time.sleep(0.05)
+    assert holder._tokens[lock][2].is_set(), "loss never latched"
+    # acquiring thread (this one): blocked at the commit boundary
+    with pytest.raises(coordination.LeaseLost):
+        holder.assert_held(lock)
+    # any OTHER thread of the same process: not blocked
+    errs: list[BaseException] = []
+
+    def other_thread_commit():
+        try:
+            holder.assert_held(lock)
+        except BaseException as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    t = threading.Thread(target=other_thread_commit)
+    t.start()
+    t.join()
+    assert not errs, f"unrelated thread was aborted: {errs}"
+    holder.remove(lock)
+
+
+def test_assert_held_distrusts_stale_lease_before_expiry(server, tmp_path):
+    """ADVICE r10: the commit boundary stops trusting a lease at a
+    MARGIN before server-side expiry — when the last successful renew
+    is older than the trust deadline — even though the heartbeat loop
+    is still retrying and the full-window loss latch has not fired.
+    Latching only at last_ok + lease_s left an RPC-latency window
+    where the server had expired and re-granted while assert_held
+    still passed."""
+    lock = str(tmp_path / "stale.lock")
+    holder = ServiceCoordinator(server.addr, lease_s=30.0)
+    assert holder.try_acquire(lock)
+    token, stop, lost, tid, last_ok = holder._tokens[lock]
+    assert holder._trust_deadline() < holder.lease_s
+    # fresh renew: trusted
+    holder.assert_held(lock)
+    # rewind the stamp to just inside the distrust margin — without
+    # latching loss (the heartbeat may yet recover; commits must not)
+    last_ok[0] = time.monotonic() - holder._trust_deadline() - 0.01
+    assert not lost.is_set()
+    with pytest.raises(coordination.LeaseLost, match="trust"):
+        holder.assert_held(lock)
+    # a successful renew restores trust automatically
+    last_ok[0] = time.monotonic()
+    holder.assert_held(lock)
+    holder.remove(lock)

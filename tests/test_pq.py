@@ -274,3 +274,16 @@ def test_knn_join_pq_matches_per_query_ivfpq(spark, embs):
         got = sorted(rb[qid], key=lambda t: (-t[1], t[0]))
         assert got == solo, qid
     codes.unpersist()
+
+
+def test_knn_join_pq_rejects_rerank_below_k():
+    """ADVICE r10: 0 < rerank < k silently capped the ADC candidate
+    pool below k, returning fewer than k neighbors per query — now a
+    loud ValueError before any Spark work."""
+    import pytest
+
+    from zestdb_spark.functions.similarity import knn_join_pq
+
+    with pytest.raises(ValueError, match="rerank=3 < k=10"):
+        # validation fires before either DataFrame is touched
+        knn_join_pq(None, None, {"m": 4}, [], k=10, rerank=3)

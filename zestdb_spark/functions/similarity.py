@@ -228,20 +228,19 @@ def _nearest_centroid(cents: list) -> Column:
     return -F.array_max(F.array(*opts)).getField("neg")
 
 
-#: Ceiling documentation for the literal-expression path: above this
-#: codebook size the Catalyst expression (one HOF fold per centroid)
-#: cannot realistically be planned at all — the ~100k-centroid
-#: codebooks SCALE.md recommends for crawl scale need the kernel.
-#: ``method="auto"`` now picks the Arrow kernel at EVERY size, not
-#: just above this: Spark's higher-order functions are CodegenFallback
-#: (interpreted), and the measured assignment cost at sf0.1 is 3-4×
-#: LOWER through the kernel even at m=16 (knn_join 4.3 s → 1.1 s,
-#: semantic_dedup 2.3 s → 0.7 s, ivf_topk 2.1 s → 0.6 s, steady-state
-#: min-of-3). Both paths are bit-identical (pinned row-for-row by
-#: tests/test_ivf_kernel.py), so the choice is purely cost; the
-#: literal path remains for pure-JVM deployments (``method=
-#: "literal"``) and as the oracle-replay reference.
-IVF_KERNEL_CENTROIDS = 256
+# IVF assignment dispatch (``_use_ivf_kernel``): ``method="auto"``
+# picks the Arrow kernel at EVERY codebook size — there is no size
+# threshold. Spark's higher-order functions are CodegenFallback
+# (interpreted), and the measured assignment cost at sf0.1 is 3-4×
+# LOWER through the kernel even at m=16 (knn_join 4.3 s → 1.1 s,
+# semantic_dedup 2.3 s → 0.7 s, ivf_topk 2.1 s → 0.6 s, steady-state
+# min-of-3); above a few hundred centroids the literal Catalyst
+# expression (one HOF fold per centroid) cannot realistically be
+# planned at all, so the ~100k-centroid codebooks SCALE.md recommends
+# for crawl scale REQUIRE the kernel. Both paths are bit-identical
+# (pinned row-for-row by tests/test_ivf_kernel.py), so the choice is
+# purely cost; the literal path remains for pure-JVM deployments
+# (``method="literal"``) and as the oracle-replay reference.
 
 
 def _cent_arrays(cents: list):
@@ -489,7 +488,15 @@ def ivf_train(
         for _ in range(iters):
             C = np.asarray([c["v"] for c in cents], dtype=np.float64)
             cn = np.asarray([c["norm"] for c in cents], dtype=np.float64)
-            a = np.argmax((U @ C.T) / cn[None, :], axis=1)
+            # same explicit per-dimension left fold as _cosines_to_cents
+            # — never a BLAS matmul, whose summation order (and thus
+            # the trained codebook, bitwise) can differ across BLAS
+            # builds/thread counts (ADVICE r10); elementwise += is
+            # IEEE-deterministic everywhere
+            cs = np.zeros((len(U), len(C)), dtype=np.float64)
+            for j in range(U.shape[1]):
+                cs += U[:, j : j + 1] * C[None, :, j]
+            a = np.argmax(cs / cn[None, :], axis=1)
             new_cents = []
             for ci, c in enumerate(cents):
                 members = X[a == ci]
@@ -545,11 +552,14 @@ def ivf_assign(
     probes become partition-pruned reads. Pass a trained ``codebook``
     (ivf_train) for tighter lists; default is the deterministic sample.
 
-    ``method``: ``"literal"`` = scan-local projection against the
-    inlined codebook (pure Catalyst, best at small m); ``"kernel"`` =
-    one Arrow ``mapInPandas`` pass with the codebook broadcast as
-    numpy (plans at ANY m — the ~100k-centroid crawl-scale regime);
-    ``"auto"`` switches at ``IVF_KERNEL_CENTROIDS``. Both are
+    ``method``: ``"kernel"`` = one Arrow ``mapInPandas`` pass with the
+    codebook broadcast as numpy (plans at ANY m — the ~100k-centroid
+    crawl-scale regime); ``"literal"`` = scan-local projection against
+    the inlined codebook (pure Catalyst — the opt-in for pure-JVM
+    deployments and oracle replay; HOF folds are CodegenFallback, so
+    it is SLOWER at every measured size and stops planning above a few
+    hundred centroids); ``"auto"`` = the kernel at every size (the
+    measured 3-4× win — see the dispatch note above). Both are
     bit-identical (tests/test_ivf_kernel.py). Zero-norm vectors have
     no direction and are dropped on BOTH paths (they would otherwise
     score NaN downstream, and Spark ranks NaN above every real
@@ -1406,6 +1416,13 @@ def knn_join_pq(
     (qid, vec_id, cosine) with ``rerank`` (requires ``embs``)."""
     from pyspark.sql import Window
 
+    if rerank and rerank < k:
+        raise ValueError(
+            f"knn_join_pq: rerank={rerank} < k={k} — the ADC candidate "
+            "pool is capped at rerank, so fewer than k neighbors per "
+            "query would survive; use rerank >= k (Jégou 2011's "
+            "short-list refinement always re-ranks a SUPERSET of k)"
+        )
     m = pq_codebook["m"]
     qp = queries.select("vec_id", "embedding").mapInPandas(
         _ivfpq_query_kernel(ivf_codebook, pq_codebook, n_probe),

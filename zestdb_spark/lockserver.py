@@ -167,7 +167,10 @@ class ServiceCoordinator:
         self.addr = (addr[0], int(addr[1]))
         self.lease_s = float(lease_s)
         # path -> (token, stop heartbeating, lease provably lost)
-        self._tokens: dict[str, tuple[str, threading.Event, threading.Event]] = {}
+        #: path -> (token, stop, lost-latch, acquiring thread ident)
+        self._tokens: dict[
+            str, tuple[str, threading.Event, threading.Event, int]
+        ] = {}
 
     @staticmethod
     def _name(path: str) -> str:
@@ -242,10 +245,20 @@ class ServiceCoordinator:
         # local backend's pid probe
         stop = threading.Event()
         lost = threading.Event()
+        # last_ok is a shared one-slot box: the renew loop stamps each
+        # successful renewal, and assert_held reads it to decide trust
+        # at the commit boundary (see _trust_deadline)
+        last_ok = [time.monotonic()]
         threading.Thread(
-            target=self._renew_loop, args=(path, token, stop, lost), daemon=True
+            target=self._renew_loop,
+            args=(path, token, stop, lost, last_ok),
+            daemon=True,
         ).start()
-        self._tokens[path] = (token, stop, lost)
+        # record the acquiring thread: assert_held scopes its abort to
+        # commits issued by THIS context — a lock-free CAS append from
+        # another thread of the same process never relied on the lease
+        # and must not be collateral damage of its loss (ADVICE r10)
+        self._tokens[path] = (token, stop, lost, threading.get_ident(), last_ok)
         return True
 
     def _renew_loop(
@@ -254,6 +267,7 @@ class ServiceCoordinator:
         token: str,
         stop: threading.Event,
         lost: threading.Event,
+        last_ok: list,
     ) -> None:
         """Heartbeat until released. A transient RPC failure (dropped
         connection, service restart mid-request) must NOT abandon the
@@ -262,32 +276,50 @@ class ServiceCoordinator:
         lost-update the lock exists to prevent (ADVICE r9). So: retry
         on a short interval until stop is set, a renew succeeds, or
         the lease is PROVABLY unprotected (no successful renew within
-        a full lease window — the server may have expired it), and in
-        that case latch ``lost`` so ``assert_held`` blocks the
-        holder's commit instead of letting it race the next owner."""
+        a full lease window — the server has certainly expired it),
+        and in that case latch ``lost`` permanently.
+
+        Liveness vs commit safety split deliberately (ADVICE r10): the
+        LOOP keeps the heartbeat alive through outages up to the full
+        window (abandoning at a margin would turn a survivable blip
+        into a lost lease), while ``assert_held`` stops TRUSTING the
+        lease at a margin BEFORE expiry, reading the shared ``last_ok``
+        stamp — so a commit can never slip through the RPC-latency
+        window where the server has already expired and re-granted the
+        lease but the client-side full-window latch hasn't fired."""
         interval = self.lease_s / 3.0
         retry = min(interval / 4.0, 0.25)
-        last_ok = time.monotonic()
         delay = interval
         while not stop.wait(delay):
+            if time.monotonic() - last_ok[0] >= self.lease_s:
+                lost.set()  # a full window without a renew: expired
+                return
             try:
                 resp = self._rpc(
                     f"RENEW {self._name(path)} {token} {self.lease_s}"
                 )
             except OSError:
-                if time.monotonic() - last_ok >= self.lease_s:
-                    lost.set()  # a full window without a renew: expired
-                    return
                 delay = retry
                 continue
             if resp == "OK":
-                last_ok = time.monotonic()
+                last_ok[0] = time.monotonic()
                 delay = interval
                 continue
             # the server answered and says this token no longer holds
             # the lease (expired and possibly re-granted) — definitive
             lost.set()
             return
+
+    def _trust_deadline(self) -> float:
+        """Seconds after the last successful renew beyond which a held
+        lease is no longer TRUSTED at a commit boundary: the lease
+        window minus one renewal interval and one retry interval of
+        RPC-latency headroom (floored at half the window, so tiny
+        leases keep a usable trust span). Always strictly before
+        server-side expiry at last_ok + lease_s."""
+        interval = self.lease_s / 3.0
+        retry = min(interval / 4.0, 0.25)
+        return max(self.lease_s - interval - retry, self.lease_s / 2.0)
 
     def assert_held(self, path: str) -> None:
         """Commit-boundary guard (see ``coordination.assert_lease``):
@@ -297,11 +329,26 @@ class ServiceCoordinator:
         from zestdb_spark import coordination
 
         held = self._tokens.get(path)
-        if held is not None and held[2].is_set():
+        if held is None:
+            return
+        _token, _stop, lost, owner_thread, last_ok = held
+        # scoped to the acquiring thread: only the context that took
+        # the mutex staked its commit on the lease; unrelated lock-free
+        # appends in the same process serialize through the publish
+        # CAS and proceed (ADVICE r10)
+        if owner_thread != threading.get_ident():
+            return
+        stale = time.monotonic() - last_ok[0] >= self._trust_deadline()
+        if lost.is_set() or stale:
+            why = (
+                "loss latched by the heartbeat"
+                if lost.is_set()
+                else "last successful renew is older than the trust margin"
+            )
             raise coordination.LeaseLost(
-                f"lease on {path} was lost while held (heartbeat could "
-                f"not renew within {self.lease_s}s); aborting before "
-                "commit — another writer may hold the lock"
+                f"lease on {path} cannot be trusted at the commit "
+                f"boundary ({why}; lease window {self.lease_s}s); "
+                "aborting before commit — another writer may hold the lock"
             )
 
     def holder(self, path: str) -> int:
@@ -319,7 +366,7 @@ class ServiceCoordinator:
     def remove(self, path: str) -> None:
         held = self._tokens.pop(path, None)
         if held is not None:
-            token, stop, _lost = held
+            token, stop = held[0], held[1]
             stop.set()
             with contextlib.suppress(OSError):
                 self._rpc(f"UNLOCK {self._name(path)} {token}")

@@ -52,6 +52,42 @@ from zestdb_spark.errors import BadRequest, StoreBusy
 #: ms per day — time_bucket = timestamp div this (daily partitions)
 _DAY_MS = 86_400_000
 
+
+def _type_widens(old, new) -> bool:
+    """Is ``old -> new`` a LOSSLESS type widening the parquet reader
+    performs natively (Delta/Iceberg's type-widening lattice, verified
+    against Spark 4.1's vectorized reader)? Allowed: the integral
+    chain byte < short < int < long, float -> double, and
+    byte/short/int -> double (every int32 is exact in a double).
+    Deliberately refused: long -> double (lossy above 2^53),
+    anything -> float, and every non-numeric change."""
+    from pyspark.sql import types as T
+
+    rank = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+    ro, rn = rank.get(type(old)), rank.get(type(new))
+    if ro is not None and rn is not None:
+        return ro < rn
+    if isinstance(new, T.DoubleType):
+        return isinstance(old, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType))
+    return False
+
+
+def _type_has_map(dt) -> bool:
+    """Does ``dt`` contain a MapType anywhere (top-level or nested in
+    a struct/array)? Spark forbids set operations — distinct, groupBy
+    keys, join keys — on such columns (maps have no equality), so the
+    DML paths that dedupe must detect them and fall back to a
+    serialized-row comparison."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _type_has_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_type_has_map(f.dataType) for f in dt.fields)
+    return False
+
 _TABLES = {
     "ts_numeric": S.TS_NUMERIC,
     "ts_blob": S.TS_BLOB,
@@ -494,10 +530,41 @@ class ZestStore:
                         "evolve_table_schema: new_fields must be StructFields"
                     )
                 if nf.name in have:
+                    # idempotent re-add: a long-lived writer with a
+                    # stale cached schema may race another writer that
+                    # already evolved the same column (ADVICE r10).
+                    # Same name + same type is a no-op under the locked
+                    # re-read.
+                    existing = next(f for f in fields if f.name == nf.name)
+                    if existing.dataType == nf.dataType:
+                        continue
+                    # type WIDENING (Delta's typeWidening / Iceberg
+                    # promotion, VERDICT r10 #6): a lossless numeric
+                    # promotion is a pure metadata change — every
+                    # already-written file reads through the pinned
+                    # wider schema natively (Spark 4.1's parquet reader
+                    # up-casts int32->int64, float->double, int->double
+                    # at scan time; pinned by tests), new appends cast
+                    # on write, manifest stats stay comparable. Nothing
+                    # is rewritten. Everything else still rewrites
+                    # history and is refused.
+                    if _type_widens(existing.dataType, nf.dataType):
+                        idx = next(
+                            i for i, f in enumerate(fields) if f.name == nf.name
+                        )
+                        fields[idx] = T.StructField(
+                            nf.name, nf.dataType, existing.nullable
+                        )
+                        continue
                     raise BadRequest(
                         f"evolve_table_schema({name!r}): column "
-                        f"{nf.name!r} already exists — only ADDITIVE "
-                        "evolution is supported"
+                        f"{nf.name!r} already exists with type "
+                        f"{existing.dataType.simpleString()}; "
+                        f"{nf.dataType.simpleString()} is not a "
+                        "lossless widening — only ADDITIVE evolution "
+                        "and numeric type WIDENING (byte<short<int<"
+                        "long, float->double, byte/short/int->double) "
+                        "are supported"
                     )
                 if nf.name in ("zkey", "_zest_file"):
                     raise BadRequest(
@@ -517,7 +584,13 @@ class ZestStore:
             meta_path = os.path.join(self._path(name), "_zest_meta.json")
             meta = json.load(open(meta_path))
             meta["schema"] = new_schema.jsonValue()
-            merged_stats = tuple(meta.get("stats_cols", ())) + tuple(stats_cols)
+            # order-preserving dedupe: a no-op re-add may request a
+            # stats opt-in the racing writer already recorded
+            merged_stats = tuple(
+                dict.fromkeys(
+                    tuple(meta.get("stats_cols", ())) + tuple(stats_cols)
+                )
+            )
             meta["stats_cols"] = list(merged_stats)
             tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
             with open(tmp_meta, "w") as f:
@@ -610,7 +683,31 @@ class ZestStore:
         # "multiple source rows matched" contract — silently picking a
         # winner would make the result depend on partition order. Both
         # checks are batch-sized jobs, never table-sized.
-        updates = updates.distinct().persist()
+        #
+        # Spark forbids set operations (distinct/groupBy/join keys) on
+        # MapType columns, including maps nested in structs/arrays. A
+        # schema containing maps dedupes by a serialized row image
+        # instead: to_json(struct(*)) is stable for identical rows (a
+        # re-sent row serializes identically), and two logically-equal
+        # maps that differ only in physical key order conservatively
+        # stay distinct — they then trip the ambiguity check below
+        # rather than silently collapsing. Keys themselves may never be
+        # map-typed (no equality), checked up front.
+        if any(_type_has_map(schema[k].dataType) for k in key_cols):
+            raise BadRequest(
+                f"merge_table({name!r}): key_cols may not be (or "
+                "contain) map-typed columns — maps have no equality"
+            )
+        if any(_type_has_map(f.dataType) for f in schema.fields):
+            row_img = F.to_json(F.struct(*[F.col(c) for c in names]))
+            updates = (
+                updates.withColumn("__zest_row_img", row_img)
+                .dropDuplicates(["__zest_row_img"])
+                .drop("__zest_row_img")
+                .persist()
+            )
+        else:
+            updates = updates.distinct().persist()
         try:
             dup = (
                 updates.groupBy(*key_cols)

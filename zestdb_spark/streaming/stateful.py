@@ -86,9 +86,12 @@ SESSION_OUTPUT = (
 SESSION_STATE = "start long, end long, n long"
 
 
-def _update_sessions(gap_ms: int):
+def _update_sessions(gap_ms: int, idle_timeout: bool = True):
     """Build the per-key session updater for ``gap_ms`` (module-level
-    factory so the closure pickles cleanly to executors)."""
+    factory so the closure pickles cleanly to executors).
+    ``idle_timeout=False`` skips the processing-time timeout
+    registration — required under ``timeoutConf="NoTimeout"``, where
+    ``setTimeoutDuration`` raises."""
 
     def update(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: Any):
         import pandas as _pd
@@ -128,7 +131,8 @@ def _update_sessions(gap_ms: int):
             # gap of PROCESSING time (event-time watermark closure is
             # the windowed-rollup tier's job; this is the low-latency
             # "user went idle" semantics)
-            state.setTimeoutDuration(gap_ms)
+            if idle_timeout:
+                state.setTimeoutDuration(gap_ms)
         yield _pd.DataFrame(
             out, columns=["series_id", "session_start", "session_end", "n_events"]
         )
@@ -136,7 +140,9 @@ def _update_sessions(gap_ms: int):
     return update
 
 
-def streaming_sessions(stream_df, gap_ms: int = 30 * 60 * 1000):
+def streaming_sessions(
+    stream_df, gap_ms: int = 30 * 60 * 1000, idle_timeout: bool = True
+):
     """Streaming sessionization with idle-timeout closure — the
     canonical custom-stateful-operator shape Spark itself only offers
     through ``(flatMap)GroupsWithState``: events for a key extend the
@@ -146,11 +152,22 @@ def streaming_sessions(stream_df, gap_ms: int = 30 * 60 * 1000):
     the state timeout. The batch operator ``temporal.sessionize``
     computes the same windows over completed data; this is its
     incremental face, state ∝ open sessions (one tuple per active
-    key), exactly what survives on a 1000-executor state store."""
+    key), exactly what survives on a 1000-executor state store.
+
+    ``idle_timeout=False`` disables the processing-time closure
+    (``timeoutConf="NoTimeout"``): sessions then close ONLY when a
+    later event arrives past the gap. That is the FINITE-REPLAY mode —
+    a ProcessingTimeTimeout query keeps scheduling timeout-check
+    batches forever, so ``trigger(availableNow=True)`` never
+    terminates under it; with no timeouts the replay drains and stops,
+    and the emitted rows are exactly the batch sessionization minus
+    each key's final (still-open) session — the oracle-checkable
+    contract the graded stream_sessions_roundtrip row uses."""
+    timeout = "ProcessingTimeTimeout" if idle_timeout else "NoTimeout"
     return stream_df.groupBy("series_id").applyInPandasWithState(
-        _update_sessions(int(gap_ms)),
+        _update_sessions(int(gap_ms), idle_timeout=bool(idle_timeout)),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf=timeout,
     )
