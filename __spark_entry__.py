@@ -1620,6 +1620,20 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": lambda s, d: multimodal.decode_features(
             multimodal.resize_images(multimodal.synth_image_assets(s, d), 8, 4)
         ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        # container-METADATA tier (round 11): real MPEG1-L3 frame walk
+        # / ISO BMFF box walk over synthesized valid containers —
+        # sample decode for these formats stays typed-unsupported, but
+        # the fields a 100 TB pipeline filters/samples on are parsed
+        # for real and closed-form in doc_id
+        "mm_decode_mp3": lambda s, d: multimodal.decode_features(
+            multimodal.synth_mp3_assets(s, d)
+        ).select(
+            "asset_id", "sample_rate", "n_channels", "n_samples",
+            "duration_ms", "n_frames", "bitrate_kbps",
+        ),
+        "mm_decode_mp4": lambda s, d: multimodal.decode_features(
+            multimodal.synth_mp4_assets(s, d)
+        ).select("asset_id", "width", "height", "duration_ms", "n_tracks"),
         # corpus-level training-data ops (functions/corpus_ops.py):
         # hash-deterministic split/sampling (never rand()), mixture
         # stats, benchmark decontamination, vocab/tf-idf, int8
@@ -2950,6 +2964,32 @@ _EXT_SQL: dict[str, str] = {
              CAST(doc_id % 256 AS DOUBLE) AS mean_r,
              CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
              CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+      FROM documents
+    """,
+    # synth_mp3_assets: (d%30+1) MPEG1-L3 frames at 128k/44100, mono
+    # when d odd; 1152 samples per frame, floor-ms duration — every
+    # field the frame-header walk parses is closed-form in doc_id
+    "mm_decode_mp3": """
+      SELECT doc_id AS asset_id,
+             CAST(44100 AS INTEGER) AS sample_rate,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
+               AS n_channels,
+             ((doc_id % 30) + 1) * 1152 AS n_samples,
+             (((doc_id % 30) + 1) * 1152 * 1000) // 44100 AS duration_ms,
+             (doc_id % 30) + 1 AS n_frames,
+             CAST(128 AS INTEGER) AS bitrate_kbps
+      FROM documents
+    """,
+    # synth_mp4_assets: mvhd duration (d%60+1)*500 ms at timescale
+    # 1000, one (d%16+1)*16 × (d%8+1)*16 video track, +1 audio track
+    # when d%3=0 — the box walk's fields are closed-form in doc_id
+    "mm_decode_mp4": """
+      SELECT doc_id AS asset_id,
+             CAST(((doc_id % 16) + 1) * 16 AS INTEGER) AS width,
+             CAST(((doc_id % 8) + 1) * 16 AS INTEGER) AS height,
+             ((doc_id % 60) + 1) * 500 AS duration_ms,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+               AS n_tracks
       FROM documents
     """,
     # ------------------------------------------------ corpus_ops family

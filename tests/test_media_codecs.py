@@ -211,3 +211,101 @@ def test_decode_features_operator(spark):
     assert got[2].kind == "image" and (got[2].width, got[2].height) == (2, 2)
     assert got[2].mean_b == 3.0 and got[2].sample_rate is None
     assert got[3].kind == "unsupported" and got[3].width is None
+
+
+# --------------------------------------------- MP3/MP4 container metadata
+
+
+def test_mp3_frame_walk_golden():
+    """Frame-header walk (ISO/IEC 11172-3): exact frame count, sample
+    math, duration, and channel mode from the headers alone."""
+    p = mc.encode_mp3_frames(5, kbps=128, sample_rate=44100, mono=False)
+    got = mc.parse_mp3(p)
+    assert got == {
+        "kind": "audio",
+        "sample_rate": 44100,
+        "n_channels": 2,
+        "n_samples": 5 * 1152,
+        "duration_ms": 5 * 1152 * 1000 // 44100,
+        "n_frames": 5,
+        "bitrate_kbps": 128,
+    }
+    # frame byte length must match the spec formula (floor(144*br/sr))
+    assert len(p) == 5 * (144 * 128000 // 44100)
+
+
+def test_mp3_id3_skip_trailing_junk_and_vbr():
+    # ID3v2 prefix (synchsafe size) is skipped; ID3v1/junk tail ends
+    # the walk after complete frames
+    p = mc.encode_mp3_frames(4, mono=True, id3_pad=117) + b"TAG" + b"\x01" * 30
+    got = mc.parse_mp3(p)
+    assert (got["n_frames"], got["n_channels"]) == (4, 1)
+    # VBR: per-frame bitrates differ, duration stays exact, mean kbps
+    p = mc.encode_mp3_frames(2, kbps=128) + mc.encode_mp3_frames(2, kbps=64)
+    got = mc.parse_mp3(p)
+    assert got["n_frames"] == 4 and got["n_samples"] == 4 * 1152
+    assert got["bitrate_kbps"] == 96
+    # truncated final frame counts only complete frames
+    whole = mc.encode_mp3_frames(3)
+    got = mc.parse_mp3(whole[: len(whole) - 10])
+    assert got["n_frames"] == 2
+
+
+def test_mp3_malformed_is_typed():
+    for bad in (
+        b"\xff\xe6\x00\x00",          # reserved layer bits
+        b"\xff\xfb\xf0\x00",          # bitrate index 15
+        b"\xff\xfb\x9c\x00",          # reserved sample-rate index
+        b"ID3\x03\x00\x00\x00\x00\x00\xff",  # non-synchsafe ID3 size
+        mc.encode_mp3_frames(1)[:3],  # no complete frame
+    ):
+        with pytest.raises(mc.UnsupportedMedia):
+            mc.parse_mp3(bad)
+    # sample-rate change mid-stream is refused, not mis-summed
+    p = mc.encode_mp3_frames(1, sample_rate=44100) + mc.encode_mp3_frames(
+        1, sample_rate=32000
+    )
+    with pytest.raises(mc.UnsupportedMedia, match="mid-stream"):
+        mc.parse_mp3(p)
+
+
+def test_mp4_box_walk_golden():
+    p = mc.encode_mp4_meta(12500, tracks=(("vide", 320, 240), ("soun", None, None)))
+    assert mc.parse_mp4(p) == {
+        "kind": "video",
+        "duration_ms": 12500,
+        "n_tracks": 2,
+        "width": 320,
+        "height": 240,
+    }
+    # audio-only: no dimensions, still a valid container
+    got = mc.parse_mp4(mc.encode_mp4_meta(800, tracks=(("soun", None, None),)))
+    assert got == {"kind": "video", "duration_ms": 800, "n_tracks": 1}
+
+
+def test_mp4_largesize_and_malformed():
+    import struct as _s
+
+    p = mc.encode_mp4_meta(1000)
+    # rewrite the moov box as a 64-bit largesize box: same parse
+    ftyp_len = _s.unpack_from(">I", p, 0)[0]
+    moov = p[ftyp_len:]
+    size32 = _s.unpack_from(">I", moov, 0)[0]
+    big = _s.pack(">I", 1) + b"moov" + _s.pack(">Q", size32 + 8) + moov[8:]
+    assert mc.parse_mp4(p[:ftyp_len] + big)["duration_ms"] == 1000
+    # overrunning box size is refused loudly
+    broken = p[:ftyp_len] + _s.pack(">I", len(moov) + 99) + moov[4:]
+    with pytest.raises(mc.UnsupportedMedia, match="overruns"):
+        mc.parse_mp4(broken)
+    with pytest.raises(mc.UnsupportedMedia, match="ftyp"):
+        mc.parse_mp4(b"\x00" * 16)
+    # the metadata tier never pretends to decode samples/pixels
+    with pytest.raises(mc.UnsupportedMedia):
+        mc.decode_pixels(p)
+
+
+def test_decode_media_dispatches_containers():
+    a = mc.decode_media(mc.encode_mp3_frames(2), "audio/mpeg")
+    v = mc.decode_media(mc.encode_mp4_meta(500), None)
+    assert a["kind"] == "audio" and a["n_frames"] == 2
+    assert v["kind"] == "video" and v["duration_ms"] == 500

@@ -82,7 +82,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
 DECODED_SCHEMA = (
     "asset_id long, kind string, width int, height int, "
     "sample_rate int, n_channels int, n_samples long, duration_ms long, "
-    "peak double, rms double, mean_r double, mean_g double, mean_b double"
+    "peak double, rms double, mean_r double, mean_g double, mean_b double, "
+    # container-metadata tier (round 11): MP3 frame walk / MP4 box walk
+    # fill these; sample-level stats stay NULL for them by design
+    "n_frames long, bitrate_kbps int, n_tracks int"
 )
 
 _DECODED_COLS = [f.split()[0] for f in DECODED_SCHEMA.split(", ")]
@@ -207,6 +210,74 @@ def synth_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/jpeg",
+                }
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
+
+
+def synth_mp3_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real-MP3 corpus for the container-METADATA tier:
+    doc_id ``d`` becomes an MPEG1 Layer III stream of ``d%30+1``
+    frames at 128 kbps / 44.1 kHz, mono when d is odd, with an ID3v2
+    tag of ``d%11`` padding bytes prepended when d%2==0 (exercising
+    the synchsafe skip). Every parsed field is closed-form in doc_id;
+    sample-level stats are NULL by design (no codec libs — see
+    media_codecs module docstring)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zestdb_spark.functions.media_codecs import encode_mp3_frames
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    encode_mp3_frames(
+                        d % 30 + 1,
+                        mono=bool(d % 2),
+                        id3_pad=(d % 11) if d % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/mpeg",
+                }
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
+
+
+def synth_mp4_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real-MP4 corpus for the container-METADATA tier:
+    doc_id ``d`` becomes an ISO BMFF skeleton with movie duration
+    ``(d%60+1)*500`` ms (timescale 1000), one video track of
+    ``(d%16+1)*16 × (d%8+1)*16``, plus an audio track when d%3==0.
+    Parsed duration/track-count/dimensions are closed-form in doc_id;
+    pixel decode stays typed-unsupported."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zestdb_spark.functions.media_codecs import encode_mp4_meta
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tracks = [("vide", (d % 16 + 1) * 16, (d % 8 + 1) * 16)]
+                if d % 3 == 0:
+                    tracks.append(("soun", None, None))
+                payloads.append(encode_mp4_meta((d % 60 + 1) * 500, tracks))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/mp4",
                 }
             )
 
