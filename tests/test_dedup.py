@@ -167,3 +167,51 @@ def test_keep_canonical_refuses_non_integral_ids(spark):
     clusters = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
     with _pt.raises(TypeError, match="integral id"):
         dedup.keep_canonical(docs, clusters)
+
+
+def test_cross_lsh_self_mode_materializes_one_verify_side(spark):
+    """Self-dedup through the cross API (VERDICT r10 #2 follow-up):
+    when both sides ARE the same DataFrame, the banded signatures AND
+    the verify-side shingle arrays each materialize once — 3 persisted
+    frames total (banded, candidates, shared arr) vs 5 in true cross
+    mode — while answers stay identical to the two-sided build."""
+    from zestdb_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog now"),
+            (2, "completely unrelated text right here goes this way"),
+        ],
+        "doc_id long, text string",
+    )
+    def _drain_registry():
+        # the registry is global and CAPPED (eviction pops old frames
+        # as new ones append), so a len delta only counts new frames
+        # from a cold registry
+        while dd._PERSISTED:
+            try:
+                dd._PERSISTED.pop().unpersist()
+            except Exception:
+                pass
+
+    _drain_registry()
+    self_rows = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in dd.cross_lsh_pairs(docs, docs, k=3, threshold=0.5).collect()
+    }
+    self_persisted = len(dd._PERSISTED)
+    assert self_persisted == 3, f"self mode persisted {self_persisted} frames"
+    # a distinct-but-equal frame takes the true cross path (5 frames)
+    clone = spark.createDataFrame(
+        docs.collect(), "doc_id long, text string"
+    )
+    _drain_registry()
+    cross_rows = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in dd.cross_lsh_pairs(docs, clone, k=3, threshold=0.5).collect()
+    }
+    assert len(dd._PERSISTED) == 5
+    assert self_rows == cross_rows  # the fast path changes cost, not answers
+    assert (0, 0, 1.0) in self_rows  # every doc meets itself exactly
+    assert any(a == 0 and b == 1 for a, b, _ in self_rows)  # the near-dup

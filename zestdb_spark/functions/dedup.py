@@ -467,18 +467,38 @@ def cross_lsh_pairs(
     # duplicate rate, so the size decision belongs to AQE (candidates
     # is persisted — stats are exact), not a forced hint that OOMs on
     # a duplicate-heavy crawl.
-    new_arr = _persist_bounded(
-        new_docs.join(
-            candidates.select(F.col("new_id").alias("doc_id")).distinct(),
-            "doc_id", "left_semi",
-        ).select(F.col("doc_id").alias("new_id"), _shingle_array(k).alias("sa"))
-    )
-    ref_arr = _persist_bounded(
-        ref_docs.join(
-            candidates.select(F.col("ref_id").alias("doc_id")).distinct(),
-            "doc_id", "left_semi",
-        ).select(F.col("doc_id").alias("ref_id"), _shingle_array(k).alias("sb"))
-    )
+    if ref_docs is new_docs:
+        # self-dedup through the cross API (round 11): ONE candidate-id
+        # semi-join + ONE shingle materialization serves both verify
+        # sides — the two-sided build below would scan and shingle the
+        # same corpus twice for identical rows
+        ids = (
+            candidates.select(F.col("new_id").alias("doc_id"))
+            .union(candidates.select(F.col("ref_id").alias("doc_id")))
+            .distinct()
+        )
+        arr = _persist_bounded(
+            new_docs.join(ids, "doc_id", "left_semi").select(
+                "doc_id", _shingle_array(k).alias("sa")
+            )
+        )
+        new_arr = arr.select(F.col("doc_id").alias("new_id"), "sa")
+        ref_arr = arr.select(
+            F.col("doc_id").alias("ref_id"), F.col("sa").alias("sb")
+        )
+    else:
+        new_arr = _persist_bounded(
+            new_docs.join(
+                candidates.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id", "left_semi",
+            ).select(F.col("doc_id").alias("new_id"), _shingle_array(k).alias("sa"))
+        )
+        ref_arr = _persist_bounded(
+            ref_docs.join(
+                candidates.select(F.col("ref_id").alias("doc_id")).distinct(),
+                "doc_id", "left_semi",
+            ).select(F.col("doc_id").alias("ref_id"), _shingle_array(k).alias("sb"))
+        )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     return (
         candidates.join(new_arr, "new_id")
