@@ -1,0 +1,172 @@
+"""Deterministic sf1 fixture generator — a 10x scale-up of the
+driver's read-only sf0.1 testdata, for the sf>=1 performance evidence
+VERDICT r10 #1 asked for (every perf claim above 2x rested on the
+sf0.1 floor-domination argument; this buys a reading where data cost
+dominates the per-query scheduling floor).
+
+Design: COPY SEMANTICS chosen so each measured operator scales the way
+a real 10x corpus would —
+
+- ``documents``: 10 copies; copy c > 0 suffixes EVERY whitespace token
+  with ``q{c}``. Token-level suffixing is position-independent, so
+  WITHIN a copy every pairwise shingle-Jaccard is exactly the
+  original's (dup structure per copy preserved), while ACROSS copies
+  shingle overlap is zero (no artificial 100x near-dup blowup: pair
+  output is exactly 10x sf0.1's). n_chars is recomputed from the new
+  text.
+- ``embeddings``: copy c rolls each vector by c dimensions (np.roll —
+  an orthogonal permutation: norms and within-copy cosines preserved
+  EXACTLY, cross-copy cosines scatter like unrelated vectors on this
+  near-isotropic fixture). vec_id offset per copy.
+- ``lineitem``/``orders``: fact tables 10x with ``*_orderkey`` offset
+  per copy (the fact-fact join key stays consistent); dimension keys
+  (partkey/suppkey/custkey) UNCHANGED — the star-schema posture where
+  facts grow and dims don't, so e.g. distinct-partkey cardinality
+  stays while scan volume 10xes.
+- ``events``: 10 copies, event_id offset, ts jittered +c ms (no 10-way
+  timestamp ties), user_id UNCHANGED (the %5 tag pattern and per-user
+  event growth are preserved).
+- dimension tables (region nation customer supplier part): copied
+  verbatim.
+
+Everything is pure pyarrow+numpy (no Spark, no RNG — all perturbations
+are closed-form in (row key, copy)). Output dir default
+/tmp/zest_sf1; regenerate any time with:
+
+    python scripts/gen_sf.py [out_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+KEY_OFFSET = 10_000_000
+
+
+def _copies_concat(tables: list[pa.Table]) -> pa.Table:
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def _with_cols(t: pa.Table, **cols) -> pa.Table:
+    for name, arr in cols.items():
+        t = t.set_column(t.schema.get_field_index(name), name, arr)
+    return t
+
+
+def gen_documents(src: pa.Table, copies: int) -> pa.Table:
+    texts = src.column("text").to_pylist()
+    out = [src]
+    for c in range(1, copies):
+        suf = f"q{c}"
+        new_texts = [
+            " ".join(tok + suf for tok in txt.split(" ")) for txt in texts
+        ]
+        out.append(
+            _with_cols(
+                src,
+                doc_id=pc.add(src.column("doc_id"), c * KEY_OFFSET),
+                text=pa.array(new_texts, pa.string()),
+                n_chars=pa.array(
+                    [len(t) for t in new_texts], pa.int64()
+                ),
+            )
+        )
+    return _copies_concat(out)
+
+
+def gen_embeddings(src: pa.Table, copies: int) -> pa.Table:
+    vecs = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
+    out = [src]
+    for c in range(1, copies):
+        rolled = np.roll(vecs, c, axis=1)
+        out.append(
+            _with_cols(
+                src,
+                vec_id=pc.add(src.column("vec_id"), c * KEY_OFFSET),
+                embedding=pa.array(
+                    [row for row in rolled.tolist()],
+                    pa.list_(pa.float32()),
+                ),
+            )
+        )
+    return _copies_concat(out)
+
+
+def gen_lineitem(src: pa.Table, copies: int) -> pa.Table:
+    out = [src]
+    for c in range(1, copies):
+        out.append(
+            _with_cols(
+                src, l_orderkey=pc.add(src.column("l_orderkey"), c * KEY_OFFSET)
+            )
+        )
+    return _copies_concat(out)
+
+
+def gen_orders(src: pa.Table, copies: int) -> pa.Table:
+    out = [src]
+    for c in range(1, copies):
+        out.append(
+            _with_cols(
+                src, o_orderkey=pc.add(src.column("o_orderkey"), c * KEY_OFFSET)
+            )
+        )
+    return _copies_concat(out)
+
+
+def gen_events(src: pa.Table, copies: int) -> pa.Table:
+    ts = src.column("ts")
+    unit = ts.type.unit  # timestamp[us] in current testdata
+    per_ms = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+    if per_ms is None:
+        raise SystemExit("second-resolution events.ts cannot take a ms jitter")
+    raw = ts.cast(pa.int64())
+    out = [src]
+    for c in range(1, copies):
+        out.append(
+            _with_cols(
+                src,
+                event_id=pc.add(src.column("event_id"), c * KEY_OFFSET),
+                ts=pc.add(raw, c * per_ms).cast(pa.timestamp(unit)),
+            )
+        )
+    return _copies_concat(out)
+
+
+_GENERATORS = {
+    "documents": gen_documents,
+    "embeddings": gen_embeddings,
+    "lineitem": gen_lineitem,
+    "orders": gen_orders,
+    "events": gen_events,
+}
+
+_VERBATIM = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/zest_sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out_dir, exist_ok=True)
+    for name in _VERBATIM:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(src, f"{out_dir}/{name}.parquet")
+        print(f"{name}: {src.num_rows} rows (verbatim)")
+    for name, gen in _GENERATORS.items():
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        big = gen(src, copies)
+        # row groups sized like the source so Spark's split planning
+        # sees comparable granularity per byte
+        pq.write_table(big, f"{out_dir}/{name}.parquet", row_group_size=1 << 20)
+        print(f"{name}: {src.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -648,6 +648,59 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def _semdedup_dropped_kernel(tau: float):
+    """Per-cell Arrow kernel for SemDeDup's within-cluster pair scan:
+    given one cluster's (vec_id, v, norm) rows, emit the vec_ids that
+    have a SMALLER-id neighbor at q6(cosine) >= tau. Bit-identical to
+    the literal pair-join path: cosines accumulate with the same
+    per-dimension left fold as every other kernel in this file (never
+    BLAS), then the same floor-1e-6 quantization and >= comparison.
+
+    Why a kernel (round 11, measured at the sf1 probe): the literal
+    path materializes every in-cell pair through a join and scores it
+    with a higher-order fold — CodegenFallback, interpreted, ~3-6 us
+    per PAIR, and pair count is quadratic in cell size. At 20k vectors
+    over 16 cells (~12.5M pairs) that was 81 s; this kernel does the
+    same arithmetic as blocked numpy outer products in ~2 s. Row
+    blocks bound memory to ~256 MB regardless of cell size; the
+    O(cell^2) work itself is SemDeDup's contract — raise n_centroids
+    with the corpus to bound cells (SCALE.md)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]], dtype=np.float64
+        )[order]
+        norms = pdf["norm"].to_numpy(dtype=np.float64)[order]
+        dim = V.shape[1]
+        dropped = np.zeros(n, dtype=bool)
+        block = max(1, min(n, (1 << 25) // n))  # ~256 MB of doubles
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            cs = np.zeros((i1 - i0, n), dtype=np.float64)
+            for j in range(dim):  # left fold over dims — never np.dot
+                cs += V[i0:i1, j : j + 1] * V[None, :, j]
+            cs /= norms[i0:i1, None] * norms[None, :]
+            hit = np.floor(cs * 1e6) / 1e6 >= tau
+            for r in range(i1 - i0):
+                gi = i0 + r
+                if gi + 1 < n:
+                    dropped[gi + 1 :] |= hit[r, gi + 1 :]
+        if not dropped.any():
+            return empty
+        return pd.DataFrame({"vec_id": ids[dropped].astype("int64")})
+
+    return fn
+
+
 def semantic_dedup(
     embs: DataFrame,
     tau: float = 0.95,
@@ -655,6 +708,7 @@ def semantic_dedup(
     codebook: list | None = None,
     method: str = "auto",
     assigned: DataFrame | None = None,
+    pairs: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the IVF coarse codebook,
@@ -672,10 +726,17 @@ def semantic_dedup(
     (the paper uses ~100k clusters for LAION-scale) so per-cluster
     membership stays ~constant; assignment itself is one scan-local
     pass (the Arrow kernel by default — plans at any codebook size,
-    zero shuffles) and the per-cluster
-    self-join shuffles once on the small int key. A trained codebook
-    (``ivf_train``) tightens clusters; the deterministic seeded
-    codebook is the replayable default.
+    zero shuffles) and the per-cluster pair scan pays ONE shuffle on
+    the small int key. A trained codebook (``ivf_train``) tightens
+    clusters; the deterministic seeded codebook is the replayable
+    default.
+
+    ``pairs``: ``"auto"``/``"kernel"`` (default) scores each cluster's
+    pairs in one blocked-numpy Arrow pass per cell (measured 40x over
+    the pair join at the round-11 sf1 probe: interpreted HOF folds
+    price every PAIR, and pairs are quadratic in cell size);
+    ``"literal"`` keeps the pure-JVM pair join for oracle replay.
+    Both are bit-identical (pinned by tests/test_retrieval_semdedup.py).
     """
     from zestdb_spark.functions.dedup import _persist_bounded
 
@@ -692,25 +753,39 @@ def semantic_dedup(
         assigned = _persist_bounded(
             ivf_assign(embs, n_centroids, codebook, method=method)
         )
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"), "cent",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("norm").alias("norm_b"), "cent",
-    )
-    dropped = (
-        a.join(b, "cent")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")))
-            >= tau
+    if pairs not in ("auto", "kernel", "literal"):
+        raise ValueError(f"pairs must be auto|kernel|literal, got {pairs!r}")
+    if pairs != "literal":
+        # ONE Arrow pass per cluster (same single shuffle on cent the
+        # join pays) — quadratic pair work stays inside vectorized
+        # numpy instead of interpreted per-pair HOF folds; 40x at the
+        # sf1 probe, bit-identical (see _semdedup_dropped_kernel)
+        dropped = (
+            assigned.select("vec_id", "v", "norm", "cent")
+            .groupBy("cent")
+            .applyInPandas(_semdedup_dropped_kernel(tau), "vec_id long")
+            .withColumn("_dup", F.lit(True))
         )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+    else:
+        a = assigned.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col("norm").alias("norm_a"), "cent",
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("norm").alias("norm_b"), "cent",
+        )
+        dropped = (
+            a.join(b, "cent")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                q6(dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")))
+                >= tau
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .withColumn("_dup", F.lit(True))
+        )
     # one outer join against the (small) dropped set — not an anti- plus
     # semi-join pair, which would run the cluster self-join twice
     return assigned.join(dropped, "vec_id", "left").select(
