@@ -807,3 +807,77 @@ def test_type_widening_evolution(spark, store):
     ):
         with pytest.raises(BadRequest, match="not a lossless widening"):
             store.evolve_table_schema("widening", [bad])
+
+
+def test_rename_column_via_mapping(spark, store):
+    """Round 11 — Delta-style column mapping: RENAME changes only the
+    LOGICAL name (physical names in files are immutable), so nothing
+    is rewritten; reads alias physical->logical, writes rename on the
+    way in, stats stay keyed physical with pruning translated, and a
+    re-added column with the old logical name gets a FRESH physical
+    (never the renamed column's file data)."""
+    from pyspark.sql import types as T
+
+    store.create_table("renamed", _docs(spark, 0, 40), stats_cols=("doc_id",))
+    v0 = store.history("renamed")[-1].version
+    store.rename_table_column("renamed", "score", "quality")
+    out = store.load("renamed")
+    assert set(out.columns) == {"doc_id", "host", "quality"}
+    assert out.filter("doc_id = 8").first()["quality"] == 12.0  # old files
+    # appends speak the NEW name
+    store.append_table(
+        "renamed",
+        spark.createDataFrame([(100, 1, 5.5)], "doc_id long, host long, quality double"),
+    )
+    assert store.load("renamed").filter("doc_id = 100").first()["quality"] == 5.5
+    # DML on the renamed schema over mixed files
+    n = store.merge_table(
+        "renamed",
+        spark.createDataFrame([(8, 9, -2.0)], "doc_id long, host long, quality double"),
+        key_cols=("doc_id",),
+    )
+    assert n >= 1
+    assert store.load("renamed").filter("doc_id = 8").first()["quality"] == -2.0
+    assert store.delete_table_rows("renamed", "doc_id < 3") >= 1
+    assert store.load("renamed").filter("doc_id < 3").count() == 0
+    # stats pruning still keys by the STABLE physical name: a second
+    # rename of the stats column itself, then a pruned delete
+    store.rename_table_column("renamed", "doc_id", "document_id")
+    assert store.delete_table_rows("renamed", "document_id = 100") == 1
+    assert store.load("renamed").filter("document_id = 100").count() == 0
+    # table_stats reports LOGICAL names
+    ts = store.table_stats("renamed")
+    assert "document_id" in ts["min"] and "doc_id" not in ts["min"]
+    # change feed + time travel read through the CURRENT logical schema
+    assert "document_id" in store.changes("renamed", v0).columns
+    t0 = store.load("renamed", version=v0)
+    assert set(t0.columns) == {"document_id", "host", "quality"}
+    assert t0.count() == 40
+    # a fresh process discovers the mapping from the meta file
+    fresh = ZestStore(spark, store.root)
+    assert fresh.load("renamed").filter("document_id = 8").first()["quality"] == -2.0
+    # re-adding the OLD logical name must NOT resurrect old file data:
+    # 'score' gets a fresh physical, so every pre-existing row reads NULL
+    store.evolve_table_schema("renamed", [T.StructField("score", T.StringType())])
+    again = store.load("renamed")
+    assert again.filter("score IS NOT NULL").count() == 0
+    store.append_table(
+        "renamed",
+        spark.createDataFrame(
+            [(200, 1, 1.0, "fresh")],
+            "document_id long, host long, quality double, score string",
+        ),
+    )
+    assert store.load("renamed").filter("score = 'fresh'").count() == 1
+    # clone carries the mapping
+    clone_root = store.root + "_rn_clone"
+    dest = ZestStore(spark, clone_root)
+    store.clone_table("renamed", dest)
+    assert dest.load("renamed").filter("document_id = 8").count() == 1
+    # refusals
+    with pytest.raises(BadRequest, match="already exists"):
+        store.rename_table_column("renamed", "host", "quality")
+    with pytest.raises(BadRequest, match="no column"):
+        store.rename_table_column("renamed", "nope", "x")
+    with pytest.raises(BadRequest, match="reserved"):
+        store.rename_table_column("renamed", "host", "zkey")

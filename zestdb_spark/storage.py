@@ -390,6 +390,7 @@ class ZestStore:
                 self._generic[name] = {
                     "schema": T.StructType.fromJson(meta["schema"]),
                     "stats_cols": tuple(meta.get("stats_cols", ())),
+                    "mapping": dict(meta.get("column_mapping", {})),
                 }
             except (OSError, ValueError, KeyError):
                 continue  # unreadable meta: leave the dir untouched
@@ -415,11 +416,30 @@ class ZestStore:
             entry = {
                 "schema": T.StructType.fromJson(meta["schema"]),
                 "stats_cols": tuple(meta.get("stats_cols", ())),
+                "mapping": dict(meta.get("column_mapping", {})),
             }
         except (OSError, ValueError, KeyError):
             return None
         self._generic[name] = entry
         return entry
+
+    def _column_mapping(self, table: str) -> "dict[str, str] | None":
+        """LOGICAL -> PHYSICAL column-name mapping for a generic table
+        (Delta's column mapping: a rename changes only the logical
+        name; the physical name in every parquet file is immutable).
+        None when the table has no mapping or it is the identity —
+        the fast path every table without renames stays on."""
+        entry = self._generic.get(table)
+        if entry is None:
+            return None
+        m = entry.get("mapping") or {}
+        if not m or all(k == v for k, v in m.items()):
+            return None
+        return m
+
+    def _phys(self, table: str, col: str) -> str:
+        m = self._column_mapping(table)
+        return m.get(col, col) if m else col
 
     def _is_manifested(self, table: str) -> bool:
         return table in _MANIFESTED or self._generic_entry(table) is not None
@@ -524,6 +544,13 @@ class ZestStore:
             schema = entry["schema"]
             have = {f.name for f in schema.fields}
             fields = list(schema.fields)
+            mapping = dict(entry.get("mapping") or {})
+            # physical names already claimed by files on disk: under a
+            # mapping, adding a LOGICAL name that matches a RENAMED
+            # column's old physical name must NOT reuse that physical —
+            # old files' data for it belongs to the renamed column
+            used_phys = {mapping.get(f.name, f.name) for f in schema.fields}
+            added: list[str] = []
             for nf in new_fields:
                 if not isinstance(nf, T.StructField):
                     raise BadRequest(
@@ -573,6 +600,13 @@ class ZestStore:
                     )
                 fields.append(T.StructField(nf.name, nf.dataType, True))
                 have.add(nf.name)
+                added.append(nf.name)
+                if mapping:
+                    phys = nf.name
+                    if phys in used_phys:
+                        phys = f"{nf.name}_zp{uuid.uuid4().hex[:8]}"
+                    mapping[nf.name] = phys
+                    used_phys.add(phys)
             new_names = {f.name for f in new_fields}
             bad_stats = [c for c in stats_cols if c not in new_names]
             if bad_stats:
@@ -592,12 +626,91 @@ class ZestStore:
                 )
             )
             meta["stats_cols"] = list(merged_stats)
+            if mapping:
+                meta["column_mapping"] = mapping
             tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
             with open(tmp_meta, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp_meta, meta_path)
             self._generic[name]["schema"] = new_schema
             self._generic[name]["stats_cols"] = merged_stats
+            if mapping:
+                self._generic[name]["mapping"] = mapping
+            # metadata-only evolution does NOT bump the manifest
+            # version, so cached readers keyed by (table, version)
+            # would keep serving the pre-evolution column set
+            with self._reader_lock:
+                self._reader_cache.clear()
+
+    def rename_table_column(self, name: str, old: str, new: str) -> None:
+        """RENAME COLUMN for a generic table — Delta's column mapping:
+        the LOGICAL name changes; the PHYSICAL name in every parquet
+        file ever written is immutable, so nothing is rewritten. Reads
+        pin the physical schema and alias back (``_scan_schema``);
+        writes rename logical -> physical on the way in
+        (``_stage_move``); manifest stats stay keyed by the stable
+        physical name, and pruning translates at lookup. Time travel
+        to pre-rename versions reads through the CURRENT logical
+        schema (Delta's posture, same as additive evolution). Runs
+        under the rewrite lock; the meta lands atomically."""
+        from pyspark.sql import types as T
+
+        if self._generic_entry(name) is None:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        with self._rewrite_lock(name):
+            self._generic.pop(name, None)  # re-read under the lock
+            entry = self._generic_entry(name)
+            schema = entry["schema"]
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise BadRequest(
+                    f"rename_table_column({name!r}): no column {old!r} "
+                    f"(have {names})"
+                )
+            if new == old:
+                return
+            if new in names:
+                raise BadRequest(
+                    f"rename_table_column({name!r}): {new!r} already exists"
+                )
+            if not new or new in ("zkey", "_zest_file"):
+                raise BadRequest(
+                    f"rename_table_column({name!r}): {new!r} is empty or "
+                    "a reserved working-column name"
+                )
+            # first rename materializes the FULL logical->physical map
+            # (identity for every untouched column) so later evolutions
+            # and lookups see one consistent table-wide mapping
+            mapping = dict(entry.get("mapping") or {})
+            if not mapping:
+                mapping = {n: n for n in names}
+            mapping[new] = mapping.pop(old, old)
+            fields = [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+            new_schema = T.StructType(fields)
+            meta_path = os.path.join(self._path(name), "_zest_meta.json")
+            meta = json.load(open(meta_path))
+            meta["schema"] = new_schema.jsonValue()
+            meta["column_mapping"] = mapping
+            meta["stats_cols"] = [
+                new if c == old else c for c in meta.get("stats_cols", ())
+            ]
+            tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_meta, meta_path)
+            self._generic[name] = {
+                "schema": new_schema,
+                "stats_cols": tuple(meta["stats_cols"]),
+                "mapping": mapping,
+            }
+            # reader cache entries were built with the OLD aliases
+            with self._reader_lock:
+                self._reader_cache.clear()
 
     def append_table(
         self, name: str, df: DataFrame, merge_schema: bool = False
@@ -745,8 +858,9 @@ class ZestStore:
                 for k, (lo, hi) in bounds.items():
                     if lo is None or hi is None:
                         continue
-                    fmin = (st.get("min") or {}).get(k)
-                    fmax = (st.get("max") or {}).get(k)
+                    pk = self._phys(name, k)  # stats are keyed physical
+                    fmin = (st.get("min") or {}).get(pk)
+                    fmax = (st.get("max") or {}).get(pk)
                     try:
                         if fmin is not None and fmax is not None and (
                             fmax < lo or fmin > hi
@@ -910,6 +1024,11 @@ class ZestStore:
                 return 0
             terms = self._predicate_terms(predicate)
             if terms:
+                # predicate columns are LOGICAL; stats keys are
+                # PHYSICAL (stable across renames)
+                terms = [
+                    (self._phys(name, col), op, v) for col, op, v in terms
+                ]
                 snap = self._snapshot(name)
                 stats = snap.stats if snap is not None else {}
                 live = [
@@ -1127,8 +1246,9 @@ class ZestStore:
                     if cached is not None:
                         self._reader_cache.move_to_end(key)
                         return cached
-            df = (
-                self.spark.read.schema(schema)
+            scan_schema, restore = self._scan_schema(table, schema)
+            df = restore(
+                self.spark.read.schema(scan_schema)
                 .option("basePath", path)
                 .parquet(*[os.path.join(path, f) for f in files])
             )
@@ -1140,7 +1260,8 @@ class ZestStore:
             return df
         if not self._exists(table):
             return _empty_df(self.spark, schema)
-        return self.spark.read.schema(schema).parquet(path)
+        scan_schema, restore = self._scan_schema(table, schema)
+        return restore(self.spark.read.schema(scan_schema).parquet(path))
 
     def load(
         self,
@@ -1173,6 +1294,34 @@ class ZestStore:
         return self._read_table(
             table, version, since_ms=since_ms, until_ms=until_ms, series=series
         ).select(*[f.name for f in schema.fields])
+
+    def _scan_schema(self, table: str, schema):
+        """(read_schema, restore) for a parquet scan of ``table``:
+        under a column mapping the files carry PHYSICAL names, so the
+        scan pins the physical schema and ``restore`` aliases the
+        result back to logical names. Identity (no renames ever):
+        the schema passes through and restore is a no-op."""
+        mapping = self._column_mapping(table)
+        if not mapping:
+            return schema, lambda df: df
+        from pyspark.sql import types as T
+
+        phys = T.StructType(
+            [
+                T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+        def restore(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
+        return phys, restore
 
     def _read_schema(self, table: str):
         base = self._schema_of(table)
@@ -1339,6 +1488,22 @@ class ZestStore:
         (streaming/observe.py) globs ``part-*`` so only genuine APPENDS
         notify — the reference's observers fire per POST, never on
         maintenance (src/server.re:778-793)."""
+        # column mapping: files always carry PHYSICAL names — rename
+        # the frame's mapped logical columns in ONE simultaneous
+        # projection (sequential withColumnRenamed collides when one
+        # column's physical name equals another's logical name, e.g.
+        # after quality->score-style rename chains); working columns
+        # like zkey/_zest_file pass through untouched
+        mapping = self._column_mapping(table)
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(c).alias(mapping[c])
+                    if mapping.get(c, c) != c
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         real = self._path(table)
         stage = os.path.join(self.root, f".stage_{table}_{uuid.uuid4().hex[:12]}")
         # pid-owned sidecar NEXT TO the stage dir (Spark's overwrite
@@ -1415,6 +1580,12 @@ class ZestStore:
         cols = _STATS_COLS.get(table)
         if not cols and self._generic_entry(table) is not None:
             cols = self._generic[table]["stats_cols"] or None
+            if cols:
+                # footers carry PHYSICAL names; stats are keyed by them
+                # too (stable across renames — every manifest ever
+                # written agrees), so lookups translate logical →
+                # physical at the pruning sites
+                cols = tuple(self._phys(table, c) for c in cols)
         if not cols or not rels:
             return None
         root = self._path(table)
@@ -1643,8 +1814,9 @@ class ZestStore:
         if not files:
             return _empty_df(self.spark, schema)
         path = self._path(table)
-        return (
-            self.spark.read.schema(schema)
+        scan_schema, restore = self._scan_schema(table, schema)
+        return restore(
+            self.spark.read.schema(scan_schema)
             .option("basePath", path)
             .parquet(*[os.path.join(path, f) for f in files])
         )
@@ -1857,6 +2029,11 @@ class ZestStore:
                 for col, v in (st.get("max") or {}).items():
                     if v is not None and (col not in maxs or v > maxs[col]):
                         maxs[col] = v
+        mapping = self._column_mapping(table)
+        if mapping:  # stats keys are physical; callers speak logical
+            inv = {p: l for l, p in mapping.items()}
+            mins = {inv.get(c, c): v for c, v in mins.items()}
+            maxs = {inv.get(c, c): v for c, v in maxs.items()}
         return {
             "version": snap.version,
             "n_files": len(snap.files),
