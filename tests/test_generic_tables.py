@@ -881,3 +881,115 @@ def test_rename_column_via_mapping(spark, store):
         store.rename_table_column("renamed", "nope", "x")
     with pytest.raises(BadRequest, match="reserved"):
         store.rename_table_column("renamed", "host", "zkey")
+
+
+def test_streaming_changes_across_column_rename(spark, store, tmp_path):
+    """The change feed under COLUMN MAPPING (round 11): a stream
+    started AFTER a rename must read real data under the new logical
+    name (files carry the immutable PHYSICAL name — a naive
+    logical-name read would silently null-fill the renamed column); a
+    stream started BEFORE keeps its pinned names and keeps receiving
+    post-rename appends; and a column re-added under the retired name
+    reads NULL from history, never the renamed column's file data."""
+    import os as _os
+
+    from zestdb_spark.sources import register
+
+    register(spark)
+    store.create_table("rn_stream", _docs(spark, 0, 8))
+    root = _os.path.join(store.root, "rn_stream")
+    # pre-rename stream: pinned to the original logical names
+    q_old = (
+        spark.readStream.format("zest_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rn_old")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q_old.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM rn_old").first()["n"] == 8
+        store.rename_table_column("rn_stream", "score", "quality")
+        store.append_table(
+            "rn_stream",
+            spark.createDataFrame(
+                [(100, 1, 42.0)], "doc_id long, host long, quality double"
+            ),
+        )
+        q_old.processAllAvailable()
+        # pinned names, and the post-rename append's VALUE arrives
+        # under the old name (same physical column)
+        assert set(spark.table("rn_old").columns) == {"doc_id", "host", "score"}
+        row = spark.sql("SELECT score FROM rn_old WHERE doc_id = 100").first()
+        assert row["score"] == 42.0
+    finally:
+        q_old.stop()
+    # post-rename stream: new logical name, REAL values (not nulls)
+    # from files written before AND after the rename
+    q_new = (
+        spark.readStream.format("zest_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rn_new")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q_new.processAllAvailable()
+        assert set(spark.table("rn_new").columns) == {"doc_id", "host", "quality"}
+        assert (
+            spark.sql("SELECT count(*) n FROM rn_new WHERE quality IS NULL")
+            .first()["n"] == 0
+        )
+        assert (
+            spark.sql("SELECT quality FROM rn_new WHERE doc_id = 5").first()[
+                "quality"
+            ]
+            == 7.5
+        )
+        # re-add the retired name: history must read NULL for it
+        from pyspark.sql import types as T
+
+        store.evolve_table_schema("rn_stream", [T.StructField("score", T.StringType())])
+        store.append_table(
+            "rn_stream",
+            spark.createDataFrame(
+                [(200, 1, 1.0, "fresh")],
+                "doc_id long, host long, quality double, score string",
+            ),
+        )
+        q_new.processAllAvailable()
+        # the running stream stays pinned (no 'score' column) but the
+        # new row's pinned columns arrive
+        assert spark.sql("SELECT count(*) n FROM rn_new WHERE doc_id = 200").first()["n"] == 1
+    finally:
+        q_new.stop()
+    # a third stream AFTER the re-add: 'score' is NULL for every
+    # historical row and 'fresh' only for the new one
+    q3 = (
+        spark.readStream.format("zest_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rn_v3")
+        .option("checkpointLocation", str(tmp_path / "c3"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q3.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) n FROM rn_v3 WHERE score IS NOT NULL")
+            .first()["n"] == 1
+        )
+        assert (
+            spark.sql("SELECT score FROM rn_v3 WHERE doc_id = 200").first()["score"]
+            == "fresh"
+        )
+    finally:
+        q3.stop()

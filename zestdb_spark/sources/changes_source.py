@@ -64,13 +64,20 @@ from zestdb_spark.sources.tail_source import _LAYOUTS
 
 
 class _AppendedFile(InputPartition):
-    def __init__(self, path: str, series_id: str, cols: tuple, meta_json=None):
+    def __init__(
+        self, path: str, series_id: str, cols: tuple, meta_json=None, mapping=None
+    ):
         self.path = path
         self.series_id = series_id
         self.cols = cols
         #: generic tables: the table's Spark schema (JSON dict) rides
         #: into the task so the arrow cast needs no driver round trip
         self.meta_json = meta_json
+        #: logical -> PHYSICAL column names (storage column mapping):
+        #: files always carry physical names; physical names are
+        #: immutable, so the mapping pinned at stream start stays
+        #: valid for every file the stream will ever read
+        self.mapping = mapping or {}
 
 
 def _is_append(rel: str) -> bool:
@@ -95,7 +102,8 @@ def _generic_meta(root: str):
     if not os.path.isfile(path):
         return None
     try:
-        return json.load(open(path))["schema"]
+        meta = json.load(open(path))
+        return meta["schema"], dict(meta.get("column_mapping", {}))
     except (OSError, ValueError, KeyError) as e:
         # present-but-unreadable must be LOUD: silently falling back to
         # the ts_numeric layout would read generic parquet with the
@@ -109,7 +117,14 @@ def _generic_meta(root: str):
 class ZestChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options, pinned_schema=None):
         self.root = options["root"]
-        self.meta_json = _generic_meta(self.root)
+        meta = _generic_meta(self.root)
+        self.meta_json = None if meta is None else meta[0]
+        #: the mapping is pinned at reader construction like the
+        #: schema: a rename mid-stream changes only LOGICAL names —
+        #: the physical names this mapping resolves to are immutable,
+        #: so every future file still reads correctly (a restart picks
+        #: up the new logical names, same posture as added columns)
+        self.mapping = {} if meta is None else meta[1]
         if self.meta_json is not None:
             self.table = "generic"
             if pinned_schema is not None:
@@ -119,7 +134,19 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                 # exactly its planned columns (restart the query to
                 # pick up new ones, the standard posture); re-reading
                 # the meta here would make this reader's batches drift
-                # from the pinned plan mid-stream
+                # from the pinned plan mid-stream.
+                #
+                # The PHYSICAL mapping for the pinned names resolves
+                # POSITIONALLY through the current meta: columns are
+                # never dropped or reordered (renames replace in
+                # place, evolution appends), so pinned field i IS
+                # current field i — correct even for a checkpoint
+                # restart that crosses a rename chain.
+                cur_fields = [f["name"] for f in self.meta_json["fields"]]
+                cur_map, self.mapping = self.mapping, {}
+                for i, f in enumerate(pinned_schema.fields):
+                    cur = cur_fields[i] if i < len(cur_fields) else f.name
+                    self.mapping[f.name] = cur_map.get(cur, cur)
                 self.meta_json = pinned_schema.jsonValue()
             self.cols = tuple(f["name"] for f in self.meta_json["fields"])
         else:
@@ -221,6 +248,7 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                 _series_of(rel),
                 self.cols,
                 self.meta_json,
+                self.mapping,
             )
             for rel in self._appended_between(s, e)
         ]
@@ -245,11 +273,24 @@ class ZestChangesStreamReader(DataSourceStreamReader):
             # schema evolution tolerance: a pre-evolution file lacks
             # the evolved columns — read what it has, null-fill the
             # rest (the same NULL-for-new-columns contract the batch
-            # scan gives), and keep the canonical column order
+            # scan gives), and keep the canonical column order. Files
+            # carry PHYSICAL column names (immutable under renames):
+            # read by physical, emit under the stream's logical names.
+            mapping = partition.mapping
             have = set(pq.ParquetFile(partition.path).schema_arrow.names)
+            phys_cols = [
+                (c, mapping.get(c, c))
+                for c in partition.cols
+                if mapping.get(c, c) in have
+            ]
             table = pq.read_table(
-                partition.path,
-                columns=[c for c in partition.cols if c in have],
+                partition.path, columns=[p for _, p in phys_cols]
+            )
+            table = table.rename_columns(
+                [
+                    next(lg for lg, p in phys_cols if p == name)
+                    for name in table.column_names
+                ]
             )
             for field in canonical:
                 if field.name not in table.column_names:
@@ -288,7 +329,7 @@ class ZestChangesDataSource(DataSource):
         if meta is not None:
             from pyspark.sql.types import StructType
 
-            return StructType.fromJson(meta)
+            return StructType.fromJson(meta[0])
         table = self.options.get("table", "ts_numeric")
         if table not in _LAYOUTS:
             raise ValueError(
