@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zestdb_spark.functions import dedup
-from zestdb_spark.functions.textstats import lang_pred_expr, quality_exprs
+from zestdb_spark.functions.textstats import (
+    LANG_ORDER,
+    lang_hit_cols,
+    lang_pred_from_hits,
+    quality_exprs,
+)
 
 
 def clean_corpus(
@@ -57,12 +62,22 @@ def clean_corpus(
     # runtime shuffle stats of the distinct above
     kept = gated.join(doomed, "doc_id", "left_anti")
 
-    # stage 3: annotate survivors in ONE projection (no stats⋈lang
-    # join); the argmax tree is textstats.lang_pred_expr — one
-    # definition for the operator and the pipeline
-    return kept.select(
+    # stage 3: annotate survivors — hit counts staged in their own
+    # projection (each is an interpreted HOF filter the argmax tree
+    # references 2-4x; see textstats.lang_hit_cols), then the shared
+    # decision tree over the staged columns. Still join-free.
+    staged = kept.select(
+        "doc_id",
+        "__n",
+        "__score",
+        *[c.alias(f"__hits_{lang}") for lang, c in lang_hit_cols().items()],
+    )
+    pred = lang_pred_from_hits(
+        {lang: F.col(f"__hits_{lang}") for lang in LANG_ORDER}
+    )
+    return staged.select(
         "doc_id",
         F.col("__n").alias("n_tokens"),
         F.col("__score").alias("score"),
-        lang_pred_expr().alias("pred_lang"),
+        pred.alias("pred_lang"),
     )

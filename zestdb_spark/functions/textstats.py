@@ -100,11 +100,24 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_pred_expr() -> Column:
-    """The stopword-hit argmax expression (fixed precedence en > es >
-    de > fr, 'und' when nothing hits) — the ONE definition, shared by
-    ``lang_id`` and the clean-corpus pipeline."""
-    hits = {lang: _hits(lang) for lang in LANG_ORDER}
+def lang_hit_cols() -> "dict[str, Column]":
+    """One stopword-hit count column per language (the staged inputs
+    for ``lang_pred_from_hits``). Stage these in their OWN projection:
+    each is an interpreted higher-order filter, and the argmax tree
+    references every count 2-4 times — inlined, Spark evaluates the
+    filter (and the text split) at every reference, which measured
+    ~4x slower at the round-11 sf1 probe (3.5 s vs 0.9 s over 50k
+    docs). A staged alias is evaluated once; CollapseProject keeps the
+    stage because it never duplicates non-cheap expressions referenced
+    more than once."""
+    return {lang: _hits(lang) for lang in LANG_ORDER}
+
+
+def lang_pred_from_hits(hits: "dict[str, Column]") -> Column:
+    """The stopword-hit argmax over PRECOMPUTED hit columns (fixed
+    precedence en > es > de > fr, 'und' when nothing hits) — the ONE
+    definition of the decision tree, shared by ``lang_id`` and the
+    clean-corpus pipeline."""
     # argmax with precedence: en wins ties against all, es against de/fr, ...
     cond_en = (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0)
     cond_es = (hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"]) & (hits["es"] > 0)
@@ -119,10 +132,27 @@ def lang_pred_expr() -> Column:
     )
 
 
+def lang_pred_expr() -> Column:
+    """Single-expression form of the argmax (hit counts inlined) —
+    for contexts that cannot stage a projection; prefer
+    ``lang_hit_cols`` + ``lang_pred_from_hits`` on hot paths (see
+    ``lang_hit_cols`` for the measured cost of inlining)."""
+    return lang_pred_from_hits(lang_hit_cols())
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang): stopword-hit argmax with fixed precedence
-    (en > es > de > fr), 'und' (undetermined) when no list hits."""
-    return docs.select("doc_id", lang_pred_expr().alias("pred_lang"))
+    (en > es > de > fr), 'und' (undetermined) when no list hits.
+    Hit counts are staged in their own projection so each language's
+    interpreted filter runs once per row, not once per reference."""
+    staged = docs.select(
+        "doc_id",
+        *[c.alias(f"__hits_{lang}") for lang, c in lang_hit_cols().items()],
+    )
+    pred = lang_pred_from_hits(
+        {lang: F.col(f"__hits_{lang}") for lang in LANG_ORDER}
+    )
+    return staged.select("doc_id", pred.alias("pred_lang"))
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
