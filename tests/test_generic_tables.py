@@ -993,3 +993,120 @@ def test_streaming_changes_across_column_rename(spark, store, tmp_path):
         )
     finally:
         q3.stop()
+
+
+def test_drop_column_retires_physical(spark, store):
+    """Round 11 — DROP COLUMN via column mapping: the logical column
+    leaves the schema with zero rewrites; its physical name is retired
+    permanently, so re-adding the same logical name allocates a FRESH
+    physical and the dropped data can never resurrect; DML, stats,
+    time travel, and fresh-process discovery all keep working."""
+    from pyspark.sql import types as T
+
+    store.create_table("dropped", _docs(spark, 0, 30), stats_cols=("doc_id", "score"))
+    v0 = store.history("dropped")[-1].version
+    store.drop_table_column("dropped", "score")
+    out = store.load("dropped")
+    assert set(out.columns) == {"doc_id", "host"}
+    assert out.count() == 30
+    # stats for the dropped column never leak; remaining ones stay
+    ts = store.table_stats("dropped")
+    assert "score" not in ts["min"] and "doc_id" in ts["min"]
+    # appends/DML speak the narrowed schema
+    store.append_table(
+        "dropped", spark.createDataFrame([(100, 1)], "doc_id long, host long")
+    )
+    assert store.delete_table_rows("dropped", "doc_id < 3") >= 1
+    # time travel reads pre-drop versions through the CURRENT schema
+    t0 = store.load("dropped", version=v0)
+    assert set(t0.columns) == {"doc_id", "host"} and t0.count() == 30
+    # re-add 'score': fresh physical — history reads NULL, never the
+    # dropped column's file data
+    store.evolve_table_schema("dropped", [T.StructField("score", T.DoubleType())])
+    again = store.load("dropped")
+    assert again.filter("score IS NOT NULL").count() == 0
+    store.append_table(
+        "dropped",
+        spark.createDataFrame([(200, 1, 9.5)], "doc_id long, host long, score double"),
+    )
+    assert store.load("dropped").filter("score = 9.5").count() == 1
+    assert store.load("dropped").filter(
+        "doc_id < 100 AND score IS NOT NULL"
+    ).count() == 0
+    # a fresh process discovers the retired set and the narrowed schema
+    fresh = ZestStore(spark, store.root)
+    assert fresh.load("dropped").filter("score IS NOT NULL").count() == 1
+    # drop composes with rename: rename then drop the renamed column
+    store.rename_table_column("dropped", "score", "quality")
+    store.drop_table_column("dropped", "quality")
+    assert set(store.load("dropped").columns) == {"doc_id", "host"}
+    # refusals
+    with pytest.raises(BadRequest, match="no column"):
+        store.drop_table_column("dropped", "nope")
+    store.drop_table_column("dropped", "host")
+    with pytest.raises(BadRequest, match="last column"):
+        store.drop_table_column("dropped", "doc_id")
+
+
+def test_streaming_changes_across_column_drop(spark, store, tmp_path):
+    """A stream started BEFORE a drop keeps its pinned columns (the
+    dropped one null-fills on post-drop files — the physical stamp in
+    the pinned schema resolves it, positions be damned); a stream
+    started AFTER never sees it."""
+    import os as _os
+
+    from zestdb_spark.sources import register
+
+    register(spark)
+    store.create_table("dr_stream", _docs(spark, 0, 6))
+    root = _os.path.join(store.root, "dr_stream")
+    q_old = (
+        spark.readStream.format("zest_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dr_old")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q_old.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM dr_old").first()["n"] == 6
+        store.drop_table_column("dr_stream", "score")
+        # rename ANOTHER column after the drop: the pre-drop stream's
+        # positional fallback would now misresolve — the physical
+        # stamp must carry it
+        store.rename_table_column("dr_stream", "host", "machine")
+        store.append_table(
+            "dr_stream",
+            spark.createDataFrame([(100, 7)], "doc_id long, machine long"),
+        )
+        q_old.processAllAvailable()
+        assert set(spark.table("dr_old").columns) == {"doc_id", "host", "score"}
+        row = spark.sql("SELECT host, score FROM dr_old WHERE doc_id = 100").first()
+        assert row["host"] == 7          # renamed column still resolves
+        assert row["score"] is None      # dropped column null-fills
+    finally:
+        q_old.stop()
+    q_new = (
+        spark.readStream.format("zest_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dr_new")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q_new.processAllAvailable()
+        assert set(spark.table("dr_new").columns) == {"doc_id", "machine"}
+        assert (
+            spark.sql("SELECT machine FROM dr_new WHERE doc_id = 3").first()[
+                "machine"
+            ]
+            == 3
+        )
+    finally:
+        q_new.stop()

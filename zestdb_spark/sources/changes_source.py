@@ -136,15 +136,20 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                 # the meta here would make this reader's batches drift
                 # from the pinned plan mid-stream.
                 #
-                # The PHYSICAL mapping for the pinned names resolves
-                # POSITIONALLY through the current meta: columns are
-                # never dropped or reordered (renames replace in
-                # place, evolution appends), so pinned field i IS
-                # current field i — correct even for a checkpoint
-                # restart that crosses a rename chain.
+                # Each pinned field carries its PHYSICAL name in its
+                # metadata (stamped by schema() at plan time), so the
+                # stream resolves itself — correct across any later
+                # rename or drop. Fallback for pinned schemas without
+                # the stamp (pre-round-11 checkpoints): positional
+                # correspondence through the current meta, which holds
+                # as long as no column was dropped since the pin.
                 cur_fields = [f["name"] for f in self.meta_json["fields"]]
                 cur_map, self.mapping = self.mapping, {}
                 for i, f in enumerate(pinned_schema.fields):
+                    md = f.metadata or {}
+                    if "zest_physical" in md:
+                        self.mapping[f.name] = md["zest_physical"]
+                        continue
                     cur = cur_fields[i] if i < len(cur_fields) else f.name
                     self.mapping[f.name] = cur_map.get(cur, cur)
                 self.meta_json = pinned_schema.jsonValue()
@@ -327,9 +332,26 @@ class ZestChangesDataSource(DataSource):
     def schema(self):
         meta = _generic_meta(self.options["root"])
         if meta is not None:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            return StructType.fromJson(meta[0])
+            st = StructType.fromJson(meta[0])
+            mapping = meta[1]
+            # stamp each field's PHYSICAL name into its metadata: the
+            # stream's pinned schema then carries its own resolution,
+            # so a checkpoint restart survives any later rename OR
+            # drop (positional matching breaks under drops)
+            return StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {**(f.metadata or {}),
+                         "zest_physical": mapping.get(f.name, f.name)},
+                    )
+                    for f in st.fields
+                ]
+            )
         table = self.options.get("table", "ts_numeric")
         if table not in _LAYOUTS:
             raise ValueError(

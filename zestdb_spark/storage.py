@@ -391,6 +391,7 @@ class ZestStore:
                     "schema": T.StructType.fromJson(meta["schema"]),
                     "stats_cols": tuple(meta.get("stats_cols", ())),
                     "mapping": dict(meta.get("column_mapping", {})),
+                    "retired": tuple(meta.get("retired_physicals", ())),
                 }
             except (OSError, ValueError, KeyError):
                 continue  # unreadable meta: leave the dir untouched
@@ -417,6 +418,7 @@ class ZestStore:
                 "schema": T.StructType.fromJson(meta["schema"]),
                 "stats_cols": tuple(meta.get("stats_cols", ())),
                 "mapping": dict(meta.get("column_mapping", {})),
+                "retired": tuple(meta.get("retired_physicals", ())),
             }
         except (OSError, ValueError, KeyError):
             return None
@@ -548,8 +550,12 @@ class ZestStore:
             # physical names already claimed by files on disk: under a
             # mapping, adding a LOGICAL name that matches a RENAMED
             # column's old physical name must NOT reuse that physical —
-            # old files' data for it belongs to the renamed column
+            # old files' data for it belongs to the renamed column.
+            # DROPPED columns' physicals stay claimed forever (the
+            # retired list): reusing one would resurrect the dropped
+            # column's file data under the new column.
             used_phys = {mapping.get(f.name, f.name) for f in schema.fields}
+            used_phys.update(entry.get("retired") or ())
             added: list[str] = []
             for nf in new_fields:
                 if not isinstance(nf, T.StructField):
@@ -598,15 +604,20 @@ class ZestStore:
                         f"evolve_table_schema({name!r}): {nf.name!r} is "
                         "a reserved working-column name"
                     )
+                phys = nf.name
+                if phys in used_phys:
+                    if not mapping:
+                        # a retired physical forces the table onto an
+                        # explicit mapping: materialize identity for
+                        # the EXISTING columns first
+                        mapping = {f.name: f.name for f in fields}
+                    phys = f"{nf.name}_zp{uuid.uuid4().hex[:8]}"
                 fields.append(T.StructField(nf.name, nf.dataType, True))
                 have.add(nf.name)
                 added.append(nf.name)
                 if mapping:
-                    phys = nf.name
-                    if phys in used_phys:
-                        phys = f"{nf.name}_zp{uuid.uuid4().hex[:8]}"
                     mapping[nf.name] = phys
-                    used_phys.add(phys)
+                used_phys.add(phys)
             new_names = {f.name for f in new_fields}
             bad_stats = [c for c in stats_cols if c not in new_names]
             if bad_stats:
@@ -707,8 +718,67 @@ class ZestStore:
                 "schema": new_schema,
                 "stats_cols": tuple(meta["stats_cols"]),
                 "mapping": mapping,
+                "retired": tuple(meta.get("retired_physicals", ())),
             }
             # reader cache entries were built with the OLD aliases
+            with self._reader_lock:
+                self._reader_cache.clear()
+
+    def drop_table_column(self, name: str, col: str) -> None:
+        """DROP COLUMN for a generic table — the column-mapping drop
+        (Delta's posture): the LOGICAL column leaves the schema; the
+        data stays in the files untouched (vacuumed naturally as
+        rewrites retire old files). The column's PHYSICAL name is
+        RETIRED permanently: re-adding the same logical name later
+        allocates a fresh physical, so the dropped data can never
+        resurrect under the new column. Time travel to pre-drop
+        versions reads through the CURRENT (dropped) schema, same as
+        every other metadata evolution."""
+        from pyspark.sql import types as T
+
+        if self._generic_entry(name) is None:
+            raise KeyError(f"{name!r} is not a generic manifested table")
+        with self._rewrite_lock(name):
+            self._generic.pop(name, None)  # re-read under the lock
+            entry = self._generic_entry(name)
+            schema = entry["schema"]
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise BadRequest(
+                    f"drop_table_column({name!r}): no column {col!r} "
+                    f"(have {names})"
+                )
+            if len(names) == 1:
+                raise BadRequest(
+                    f"drop_table_column({name!r}): cannot drop the last column"
+                )
+            mapping = dict(entry.get("mapping") or {})
+            if not mapping:
+                mapping = {n: n for n in names}
+            physical = mapping.pop(col, col)
+            new_schema = T.StructType(
+                [f for f in schema.fields if f.name != col]
+            )
+            meta_path = os.path.join(self._path(name), "_zest_meta.json")
+            meta = json.load(open(meta_path))
+            meta["schema"] = new_schema.jsonValue()
+            meta["column_mapping"] = mapping
+            meta["stats_cols"] = [
+                c for c in meta.get("stats_cols", ()) if c != col
+            ]
+            retired = list(meta.get("retired_physicals", []))
+            retired.append(physical)
+            meta["retired_physicals"] = retired
+            tmp_meta = f"{meta_path}.tmp.{os.getpid()}"
+            with open(tmp_meta, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp_meta, meta_path)
+            self._generic[name] = {
+                "schema": new_schema,
+                "stats_cols": tuple(meta["stats_cols"]),
+                "mapping": mapping,
+                "retired": tuple(retired),
+            }
             with self._reader_lock:
                 self._reader_cache.clear()
 
@@ -2034,6 +2104,12 @@ class ZestStore:
             inv = {p: l for l, p in mapping.items()}
             mins = {inv.get(c, c): v for c, v in mins.items()}
             maxs = {inv.get(c, c): v for c, v in maxs.items()}
+        if self._generic_entry(table) is not None:
+            # old manifests may carry stats for since-dropped columns'
+            # physicals — never leak those past the logical surface
+            logical = {f.name for f in self._generic[table]["schema"].fields}
+            mins = {c: v for c, v in mins.items() if c in logical}
+            maxs = {c: v for c, v in maxs.items() if c in logical}
         return {
             "version": snap.version,
             "n_files": len(snap.files),
