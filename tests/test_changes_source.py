@@ -259,3 +259,45 @@ def test_restore_commits_do_not_reenter_the_feed(spark, tmp_path):
     # and a window SPANNING the restore delivers only the new append
     parts = r.partitions({"version": 2}, {"version": 4})
     assert [p.series_id for p in parts] == ["b"]
+
+
+def test_unstamped_pinned_schema_resolves_by_name(spark, tmp_path):
+    """Pre-stamp checkpoints (pinned schemas without zest_physical
+    metadata) predate column mapping, so pinned logical names ARE the
+    physical names — the fallback must resolve BY NAME, not by
+    position (ADVICE r11: pin (doc_id, host, score), drop host →
+    positional matching would map pinned 'host' onto physical 'score'
+    and emit another column's data silently)."""
+    from zestdb_spark.storage import ZestStore
+
+    store = ZestStore(spark, str(tmp_path / "unstamped"))
+    store.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, 2, 3.0)], "doc_id long, host long, score double"
+        ),
+    )
+    root = os.path.join(store.root, "t")
+    # the pinned schema a pre-stamp checkpoint would carry: the full
+    # original column set, NO zest_physical metadata on any field
+    pinned = spark.createDataFrame(
+        [], "doc_id long, host long, score double"
+    ).schema
+    assert all("zest_physical" not in (f.metadata or {}) for f in pinned.fields)
+
+    store.drop_table_column("t", "host")
+    r = ZestChangesStreamReader({"root": root}, pinned_schema=pinned)
+    # identity resolution for every pinned name — including the one
+    # no longer in the current meta (its physical files still carry it)
+    assert r.mapping == {
+        "doc_id": "doc_id",
+        "host": "host",
+        "score": "score",
+    }
+
+    # and after a post-drop RENAME of a surviving column, the pinned
+    # (pre-mapping) name still resolves to itself, not to the new
+    # logical name's physical slot
+    store.rename_table_column("t", "score", "quality")
+    r2 = ZestChangesStreamReader({"root": root}, pinned_schema=pinned)
+    assert r2.mapping["score"] == "score"

@@ -709,6 +709,22 @@ def test_merge_table_with_map_columns(spark, store):
         store.merge_table("mapped", ambiguous, key_cols=("doc_id",))
     with pytest.raises(BadRequest, match="map-typed"):
         store.merge_table("mapped", dup_rows, key_cols=("props",))
+    # ADVICE r11: non-map columns keep NATIVE distinct semantics (only
+    # the map columns go through the lossy JSON image) — 0.0 and -0.0
+    # are one resent row exactly as in the map-free branch, not an
+    # ambiguous pair the JSON print happened to keep apart...
+    signed_zero = spark.createDataFrame(
+        [(8, {"k": "z"}, 0.0), (8, {"k": "z"}, -0.0)],
+        "doc_id long, props map<string,string>, score double",
+    )
+    assert store.merge_table("mapped", signed_zero, key_cols=("doc_id",)) == 1
+    # ...while NaN vs NULL stay genuinely distinct and trip ambiguity
+    nan_null = spark.createDataFrame(
+        [(9, {"k": "n"}, float("nan")), (9, {"k": "n"}, None)],
+        "doc_id long, props map<string,string>, score double",
+    )
+    with pytest.raises(BadRequest, match="multiple DIFFERENT rows"):
+        store.merge_table("mapped", nan_null, key_cols=("doc_id",))
 
 
 def test_schema_evolution_idempotent_readd(spark, store):

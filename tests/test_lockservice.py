@@ -268,6 +268,7 @@ def test_assert_held_scoped_to_acquiring_thread(server, tmp_path):
     thread of the same process never staked anything on the lease (it
     serializes through the publish CAS) and proceeds untouched."""
     import threading
+    import warnings
 
     lock = str(tmp_path / "scoped.lock")
     holder = ServiceCoordinator(server.addr, lease_s=0.4)
@@ -283,12 +284,18 @@ def test_assert_held_scoped_to_acquiring_thread(server, tmp_path):
     # acquiring thread (this one): blocked at the commit boundary
     with pytest.raises(coordination.LeaseLost):
         holder.assert_held(lock)
-    # any OTHER thread of the same process: not blocked
+    # any OTHER thread of the same process: not blocked, but the
+    # degradation is LOUD (ADVICE r11) — a RuntimeWarning flags that
+    # the lost-lease abort did not apply to this caller
     errs: list[BaseException] = []
+    warns: list[warnings.WarningMessage] = []
 
     def other_thread_commit():
         try:
-            holder.assert_held(lock)
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                holder.assert_held(lock)
+            warns.extend(w)
         except BaseException as e:  # pragma: no cover - failure path
             errs.append(e)
 
@@ -296,6 +303,9 @@ def test_assert_held_scoped_to_acquiring_thread(server, tmp_path):
     t.start()
     t.join()
     assert not errs, f"unrelated thread was aborted: {errs}"
+    assert any(
+        issubclass(w.category, RuntimeWarning) for w in warns
+    ), "cross-thread assert_held must warn that the abort did not apply"
     holder.remove(lock)
 
 

@@ -645,7 +645,14 @@ def decode_media(payload: bytes, mime: str | None = None) -> dict:
             except UnsupportedMedia:
                 raise
             except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
-                raise UnsupportedMedia(f"malformed {dec.__name__[7:]} payload: {e}") from e
+                # name the format, whatever the handler's prefix is
+                # (decode_wav → "wav", parse_mp3 → "mp3")
+                fmt = dec.__name__.removeprefix("decode_").removeprefix(
+                    "parse_"
+                )
+                raise UnsupportedMedia(
+                    f"malformed {fmt} payload: {e}"
+                ) from e
     raise UnsupportedMedia(
         f"undecodable payload (mime={mime!r}); sample/pixel decode "
         "beyond the WAV/BMP/Netpbm/PNG/JPEG subset needs codec libs "

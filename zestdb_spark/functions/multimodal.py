@@ -2,13 +2,16 @@
 payloads with typed metadata (schema.MEDIA_ASSETS).
 
 Extension beyond the reference surface (nearest analogue: the binary
-KV store, src/server.re:751-756). The Spark-side plumbing — schema,
-partition-parallel batch processing via mapInPandas, Arrow batch
-shapes — is real and tested; the actual media DECODE step is stubbed
-(image/audio libraries are not in this container): ``decode_media``
-raises NotImplementedError, and ``extract_features`` computes
-deterministic byte-level features instead, so the pipeline shape is
-verifiable end-to-end.
+KV store, src/server.re:751-756). Both tiers are real and tested:
+the Spark-side plumbing (schema, partition-parallel batch processing
+via mapInPandas, Arrow batch shapes) AND the decode step itself for
+the dependency-free subset — WAV PCM, BMP, Netpbm, 8-bit PNG, and
+baseline+progressive JPEG are decoded to pixels/samples by pure
+numpy+stdlib codecs, and MP3/MP4 yield container metadata (see
+functions/media_codecs.py and functions/jpeg_codec.py, golden-pinned
+and fuzzed in tests/test_media_codecs.py, tests/test_jpeg_codec.py).
+Formats beyond that subset (video sample decode, exotic image
+formats) raise media_codecs.UnsupportedMedia.
 
 At 100 TB: payloads live in the parquet files (or as object-store
 pointers in a `uri` column); mapInPandas streams Arrow batches so one
@@ -43,8 +46,10 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_media(payload: bytes, mime: str):
     """Real media decode for the dependency-free subset — WAV PCM, BMP,
-    Netpbm, 8-bit PNG (functions/media_codecs.py; pure numpy+stdlib).
-    Formats that genuinely need codec libraries (JPEG/MP3/video) raise
+    Netpbm, 8-bit PNG, and baseline+progressive JPEG (pixel decode via
+    functions/jpeg_codec.py), plus MP3/MP4 container metadata — all
+    pure numpy+stdlib (functions/media_codecs.py has the dispatch).
+    Formats beyond that subset (video sample decode) raise
     media_codecs.UnsupportedMedia."""
     from zestdb_spark.functions import media_codecs
 
@@ -53,10 +58,11 @@ def decode_media(payload: bytes, mime: str):
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """Per-asset feature extraction over Arrow batches (mapInPandas):
-    (asset_id, kind, byte_len, head_hex). byte_len/head_hex stand in
-    for decoded width/height/duration until decode_media is real —
-    the batch shape, schema contract, and partition parallelism are
-    exactly what a real decoder plugs into."""
+    (asset_id, kind, byte_len, head_hex) — cheap byte-level features
+    that need no decode (useful for triage/sharding of undecodable or
+    mixed corpora). For decoded width/height/duration features use
+    ``decode_features``, which runs media_codecs.decode_media over
+    the same batch shape."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -166,10 +166,13 @@ class ServiceCoordinator:
     def __init__(self, addr: tuple[str, int], lease_s: float = 30.0) -> None:
         self.addr = (addr[0], int(addr[1]))
         self.lease_s = float(lease_s)
-        # path -> (token, stop heartbeating, lease provably lost)
-        #: path -> (token, stop, lost-latch, acquiring thread ident)
+        #: path -> (token, stop heartbeating, lost-latch, acquiring
+        #: thread ident, last_ok one-slot renewal-stamp box); remove()
+        #: and assert_held() unpack this shape positionally — keep the
+        #: annotation in lockstep with acquire()'s store
         self._tokens: dict[
-            str, tuple[str, threading.Event, threading.Event, int]
+            str,
+            tuple[str, threading.Event, threading.Event, int, list],
         ] = {}
 
     @staticmethod
@@ -335,8 +338,24 @@ class ServiceCoordinator:
         # scoped to the acquiring thread: only the context that took
         # the mutex staked its commit on the lease; unrelated lock-free
         # appends in the same process serialize through the publish
-        # CAS and proceed (ADVICE r10)
+        # CAS and proceed (ADVICE r10). That inference is only safe
+        # for lock-FREE paths — a holder that acquires in one thread
+        # and commits from another (thread pool, streaming callback)
+        # would silently skip the lost-lease abort, so make the
+        # degradation loud instead of silent (ADVICE r11): today's
+        # only mutex commit path (_rewrite_lock) is same-thread, so
+        # any cross-thread hit is an unreviewed new caller.
         if owner_thread != threading.get_ident():
+            import warnings
+
+            warnings.warn(
+                f"assert_held({path!r}) called from a thread other "
+                "than the acquiring thread; the lost-lease abort does "
+                "not apply. If this commit relies on the mutex, pass "
+                "the commit through the acquiring thread.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return
         stale = time.monotonic() - last_ok[0] >= self._trust_deadline()
         if lost.is_set() or stale:

@@ -140,18 +140,20 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                 # metadata (stamped by schema() at plan time), so the
                 # stream resolves itself — correct across any later
                 # rename or drop. Fallback for pinned schemas without
-                # the stamp (pre-round-11 checkpoints): positional
-                # correspondence through the current meta, which holds
-                # as long as no column was dropped since the pin.
-                cur_fields = [f["name"] for f in self.meta_json["fields"]]
+                # the stamp (pre-stamp checkpoints): resolve BY NAME
+                # through the current meta. Unstamped checkpoints
+                # predate column mapping entirely, so the pinned
+                # logical name IS the physical name — identity holds
+                # for every such table, including ones later renamed
+                # or dropped (a positional match would silently remap
+                # a pinned column onto a neighbour after a drop).
                 cur_map, self.mapping = self.mapping, {}
-                for i, f in enumerate(pinned_schema.fields):
+                for f in pinned_schema.fields:
                     md = f.metadata or {}
                     if "zest_physical" in md:
                         self.mapping[f.name] = md["zest_physical"]
                         continue
-                    cur = cur_fields[i] if i < len(cur_fields) else f.name
-                    self.mapping[f.name] = cur_map.get(cur, cur)
+                    self.mapping[f.name] = cur_map.get(f.name, f.name)
                 self.meta_json = pinned_schema.jsonValue()
             self.cols = tuple(f["name"] for f in self.meta_json["fields"])
         else:

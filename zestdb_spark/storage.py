@@ -869,24 +869,39 @@ class ZestStore:
         #
         # Spark forbids set operations (distinct/groupBy/join keys) on
         # MapType columns, including maps nested in structs/arrays. A
-        # schema containing maps dedupes by a serialized row image
-        # instead: to_json(struct(*)) is stable for identical rows (a
-        # re-sent row serializes identically), and two logically-equal
-        # maps that differ only in physical key order conservatively
-        # stay distinct — they then trip the ambiguity check below
-        # rather than silently collapsing. Keys themselves may never be
-        # map-typed (no equality), checked up front.
+        # schema containing maps dedupes on the NON-map columns
+        # natively plus a serialized image of ONLY the map-typed
+        # columns (ADVICE r11): a whole-row to_json image would let
+        # two genuinely distinct rows whose JSON prints coincide
+        # (0.0 vs -0.0, NaN) collapse to one arbitrary row — the
+        # partition-order-dependent outcome the ambiguity check below
+        # exists to prevent. Restricting the lossy image to the map
+        # columns keeps every other column on Spark's native distinct
+        # semantics (the same semantics the map-free branch gets).
+        # Two logically-equal maps that differ only in physical key
+        # order conservatively stay distinct — they then trip the
+        # ambiguity check rather than silently collapsing. Keys
+        # themselves may never be map-typed (no equality), checked up
+        # front.
         if any(_type_has_map(schema[k].dataType) for k in key_cols):
             raise BadRequest(
                 f"merge_table({name!r}): key_cols may not be (or "
                 "contain) map-typed columns — maps have no equality"
             )
-        if any(_type_has_map(f.dataType) for f in schema.fields):
-            row_img = F.to_json(F.struct(*[F.col(c) for c in names]))
+        map_cols = [
+            f.name for f in schema.fields if _type_has_map(f.dataType)
+        ]
+        if map_cols:
+            imgs = [
+                F.to_json(F.col(c)).alias(f"__zest_img_{c}")
+                for c in map_cols
+            ]
+            img_names = [f"__zest_img_{c}" for c in map_cols]
+            non_map = [c for c in names if c not in map_cols]
             updates = (
-                updates.withColumn("__zest_row_img", row_img)
-                .dropDuplicates(["__zest_row_img"])
-                .drop("__zest_row_img")
+                updates.select("*", *imgs)
+                .dropDuplicates(non_map + img_names)
+                .drop(*img_names)
                 .persist()
             )
         else:
