@@ -312,6 +312,54 @@ def _tbl_generic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.load("corpus_docs")
 
 
+def _tbl_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-ADDITIVE schema evolution under the correctness gate
+    (VERDICT r11 #3 — the round-11 flagship surface, previously
+    pytest-only): the full lifecycle CREATE → APPEND → RENAME COLUMN
+    (Delta-style column mapping: logical name changes, the physical
+    name in every written file is immutable, zero rewrite) → lossless
+    type WIDENING int→bigint (pure metadata; old int32 files read
+    through the wider pinned schema) → DROP COLUMN (mapping tombstone
+    + retired-physical list, zero rewrite) → APPEND under the evolved
+    schema. The read-back must equal the plain documents projection
+    in the EVOLVED shape — evolution changes metadata, never data.
+    (storage.py rename_table_column/drop_table_column/
+    evolve_table_schema; the reference's store is a git repo where
+    history is immutable the same way — src/timeseries/shard.re:3-14.)
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from zestdb_spark.storage import ZestStore
+
+    store = ZestStore(spark, tempfile.mkdtemp(prefix="zest_evo_"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.length("text") % 1000).cast("int").alias("quality"),
+    )
+    store.create_table(
+        "evo", docs.filter(F.col("doc_id") % 3 == 0), stats_cols=("doc_id",)
+    )
+    store.append_table("evo", docs.filter(F.col("doc_id") % 3 == 1))
+    store.rename_table_column("evo", "quality", "score")
+    store.evolve_table_schema("evo", [T.StructField("score", T.LongType())])
+    store.drop_table_column("evo", "source")
+    # the last third lands AFTER the rename/widen/drop, written with
+    # the evolved logical names (the write path maps them back to the
+    # immutable physical names)
+    store.append_table(
+        "evo",
+        docs.filter(F.col("doc_id") % 3 == 2).select(
+            "doc_id", "lang", F.col("quality").cast("long").alias("score")
+        ),
+    )
+    return store.load("evo")
+
+
 def _snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed MERGE (upsert) under the correctness gate: bulk-ingest the
     events mapping, then merge an update batch — the Jan-10..15
@@ -953,6 +1001,14 @@ _KV_SQL = {
     # only), so the merged table is exactly updates ∪ complement
     "tbl_generic_roundtrip": """
       SELECT doc_id, lang, source, len(text) AS text_len FROM documents
+    """,
+    # non-additive evolution (rename → widen → drop → post-evolution
+    # append) is metadata-only: the read-back equals the plain
+    # projection in the EVOLVED shape, regardless of which side of the
+    # evolution each file was written on
+    "tbl_column_evolution": """
+      SELECT doc_id, lang, CAST(len(text) % 1000 AS BIGINT) AS score
+      FROM documents
     """,
     "snap_merge": f"""
       WITH ts AS ({fixtures.TS_NUMERIC_FROM_EVENTS_SQL}),
@@ -3919,6 +3975,15 @@ GRADED_WINDOW: list[str] = [
     # DML (create/append/Z-ORDER OPTIMIZE round-trip through the
     # store, tbl_generic_roundtrip) — carries DIRECT driver evidence
     "ts_latest_multi", "kv_del_roundtrip", "tbl_generic_roundtrip",
+    # Round-12 swap: kv_read (S4 — the family keeps kv_keys/kv_count
+    # graded, and kv_del_roundtrip both writes AND reads back json KV
+    # entries, so the read shape keeps direct driver evidence; the row
+    # stays oracle-exact in selfcheck) demoted to the tail so the
+    # round-11 flagship surface — NON-ADDITIVE schema evolution via
+    # column mapping (tbl_column_evolution: create → append → rename →
+    # widen → drop → post-evolution append round-trip) — carries
+    # DIRECT driver evidence (VERDICT r11 #3)
+    "tbl_column_evolution",
     "ts_since", "snap_time_travel",
     "filter_equals", "observe_roundtrip",
     # A3 min / A4 max demoted to the tail (still selfcheck-exact; the
@@ -3958,7 +4023,7 @@ GRADED_WINDOW: list[str] = [
     # graded) demoted for wire_roundtrip, so the new ZMTP transport
     # (REQ/REP + ROUTER/DEALER over TCP, the last missing reference
     # surface minus Curve crypto) carries DIRECT driver evidence
-    "kv_keys", "kv_count", "kv_read", "wire_roundtrip",
+    "kv_keys", "kv_count", "wire_roundtrip",
     "catalog_get", "sql_front_end_last_n", "zestql_front_end_sum",
     # write-side provenance + the zest_tail pushdown source (write surface
     # and custom-scan surface, both driver-graded)
@@ -4048,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["snap_pruned_read"] = _snap_pruned_read
     out["snap_merge"] = _snap_merge
     out["tbl_generic_roundtrip"] = _tbl_generic_roundtrip
+    out["tbl_column_evolution"] = _tbl_column_evolution
     out["snap_clone"] = _snap_clone
     out["snap_changes"] = _snap_changes
     out["stream_changes_roundtrip"] = _stream_changes_roundtrip
