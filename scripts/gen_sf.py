@@ -33,7 +33,25 @@ Everything is pure pyarrow+numpy (no Spark, no RNG — all perturbations
 are closed-form in (row key, copy)). Output dir default
 /tmp/zest_sf1; regenerate any time with:
 
-    python scripts/gen_sf.py [out_dir] [copies]
+    python scripts/gen_sf.py [out_dir] [copies] [--skew]
+
+``--skew`` (VERDICT r11 #1) keeps the same volume but Zipf-ifies the
+hot keys real crawl data skews on — the uniform twin validates volume
+scaling, this twin validates distribution:
+
+- ``events``: copies 1-3 force event_type='click' → one series holds
+  ~44% of all rows (window-partition hot key for sessionize and the
+  per-series top-k reads).
+- ``lineitem``: copies 1-3 force l_returnflag='N' → the li_N series
+  holds ~55% of rows (the salted top-k's target shape).
+- ``documents``: copy 1's first SKEW_HOT_DOCS docs become near-copies
+  of one base document (full base text + one unique trailing token) —
+  one ~800-doc near-dup clique = one hot LSH bucket in every band and
+  one giant connected component for keep_canonical.
+- ``embeddings``: copy 1's first SKEW_HOT_VECS vectors become tiny
+  closed-form perturbations of one base vector — one IVF mega-cell
+  with ~5000 mutually-near-duplicate members for SemDeDup's in-cell
+  quadratic kernel.
 """
 
 from __future__ import annotations
@@ -48,6 +66,14 @@ import pyarrow.parquet as pq
 
 SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
 KEY_OFFSET = 10_000_000
+
+#: --skew knobs: hot-clique/mega-cell sizes chosen so the QUADRATIC
+#: output they imply stays collectable (800 near-dup docs → ~320k
+#: pairs; 5000 near-dup vectors → 12.5M in-cell cosine pairs through
+#: the Arrow kernel) while still being ~10^3x the median cluster size.
+SKEW_HOT_DOCS = 800
+SKEW_HOT_VECS = 5000
+SKEW_HOT_COPIES = (1, 2, 3)  # copies whose key column collapses to one value
 
 
 def _copies_concat(tables: list[pa.Table]) -> pa.Table:

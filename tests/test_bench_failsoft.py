@@ -23,7 +23,7 @@ def test_run_pass_records_error_and_continues(spark, tmp_path):
         return s.range(1)
 
     qs = {"ok": ok, "boom": boom, "late": late}
-    timings, errors = bench.run_pass(
+    timings, errors, exec_timings = bench.run_pass(
         spark, qs, ["ok", "boom", "late"], str(tmp_path), runs=1
     )
     assert isinstance(timings["ok"], float)
@@ -31,6 +31,7 @@ def test_run_pass_records_error_and_continues(spark, tmp_path):
     assert "late" in calls
     assert timings["boom"] == {"err": errors["boom"]}
     assert "RuntimeError" in errors["boom"]
+    assert exec_timings == {}  # no PRECOLLECT_TWINS in this suite
     # the suite total in main() sums only the float slots — mirror that
     total = sum(t for t in timings.values() if isinstance(t, float))
     assert total >= 0.0
@@ -52,3 +53,16 @@ def test_composite_is_per_query_min_across_passes():
         ]
         composite[name] = min(vals) if vals else passes[-1]["sec"][name]
     assert composite == {"a": 1.5, "b": 3.0, "c": {"err": "y"}}
+
+
+def test_precollect_twin_records_exec_sec(spark, tmp_path, monkeypatch):
+    """Rows in PRECOLLECT_TWINS get a count()-terminated execution twin
+    so the artifact separates operator cost from result transfer."""
+    monkeypatch.setattr(bench, "PRECOLLECT_TWINS", ("big",))
+    qs = {"big": lambda s, d: s.range(10)}
+    timings, errors, exec_timings = bench.run_pass(
+        spark, qs, ["big"], str(tmp_path), runs=1
+    )
+    assert isinstance(timings["big"], float)
+    assert isinstance(exec_timings["big"], float)
+    assert not errors

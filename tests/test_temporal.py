@@ -70,6 +70,43 @@ def test_sessionize_gap_breaks(spark):
     assert out[("t", 0)] == 0
 
 
+def test_sessionize_chunked_matches_classic(spark):
+    """The parallel chunked formulation must be BIT-IDENTICAL to the
+    classic key-partitioned window for every chunk width — boundary
+    gaps, boundary continuations, equal-timestamp ties, pre-1970
+    timestamps, and multi-key interleaving all included."""
+    import random
+
+    from zestdb_spark.schema import TS_NUMERIC
+
+    rng = random.Random(7)
+    rows = []
+    for key in ("a", "b", "hot"):
+        t = -50_000  # pre-1970 start exercises floor chunking
+        n = 400 if key == "hot" else 60
+        for i in range(n):
+            # mix sub-gap steps, exact-gap steps (NOT a break: the
+            # contract is strict >), breaks, and repeated timestamps
+            step = rng.choice([0, 500, 10_000, 10_001, 60_000])
+            t += step
+            rows.append((key, t, float(i), None, None))
+    df = spark.createDataFrame(rows, TS_NUMERIC)
+    classic = {
+        (r["series_id"], r["timestamp"], r["value"]): r["session_id"]
+        for r in temporal.sessionize(df, gap_ms=10_000).collect()
+    }
+    for chunk_ms in (1, 7_000, 10_000, 100_000, 10**12):
+        got = {
+            (r["series_id"], r["timestamp"], r["value"]): r["session_id"]
+            for r in temporal.sessionize(
+                df, gap_ms=10_000, chunk_ms=chunk_ms
+            ).collect()
+        }
+        assert got == classic, f"chunk_ms={chunk_ms} diverged"
+    with pytest.raises(ValueError, match="chunk_ms"):
+        temporal.sessionize(df, gap_ms=10_000, chunk_ms=0)
+
+
 def test_session_stats(spark):
     from zestdb_spark.schema import TS_NUMERIC
 

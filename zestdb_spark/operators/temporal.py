@@ -96,6 +96,7 @@ def sessionize(
     gap_ms: int,
     on: str = "timestamp",
     by: Sequence[str] = ("series_id",),
+    chunk_ms: "int | None" = None,
 ) -> DataFrame:
     """Assign gap-based session ids per key: a new session starts when
     the time since the previous row (same key) exceeds ``gap_ms``.
@@ -103,20 +104,100 @@ def sessionize(
 
     Deterministic tie handling: rows are ordered by (on, all other
     columns) so equal-timestamp rows sessionize identically every run.
+
+    ``chunk_ms`` turns on the PARALLEL formulation (bit-identical
+    session ids). Sessionization is a per-key prefix scan, so the
+    classic lag+cumsum plan partitions the window by the key alone —
+    with a handful of hot keys (event types, a few big tenants) that
+    caps parallelism at the key count no matter the cluster size, the
+    low-cardinality twin of the skew problem. Chunking splits every
+    key's timeline into fixed ``chunk_ms`` buckets and stitches at the
+    boundaries:
+
+    1. per (key, chunk): the usual lag + gap-flag window — but
+       partitioned keys×chunks wide;
+    2. a TINY per-chunk summary (first/last timestamp, #in-chunk
+       breaks) gets one window pass over chunks-per-key rows to turn
+       boundary gaps into per-chunk session-id offsets — prefix-sum
+       stitching, O(keys·chunks) not O(rows);
+    3. broadcast the offsets back; session_id = offset + in-chunk
+       running break count.
+
+    Chunk assignment depends only on ``on`` (true floor bucketing, so
+    pre-1970 rows chunk consistently), and the in-chunk order is the
+    global order restricted to the chunk — equal-timestamp ties can
+    never straddle a boundary. The flagged frame is persisted: the
+    summary and the final pass both read it, and re-deriving it would
+    re-shuffle the full input twice. At 100 TB pick ``chunk_ms`` so a
+    key's chunk holds ~10⁶ rows; parallelism is then rows-bound, not
+    key-bound.
     """
     by = list(by)
     others = [c for c in df.columns if c not in by and c != on]
     order = [F.col(on).asc()] + [F.col(c).asc_nulls_first() for c in others]
-    w = Window.partitionBy(*by).orderBy(*order)
-    gap_break = (
-        F.when(
-            F.col(on) - F.lag(on, 1).over(w) > gap_ms, F.lit(1)
-        ).otherwise(F.lit(0))
+    if chunk_ms is None:
+        w = Window.partitionBy(*by).orderBy(*order)
+        gap_break = (
+            F.when(
+                F.col(on) - F.lag(on, 1).over(w) > gap_ms, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        return df.withColumn(
+            "session_id",
+            F.sum(gap_break)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    if chunk_ms <= 0:
+        raise ValueError(f"sessionize: chunk_ms must be positive, got {chunk_ms}")
+    chunk = (F.col(on) - F.pmod(F.col(on), F.lit(chunk_ms))).alias("__zchunk")
+    wc = Window.partitionBy(*by, "__zchunk").orderBy(*order)
+    flagged = (
+        df.withColumn("__zchunk", chunk)
+        .withColumn(
+            "__zbreak",
+            F.when(
+                F.col(on) - F.lag(on, 1).over(wc) > gap_ms, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .persist()
     )
-    return df.withColumn(
+    # per-(key, chunk) summary: keys×chunks rows, tiny by construction
+    summary = flagged.groupBy(*by, "__zchunk").agg(
+        F.min(on).alias("__zfirst"),
+        F.max(on).alias("__zlast"),
+        F.sum("__zbreak").alias("__zwb"),
+    )
+    ws = Window.partitionBy(*by).orderBy(F.col("__zchunk").asc())
+    prev_last = F.lag("__zlast", 1).over(ws)
+    # boundary between chunk c-1 and c: does c's first row open a new
+    # session? (the key's first chunk never does — lag is NULL)
+    chunk_break = F.when(
+        F.col("__zfirst") - prev_last > gap_ms, F.lit(1)
+    ).otherwise(F.lit(0))
+    offsets = summary.select(
+        *by,
+        "__zchunk",
+        (
+            F.sum(chunk_break).over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + F.coalesce(
+                F.sum("__zwb").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__zoffset"),
+    )
+    out = flagged.join(F.broadcast(offsets), [*by, "__zchunk"]).withColumn(
         "session_id",
-        F.sum(gap_break).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        (
+            F.col("__zoffset")
+            + F.sum("__zbreak").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+        ).cast("long"),
     )
+    return out.drop("__zchunk", "__zbreak", "__zoffset")
 
 
 def session_stats(
@@ -124,10 +205,12 @@ def session_stats(
     gap_ms: int,
     on: str = "timestamp",
     by: Sequence[str] = ("series_id",),
+    chunk_ms: "int | None" = None,
 ) -> DataFrame:
     """Per-session aggregates: (by…, session_id, n_rows, start_ms,
-    end_ms, duration_ms, sum_value)."""
-    s = sessionize(df, gap_ms, on, by)
+    end_ms, duration_ms, sum_value). ``chunk_ms`` selects sessionize's
+    parallel chunked formulation (same results)."""
+    s = sessionize(df, gap_ms, on, by, chunk_ms=chunk_ms)
     return s.groupBy(*by, "session_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(on).alias("start_ms"),

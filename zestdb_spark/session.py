@@ -35,6 +35,19 @@ def get_spark(app_name: str = "zestdb_spark", shuffle_partitions: int | None = N
         # cannot read as a timestamp; read the raw int64 nanos instead and
         # convert with integer division (see io/fixtures.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate clones the full generator expression
+        # into a pre-Generate Filter; with CodegenFallback higher-order
+        # array builders (every shingle/n-gram op) that re-runs the
+        # interpreted chain twice per row — measured 14x on a shingle
+        # explode. The inferred filter only skips zero-output rows, so
+        # excluding it is semantics-preserving (io/fixtures.py
+        # harden_session applies the same exclusion to vanilla driver
+        # sessions).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
