@@ -86,7 +86,7 @@ def _with_cols(t: pa.Table, **cols) -> pa.Table:
     return t
 
 
-def gen_documents(src: pa.Table, copies: int) -> pa.Table:
+def gen_documents(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     texts = src.column("text").to_pylist()
     out = [src]
     for c in range(1, copies):
@@ -94,6 +94,16 @@ def gen_documents(src: pa.Table, copies: int) -> pa.Table:
         new_texts = [
             " ".join(tok + suf for tok in txt.split(" ")) for txt in texts
         ]
+        if skew and c == 1:
+            # hot near-dup clique: the copy's first SKEW_HOT_DOCS docs
+            # all become base-doc + one unique trailing token — word
+            # 3-shingle Jaccard between any two ≈ n/(n+2) ≈ 0.96, so
+            # every LSH band buckets them together AND exact verify
+            # keeps the pairs (a real boilerplate cluster, not an
+            # adversarial hash collision)
+            base = new_texts[0]
+            for i in range(min(SKEW_HOT_DOCS, len(new_texts))):
+                new_texts[i] = f"{base} hot{i}{suf}"
         out.append(
             _with_cols(
                 src,
@@ -107,11 +117,24 @@ def gen_documents(src: pa.Table, copies: int) -> pa.Table:
     return _copies_concat(out)
 
 
-def gen_embeddings(src: pa.Table, copies: int) -> pa.Table:
+def gen_embeddings(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     vecs = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
     out = [src]
     for c in range(1, copies):
         rolled = np.roll(vecs, c, axis=1)
+        if skew and c == 1:
+            # IVF mega-cell: the copy's first SKEW_HOT_VECS vectors
+            # become closed-form micro-perturbations of one base
+            # vector (mutual cosines ≈ 1) — IVF assigns them all to
+            # one centroid and SemDeDup's per-cell kernel sees one
+            # ~n²/2-pair cell instead of uniform cells
+            n = min(SKEW_HOT_VECS, len(rolled))
+            d = rolled.shape[1]
+            base = rolled[0].copy()
+            hot = np.tile(base, (n, 1))
+            idx = np.arange(n) % d
+            hot[np.arange(n), idx] += (np.arange(n, dtype=np.float32) + 1.0) * 1e-3
+            rolled[:n] = hot
         out.append(
             _with_cols(
                 src,
@@ -125,18 +148,24 @@ def gen_embeddings(src: pa.Table, copies: int) -> pa.Table:
     return _copies_concat(out)
 
 
-def gen_lineitem(src: pa.Table, copies: int) -> pa.Table:
+def gen_lineitem(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     out = [src]
     for c in range(1, copies):
-        out.append(
-            _with_cols(
-                src, l_orderkey=pc.add(src.column("l_orderkey"), c * KEY_OFFSET)
-            )
+        t = _with_cols(
+            src, l_orderkey=pc.add(src.column("l_orderkey"), c * KEY_OFFSET)
         )
+        if skew and c in SKEW_HOT_COPIES:
+            # hot series: the li_N series ends up holding most rows —
+            # the per-series top-k / salted-window stress shape
+            t = _with_cols(
+                t,
+                l_returnflag=pa.array(["N"] * t.num_rows, pa.string()),
+            )
+        out.append(t)
     return _copies_concat(out)
 
 
-def gen_orders(src: pa.Table, copies: int) -> pa.Table:
+def gen_orders(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     out = [src]
     for c in range(1, copies):
         out.append(
@@ -147,7 +176,7 @@ def gen_orders(src: pa.Table, copies: int) -> pa.Table:
     return _copies_concat(out)
 
 
-def gen_events(src: pa.Table, copies: int) -> pa.Table:
+def gen_events(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     ts = src.column("ts")
     unit = ts.type.unit  # timestamp[us] in current testdata
     per_ms = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
@@ -156,13 +185,20 @@ def gen_events(src: pa.Table, copies: int) -> pa.Table:
     raw = ts.cast(pa.int64())
     out = [src]
     for c in range(1, copies):
-        out.append(
-            _with_cols(
-                src,
-                event_id=pc.add(src.column("event_id"), c * KEY_OFFSET),
-                ts=pc.add(raw, c * per_ms).cast(pa.timestamp(unit)),
-            )
+        t = _with_cols(
+            src,
+            event_id=pc.add(src.column("event_id"), c * KEY_OFFSET),
+            ts=pc.add(raw, c * per_ms).cast(pa.timestamp(unit)),
         )
+        if skew and c in SKEW_HOT_COPIES:
+            # hot series: 'click' ends up holding ~(1 + 4·|hot|/copies)
+            # /5 of all rows — the window-partition hot key for
+            # sessionize and the per-series reads
+            t = _with_cols(
+                t,
+                event_type=pa.array(["click"] * t.num_rows, pa.string()),
+            )
+        out.append(t)
     return _copies_concat(out)
 
 
@@ -178,8 +214,10 @@ _VERBATIM = ("region", "nation", "customer", "supplier", "part")
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/zest_sf1"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    out_dir = args[0] if args else ("/tmp/zest_sf1skew" if skew else "/tmp/zest_sf1")
+    copies = int(args[1]) if len(args) > 1 else 10
     os.makedirs(out_dir, exist_ok=True)
     for name in _VERBATIM:
         src = pq.read_table(f"{SRC}/{name}.parquet")
@@ -187,11 +225,12 @@ def main() -> None:
         print(f"{name}: {src.num_rows} rows (verbatim)")
     for name, gen in _GENERATORS.items():
         src = pq.read_table(f"{SRC}/{name}.parquet")
-        big = gen(src, copies)
+        big = gen(src, copies, skew=skew)
         # row groups sized like the source so Spark's split planning
         # sees comparable granularity per byte
         pq.write_table(big, f"{out_dir}/{name}.parquet", row_group_size=1 << 20)
-        print(f"{name}: {src.num_rows} -> {big.num_rows} rows")
+        print(f"{name}: {src.num_rows} -> {big.num_rows} rows"
+              + (" (skewed)" if skew else ""))
 
 
 if __name__ == "__main__":
