@@ -133,11 +133,15 @@ def build_session(master: str, cores_total: int, executor_mem: str):
     )
     if master.startswith("spark://"):
         # one executor per worker: all of a worker's cores, real
-        # cross-JVM shuffle between the two
+        # cross-JVM shuffle between the two. Executor Python workers
+        # are fresh processes — ship the repo root so mapInPandas
+        # kernels can import zestdb_spark.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         b = (
             b.config("spark.executor.memory", executor_mem)
             .config("spark.executor.cores", str(cores_total // 2))
             .config("spark.driver.memory", "8g")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
         )
     else:
         b = b.config("spark.driver.memory", "16g")

@@ -309,3 +309,141 @@ def test_decode_media_dispatches_containers():
     v = mc.decode_media(mc.encode_mp4_meta(500), None)
     assert a["kind"] == "audio" and a["n_frames"] == 2
     assert v["kind"] == "video" and v["duration_ms"] == 500
+
+
+# ------------------------------------------------------------------ FLAC
+
+
+def _flac_decode_channels(payload):
+    """Decode and return per-channel int sample lists (test shim over
+    the frame walk, so losslessness is checked sample-exact)."""
+    import numpy as np
+
+    pos = 4
+    last = False
+    info = None
+    while not last:
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0:
+            sb = mc._Bits(payload[pos + 4 : pos + 4 + size])
+            sb.take(16); sb.take(16); sb.take(24); sb.take(24)
+            info = {
+                "rate": sb.take(20),
+                "n_channels": sb.take(3) + 1,
+                "bits": sb.take(5) + 1,
+                "total": sb.take(36),
+            }
+        pos += 4 + size
+    b = mc._Bits(payload, pos * 8)
+    chans = [[] for _ in range(info["n_channels"])]
+    while True:
+        f = mc._flac_frame(b, info)
+        if f is None:
+            break
+        for acc, c in zip(chans, f):
+            acc.extend(c)
+        if len(chans[0]) >= info["total"]:
+            break
+    return [c[: info["total"]] for c in chans]
+
+
+def _saw(n, lo=-400, hi=400, step=7):
+    out, v = [], lo
+    for _ in range(n):
+        out.append(v)
+        v += step
+        if v > hi:
+            v = lo
+    return out
+
+
+def test_flac_roundtrip_is_lossless_fixed_and_verbatim():
+    """FLAC is lossless by definition — decode(encode(x)) must equal x
+    SAMPLE-EXACT for every subframe type the encoder emits."""
+    mono = _saw(1000)
+    for sub in ("fixed2", "verbatim"):
+        p = mc.encode_flac([mono], 8000, bits=16, blocksize=256, subframe=sub)
+        assert _flac_decode_channels(p) == [mono], sub
+    # multi-frame + non-dividing tail block
+    p = mc.encode_flac([mono], 8000, bits=16, blocksize=192)
+    assert _flac_decode_channels(p) == [mono]
+
+
+def test_flac_stereo_decorrelation_modes():
+    left = _saw(500, step=11)
+    right = [l - (i % 17) for i, l in enumerate(left)]
+    for mode in ("left_side", "mid_side", "independent"):
+        p = mc.encode_flac(
+            [left, right], 44100, bits=16, blocksize=250, stereo=mode
+        )
+        assert _flac_decode_channels(p) == [left, right], mode
+
+
+def test_flac_lpc_subframe_roundtrip():
+    """LPC path: order-2 coefficients with a fractional shift — the
+    prediction truncates, so the residual arithmetic must line up
+    bit-exactly for the round-trip to hold."""
+    x = _saw(700, lo=-1000, hi=1000, step=13)
+    p = mc.encode_flac([x], 22050, blocksize=350, subframe="lpc2")
+    assert _flac_decode_channels(p) == [x]
+    # and through the stats front door
+    assert mc.decode_flac(p)["n_samples"] == 700
+
+
+def test_flac_rice_partitions_and_params():
+    x = _saw(1024, step=3)
+    for porder in (0, 1, 2, 4):
+        for param in (0, 2, 6):
+            p = mc.encode_flac(
+                [x], 16000, blocksize=512,
+                rice_param=param, partition_order=porder,
+            )
+            assert _flac_decode_channels(p) == [x], (porder, param)
+
+
+def test_flac_stats_shape_matches_wav_contract():
+    x = _saw(2000)
+    p = mc.encode_flac([x], 8000, blocksize=1024)
+    got = mc.decode_flac(p)
+    assert got["kind"] == "audio"
+    assert got["sample_rate"] == 8000
+    assert got["n_channels"] == 1
+    assert got["n_samples"] == 2000
+    assert got["duration_ms"] == 250
+    import numpy as np
+
+    xx = np.asarray(x, dtype=np.float64)
+    assert got["peak"] == float(np.abs(xx).max())
+    assert got["rms"] == pytest.approx(float(np.sqrt(np.mean(xx * xx))))
+    # dispatch: magic bytes win
+    assert mc.decode_media(p)["n_samples"] == 2000
+
+
+def test_flac_malformed_is_typed():
+    x = _saw(300)
+    p = mc.encode_flac([x], 8000, blocksize=300)
+    # truncations at every tenth byte must raise the ONE typed error
+    for cut in range(5, len(p), max(len(p) // 40, 1)):
+        try:
+            mc.decode_flac(p[:cut])
+        except mc.UnsupportedMedia:
+            pass  # the contract
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"cut={cut}: {type(e).__name__}: {e}") from e
+    # bit flips in the frame section: typed error or a clean decode
+    # (stats decode skips CRCs, so SOME flips decode to other values —
+    # they must never escape as IndexError/struct.error/etc.)
+    body = bytearray(p)
+    for i in range(40, len(body), max(len(body) // 60, 1)):
+        mut = bytearray(body)
+        mut[i] ^= 0x40
+        try:
+            mc.decode_flac(bytes(mut))
+        except mc.UnsupportedMedia:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"flip@{i}: {type(e).__name__}: {e}") from e
+    with pytest.raises(mc.UnsupportedMedia, match="not a FLAC"):
+        mc.decode_flac(b"fLaX" + p[4:])

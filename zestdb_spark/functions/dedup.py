@@ -68,8 +68,17 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(out)
     while len(_PERSISTED) > _PERSISTED_CAP:
+        old = _PERSISTED.pop(0)
         try:
-            _PERSISTED.pop(0).unpersist()
+            # Spark's cache manager keys on the LOGICAL PLAN, so
+            # unpersisting an old frame also kills the cache entry a
+            # plan-equal NEWER frame relies on (repeated bench/grading
+            # cycles re-register the same plans; eager eviction made
+            # every third cycle rebuild the whole signature pipeline —
+            # the r12 cluster probe caught it as a phantom 4.8x).
+            # Evict only plans no longer registered.
+            if not any(old.sameSemantics(live) for live in _PERSISTED):
+                old.unpersist()
         except Exception:  # session gone / already unpersisted — harmless
             pass
     return out

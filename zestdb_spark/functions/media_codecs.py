@@ -1,9 +1,11 @@
 """Real media decoders, dependency-free (numpy + stdlib only).
 
 Round-1 shipped the multimodal plumbing with ``decode_media`` stubbed
-"until image/audio libraries appear". They haven't — but five useful
+"until image/audio libraries appear". They haven't — but six useful
 container formats need none: RIFF/WAV PCM, BMP (BI_RGB), Netpbm
 P5/P6, PNG (zlib IS in the stdlib; the filter pass is plain numpy),
+native FLAC (round 12 — Rice coding, fixed+LPC predictors, all four
+stereo decorrelation modes: pure integer spec arithmetic, RFC 9639),
 and JFIF JPEG — both sequential AND progressive (jpeg_codec.py —
 Huffman, the Annex-G refinement walks, and the IDCT are spec
 arithmetic, no codec library involved). These are complete decoders
@@ -352,6 +354,449 @@ _MP3_BITRATES = {
     (False, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
 }
 
+# ----------------------------------------------------------------- FLAC
+
+
+class _Bits:
+    """MSB-first bit reader over bytes (FLAC's bit order)."""
+
+    __slots__ = ("buf", "pos", "n")
+
+    def __init__(self, buf: bytes, bitpos: int = 0) -> None:
+        self.buf = buf
+        self.pos = bitpos
+        self.n = len(buf) * 8
+
+    def take(self, k: int) -> int:
+        p = self.pos
+        if p + k > self.n:
+            raise UnsupportedMedia("truncated FLAC bitstream")
+        self.pos = p + k
+        v = 0
+        while k:
+            byte = self.buf[p >> 3]
+            avail = 8 - (p & 7)
+            use = min(avail, k)
+            v = (v << use) | ((byte >> (avail - use)) & ((1 << use) - 1))
+            p += use
+            k -= use
+        return v
+
+    def take_signed(self, k: int) -> int:
+        v = self.take(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while True:
+            if self.pos >= self.n:
+                raise UnsupportedMedia("truncated FLAC unary run")
+            if self.take(1):
+                return q
+            q += 1
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_FLAC_FIXED = {  # order -> prediction from the last <order> samples
+    0: lambda h: 0,
+    1: lambda h: h[-1],
+    2: lambda h: 2 * h[-1] - h[-2],
+    3: lambda h: 3 * h[-1] - 3 * h[-2] + h[-3],
+    4: lambda h: 4 * h[-1] - 6 * h[-2] + 4 * h[-3] - h[-4],
+}
+
+
+def _flac_residual(b: "_Bits", blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (both RICE and RICE2 methods,
+    including the escape-to-raw partitions)."""
+    method = b.take(2)
+    if method > 1:
+        raise UnsupportedMedia(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = b.take(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise UnsupportedMedia("FLAC partition order does not divide blocksize")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise UnsupportedMedia("FLAC partition shorter than predictor order")
+        param = b.take(pbits)
+        if param == escape:
+            raw = b.take(5)
+            for _ in range(count):
+                out.append(b.take_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = b.unary()
+                u = (q << param) | b.take(param)
+                out.append((u >> 1) ^ -(u & 1))  # unzigzag
+    return out
+
+
+def _flac_subframe(b: "_Bits", blocksize: int, bps: int) -> list[int]:
+    if b.take(1):
+        raise UnsupportedMedia("FLAC subframe padding bit set")
+    ftype = b.take(6)
+    wasted = 0
+    if b.take(1):  # wasted-bits-per-sample flag: unary count - 1
+        wasted = b.unary() + 1
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        v = b.take_signed(bps)
+        samples = [v] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [b.take_signed(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        samples = [b.take_signed(bps) for _ in range(order)]
+        res = _flac_residual(b, blocksize, order)
+        predict = _FLAC_FIXED[order]
+        for r in res:
+            samples.append(r + (predict(samples) if order else 0))
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        samples = [b.take_signed(bps) for _ in range(order)]
+        precision = b.take(4) + 1
+        if precision == 16:  # 0b1111 is invalid per spec
+            raise UnsupportedMedia("invalid FLAC LPC precision")
+        shift = b.take_signed(5)
+        coefs = [b.take_signed(precision) for _ in range(order)]
+        res = _flac_residual(b, blocksize, order)
+        for r in res:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * samples[-1 - j]
+            samples.append(r + (acc >> shift if shift >= 0 else acc << -shift))
+    else:
+        raise UnsupportedMedia(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_frame(b: "_Bits", info: dict) -> "list[list[int]] | None":
+    """One frame → per-channel sample lists (inter-channel
+    decorrelation undone). Returns None at clean EOF."""
+    b.align()
+    if b.pos >= b.n:
+        return None
+    if b.take(14) != 0b11111111111110:
+        raise UnsupportedMedia("lost FLAC frame sync")
+    b.take(1)  # reserved
+    b.take(1)  # blocking strategy
+    bs_code = b.take(4)
+    sr_code = b.take(4)
+    chan = b.take(4)
+    ss_code = b.take(3)
+    b.take(1)  # reserved
+    # UTF-8-style coded frame/sample number: lead byte gives length
+    lead = b.take(8)
+    extra = 0
+    while lead & (0x80 >> extra) and extra < 7:
+        extra += 1
+    if extra:
+        extra -= 1
+    for _ in range(extra):
+        b.take(8)
+    if bs_code == 0:
+        raise UnsupportedMedia("reserved FLAC block size code")
+    elif bs_code in _FLAC_BLOCKSIZES:
+        blocksize = _FLAC_BLOCKSIZES[bs_code]
+    elif bs_code == 6:
+        blocksize = b.take(8) + 1
+    elif bs_code == 7:
+        blocksize = b.take(16) + 1
+    else:
+        blocksize = 256 << (bs_code - 8)
+    if sr_code == 12:
+        b.take(8)
+    elif sr_code in (13, 14):
+        b.take(16)
+    elif sr_code == 15:
+        raise UnsupportedMedia("invalid FLAC sample rate code")
+    bps = info["bits"] if ss_code == 0 else _FLAC_BPS.get(ss_code)
+    if bps is None:
+        raise UnsupportedMedia("reserved FLAC sample size code")
+    b.take(8)  # CRC-8 (not verified — stats decode, not archival)
+    if chan <= 7:
+        chans = [
+            _flac_subframe(b, blocksize, bps) for _ in range(chan + 1)
+        ]
+    elif chan == 8:  # left/side
+        left = _flac_subframe(b, blocksize, bps)
+        side = _flac_subframe(b, blocksize, bps + 1)
+        chans = [left, [l - s for l, s in zip(left, side)]]
+    elif chan == 9:  # right/side
+        side = _flac_subframe(b, blocksize, bps + 1)
+        right = _flac_subframe(b, blocksize, bps)
+        chans = [[r + s for r, s in zip(right, side)], right]
+    elif chan == 10:  # mid/side: mid=(l+r)>>1 (floor), side=l-r
+        mid = _flac_subframe(b, blocksize, bps)
+        side = _flac_subframe(b, blocksize, bps + 1)
+        chans = [
+            [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)],
+            [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mid, side)],
+        ]
+    else:
+        raise UnsupportedMedia(f"reserved FLAC channel assignment {chan}")
+    b.align()
+    b.take(16)  # CRC-16 (not verified)
+    return chans
+
+
+def decode_flac(payload: bytes) -> dict:
+    """Native FLAC (lossless audio — the crawl-audio archival format)
+    → decoded PCM sample stats, same shape as ``decode_wav``.
+
+    Complete spec-arithmetic decoder for the full subset a real
+    encoder emits: CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32)
+    subframes, RICE and RICE2 residual coding with partition orders
+    and raw-escape partitions, wasted-bits shifting, and all four
+    channel assignments (independent, left/side, right/side,
+    mid/side). Pure stdlib+numpy — FLAC needs no tabled psychoacoustic
+    data, every step is integer arithmetic from the public spec
+    (xiph.org / RFC 9639), which is what makes it decodable here while
+    MP3's synthesis filterbank (a 512-coefficient designed prototype
+    window) is not. Frame CRCs are skipped: this is a stats decode for
+    pipeline triage, not archival verification; a corrupt stream still
+    fails loudly via sync/length checks."""
+    if payload[:4] != b"fLaC":
+        raise UnsupportedMedia("not a FLAC payload")
+    pos = 4
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > len(payload):
+            raise UnsupportedMedia("truncated FLAC metadata")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise UnsupportedMedia("short FLAC STREAMINFO")
+            sb = _Bits(body)
+            sb.take(16)  # min blocksize
+            sb.take(16)  # max blocksize
+            sb.take(24)  # min framesize
+            sb.take(24)  # max framesize
+            rate = sb.take(20)
+            n_channels = sb.take(3) + 1
+            bits = sb.take(5) + 1
+            total = sb.take(36)
+            info = {
+                "rate": rate,
+                "n_channels": n_channels,
+                "bits": bits,
+                "total": total,
+            }
+        pos += 4 + size
+    if info is None:
+        raise UnsupportedMedia("FLAC stream without STREAMINFO")
+    b = _Bits(payload, pos * 8)
+    per_chan: list[list[int]] = [[] for _ in range(info["n_channels"])]
+    while True:
+        chans = _flac_frame(b, info)
+        if chans is None:
+            break
+        if len(chans) != info["n_channels"]:
+            raise UnsupportedMedia("FLAC frame channel count drifted")
+        for acc, c in zip(per_chan, chans):
+            acc.extend(c)
+        if info["total"] and len(per_chan[0]) >= info["total"]:
+            break
+    x = np.asarray(per_chan, dtype=np.float64)
+    n_samples = x.shape[1] if x.size else 0
+    if info["total"] and n_samples > info["total"]:
+        x = x[:, : info["total"]]
+        n_samples = info["total"]
+    rate = info["rate"]
+    return {
+        "kind": "audio",
+        "sample_rate": int(rate),
+        "n_channels": int(info["n_channels"]),
+        "n_samples": int(n_samples),
+        "duration_ms": int(n_samples * 1000 // rate) if rate else 0,
+        "peak": float(np.abs(x).max()) if x.size else 0.0,
+        "rms": float(np.sqrt(np.mean(x * x))) if x.size else 0.0,
+    }
+
+
+class _BitsW:
+    """MSB-first bit writer (test/synthesis inverse of ``_Bits``)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def put(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put_signed(self, v: int, k: int) -> None:
+        self.put(v & ((1 << k) - 1), k)
+
+    def put_unary(self, q: int) -> None:
+        self.bits.extend([0] * q + [1])
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for bit in self.bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
+
+def encode_flac(
+    channels: "list[list[int]] | np.ndarray",
+    sample_rate: int,
+    bits: int = 16,
+    blocksize: int = 4096,
+    subframe: str = "fixed2",
+    rice_param: int = 4,
+    partition_order: int = 0,
+    stereo: str = "independent",
+) -> bytes:
+    """Mint a real FLAC stream (test/synthesis helper — the inverse
+    subset of ``decode_flac``): STREAMINFO + frames of VERBATIM or
+    FIXED(order 2) subframes with Rice residuals, optionally
+    left/side-decorrelated. Losslessness of decode_flac is pinned by
+    round-tripping through this."""
+    chans = [list(map(int, c)) for c in channels]
+    n_channels = len(chans)
+    total = len(chans[0])
+    w = _BitsW()
+    # STREAMINFO
+    w.put(blocksize, 16)
+    w.put(blocksize, 16)
+    w.put(0, 24)
+    w.put(0, 24)
+    w.put(sample_rate, 20)
+    w.put(n_channels - 1, 3)
+    w.put(bits - 1, 5)
+    w.put(total, 36)
+    si = w.bytes() + b"\x00" * 16  # md5 unset (legal: 0 = unknown)
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last block, STREAMINFO
+    out += len(si).to_bytes(3, "big")
+    out += si
+
+    # "lpc2": order-2 LPC with coefs (3, -1) at shift 1 — predicts
+    # (3·x[i-1] − x[i-2]) >> 1, a genuinely fractional predictor so the
+    # round-trip exercises the shift arithmetic, not just FIXED re-coded
+    lpc_coefs, lpc_shift, lpc_prec = (3, -1), 1, 6
+
+    def _write_sub(w: "_BitsW", block: list[int], bps: int) -> None:
+        w.put(0, 1)
+        if subframe == "verbatim":
+            w.put(1, 6)
+            w.put(0, 1)
+            for s in block:
+                w.put_signed(s, bps)
+            return
+        order = 2 if len(block) > 2 else 0
+        if subframe == "lpc2" and order == 2:
+            w.put(32 + order - 1, 6)  # LPC, order 2
+            w.put(0, 1)  # no wasted bits
+            for s in block[:order]:
+                w.put_signed(s, bps)
+            w.put(lpc_prec - 1, 4)
+            w.put_signed(lpc_shift, 5)
+            for c in lpc_coefs:
+                w.put_signed(c, lpc_prec)
+
+            def pred(j: int) -> int:
+                acc = sum(
+                    c * block[j - 1 - t] for t, c in enumerate(lpc_coefs)
+                )
+                return acc >> lpc_shift
+
+        else:
+            w.put(8 + order, 6)  # FIXED
+            w.put(0, 1)  # no wasted bits
+            for s in block[:order]:
+                w.put_signed(s, bps)
+
+            def pred(j: int) -> int:
+                return 0 if order == 0 else 2 * block[j - 1] - block[j - 2]
+
+        w.put(0, 2)  # RICE (4-bit params)
+        w.put(partition_order, 4)
+        nparts = 1 << partition_order
+        idx = order
+        for p in range(nparts):
+            count = (len(block) >> partition_order) - (order if p == 0 else 0)
+            w.put(rice_param, 4)
+            for i in range(count):
+                j = idx + i
+                r = block[j] - pred(j)
+                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                w.put_unary(u >> rice_param)
+                w.put(u & ((1 << rice_param) - 1), rice_param)
+            idx += count
+
+    frame_no = 0
+    for start in range(0, total, blocksize):
+        fw = _BitsW()
+        fw.put(0b11111111111110, 14)
+        fw.put(0, 1)
+        fw.put(0, 1)  # fixed blocksize strategy
+        bs = min(blocksize, total - start)
+        fw.put(7, 4)  # blocksize: 16-bit at end of header
+        fw.put(0, 4)  # sample rate: from STREAMINFO
+        if stereo == "left_side" and n_channels == 2:
+            fw.put(8, 4)
+        elif stereo == "mid_side" and n_channels == 2:
+            fw.put(10, 4)
+        else:
+            fw.put(n_channels - 1, 4)
+        fw.put(0, 3)  # sample size: from STREAMINFO
+        fw.put(0, 1)
+        if frame_no < 0x80:
+            fw.put(frame_no, 8)  # UTF-8 1-byte frame number
+        else:
+            raise ValueError("encode_flac test helper caps at 128 frames")
+        fw.put(bs - 1, 16)
+        fw.put(0, 8)  # CRC-8 unverified by decode_flac
+        if stereo == "left_side" and n_channels == 2:
+            left = chans[0][start : start + bs]
+            right = chans[1][start : start + bs]
+            side = [l - r for l, r in zip(left, right)]
+            _write_sub(fw, left, bits)
+            _write_sub(fw, side, bits + 1)
+        elif stereo == "mid_side" and n_channels == 2:
+            left = chans[0][start : start + bs]
+            right = chans[1][start : start + bs]
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            side = [l - r for l, r in zip(left, right)]
+            _write_sub(fw, mid, bits)
+            _write_sub(fw, side, bits + 1)
+        else:
+            for c in chans:
+                _write_sub(fw, c[start : start + bs], bits)
+        fw.align()
+        fw.put(0, 16)  # CRC-16 unverified
+        out += fw.bytes()
+        frame_no += 1
+    return bytes(out)
+
+
 _MP3_RATES = {  # by version bits (00=2.5, 10=2, 11=1)
     3: (44100, 48000, 32000),
     2: (22050, 24000, 16000),
@@ -625,6 +1070,7 @@ _SNIFFERS = (
     (lambda p: p[:2] == b"BM", decode_bmp),
     (lambda p: p[:2] in (b"P5", b"P6"), decode_netpbm),
     (lambda p: p[:2] == b"\xff\xd8", _decode_jpeg_lazy),
+    (lambda p: p[:4] == b"fLaC", decode_flac),
     # container-metadata tier (no sample decode — see module docstring)
     (_sniff_mp4, parse_mp4),
     (_sniff_mp3, parse_mp3),
