@@ -1661,6 +1661,11 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_wav": lambda s, d: multimodal.decode_features(
             multimodal.synth_wav_assets(s, d)
         ).select("asset_id", "sample_rate", "n_samples", "duration_ms", "peak", "rms"),
+        # the lossless-audio twin: same closed-form square waves, but
+        # Rice-coded FLAC through the FIXED-predictor decode path
+        "mm_decode_flac": lambda s, d: multimodal.decode_features(
+            multimodal.synth_flac_assets(s, d)
+        ).select("asset_id", "sample_rate", "n_samples", "duration_ms", "peak", "rms"),
         "mm_decode_image": lambda s, d: multimodal.decode_features(
             multimodal.synth_image_assets(s, d)
         ).select("asset_id", "width", "height", "mean_r", "mean_g", "mean_b"),
@@ -2998,6 +3003,17 @@ _EXT_SQL: dict[str, str] = {
     # synth_wav_assets: amplitude = d%1000+1 square wave (rms == peak ==
     # amplitude exactly), n = (d%50+1)*80 samples at 8 kHz
     "mm_decode_wav": """
+      SELECT doc_id AS asset_id,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             ((doc_id % 50) + 1) * 80 AS n_samples,
+             ((doc_id % 50) + 1) * 10 AS duration_ms,
+             CAST((doc_id % 1000) + 1 AS DOUBLE) AS peak,
+             CAST((doc_id % 1000) + 1 AS DOUBLE) AS rms
+      FROM documents
+    """,
+    # synth_flac_assets: the same square waves, FLAC-encoded — decode is
+    # lossless so the oracle is the identical closed form
+    "mm_decode_flac": """
       SELECT doc_id AS asset_id,
              CAST(8000 AS INTEGER) AS sample_rate,
              ((doc_id % 50) + 1) * 80 AS n_samples,
