@@ -1132,6 +1132,12 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def docs(spark, sf_dir):
+        # harden even for documents-only queries: on a VANILLA driver
+        # session the optimizer-rule exclusion (InferFiltersFromGenerate
+        # — 14x on shingle explodes) only applies if a fixture loader
+        # set it; without this, whichever doc query ran first in the
+        # session paid the interpreted double-evaluation tax (r12 probe)
+        fixtures.harden_session(spark)
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def text_probe_fit1(spark, sf_dir):
@@ -1156,6 +1162,7 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(row, "intercept double, slope double")
 
     def embs(spark, sf_dir):
+        fixtures.harden_session(spark)  # excludedRules on vanilla sessions
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def _layout_zorder(spark, sf_dir):

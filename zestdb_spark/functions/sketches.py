@@ -275,18 +275,33 @@ def sampled_quantiles(
         )
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     sample = df.filter(_h60(key, portable) < F.lit(1 << (_HASH_BITS - rate_bits)))
-    aggs = [
-        F.count(F.lit(1)).alias("n_sample"),
-        (F.count(F.lit(1)) * F.lit(1 << rate_bits)).alias("est_total"),
-    ]
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"sampled_quantiles: quantile {q} outside [0, 1]")
-        name = f"q_{int(round(q * 1000)):03d}"  # per-mille: 0.25 → q_250
-        aggs.append(
-            q6(F.percentile(F.col(value_col).cast("double"), F.lit(q))).alias(name)
-        )
-    return sample.groupBy(*by).agg(*aggs) if by else sample.agg(*aggs)
+    # ONE percentile aggregate over the array of requested quantiles:
+    # each scalar percentile(...) call buffers and sorts the sample
+    # independently (~0.7 s per quantile at 750k sampled rows — 3x the
+    # whole row's cost for the quartile set); the array form shares one
+    # buffer and one sort, with identical interpolated values.
+    names = [f"q_{int(round(q * 1000)):03d}" for q in qs]  # 0.25 → q_250
+    aggs = [
+        F.count(F.lit(1)).alias("n_sample"),
+        (F.count(F.lit(1)) * F.lit(1 << rate_bits)).alias("est_total"),
+        F.percentile(
+            F.col(value_col).cast("double"),
+            F.array(*[F.lit(float(q)) for q in qs]),
+        ).alias("__qarr"),
+    ]
+    out = sample.groupBy(*by).agg(*aggs) if by else sample.agg(*aggs)
+    return out.select(
+        *by,
+        "n_sample",
+        "est_total",
+        *[
+            q6(F.element_at("__qarr", i + 1)).alias(name)
+            for i, name in enumerate(names)
+        ],
+    )
 
 
 def _cm_cells(col: Column, depth: int, width: int, portable: bool) -> Column:
