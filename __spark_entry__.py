@@ -1217,8 +1217,18 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sessions(spark, sf_dir):
         from zestdb_spark.operators import temporal
 
+        # project the tag columns out BEFORE sessionizing: session ids
+        # depend only on per-key timestamp gaps (tie ORDER between
+        # equal timestamps can't change a gap-break, so the ids — and
+        # these per-session aggregates — are identical with or without
+        # the extra tie-break columns), and tag_value is the scan's
+        # most expensive expression. The oracle keeps the full
+        # tie-break ORDER BY; both sides produce the same rows.
         return temporal.session_stats(
-            fixtures.ts_numeric_from_events(spark, sf_dir), gap_ms=600_000
+            fixtures.ts_numeric_from_events(spark, sf_dir).select(
+                "series_id", "timestamp", "value"
+            ),
+            gap_ms=600_000,
         )
 
     def interval_promo_rollup(spark, sf_dir):

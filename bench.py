@@ -113,7 +113,7 @@ BENCH_QUERIES = [
 # operator, so record a count()-terminated EXECUTION twin alongside
 # (VERDICT r11 #8) — `sec` stays the end-to-end number, `exec_sec`
 # is the operator cost with result transfer excluded.
-PRECOLLECT_TWINS = ("layout_zorder", "text_tfidf")
+PRECOLLECT_TWINS = ("layout_zorder", "text_tfidf", "an_zscore")
 
 
 def run_pass(
