@@ -32,7 +32,6 @@ from zestdb_spark.functions.textstats import (
     LANG_ORDER,
     lang_hit_cols,
     lang_pred_from_hits,
-    quality_exprs,
 )
 
 
@@ -43,15 +42,30 @@ def clean_corpus(
     k: int = 3,
 ) -> DataFrame:
     """→ (doc_id, n_tokens, score, pred_lang) for the cleaned corpus."""
-    # stage 1: quality gate as a scan-local predicate — the SHARED
-    # textstats expression factory, kept alongside text so no join-back
-    # (and no copy of the arithmetic that could drift from the
-    # standalone operator)
-    n, _ratio, score = quality_exprs()
+    # stage 1: quality gate as a scan-local predicate — the same
+    # arithmetic as textstats.quality_exprs (pinned equal by the
+    # oracle), but with the token array and the stopword-hit count
+    # STAGED in their own projections: the inlined expression trio
+    # re-evaluates the interpreted token filter at every reference
+    # (CodegenFallback HOFs are never CSE'd — the lang_id lesson),
+    # which the gate predicate then multiplies again via pushdown.
+    from zestdb_spark.functions.dedup import q6
+    from zestdb_spark.functions.textstats import STOPWORDS, _tokens
+
+    toks = F.filter(_tokens(), lambda t: t != "")
+    s1 = docs.withColumn("__ztoks", toks)
+    s2 = s1.withColumn("__n", F.size("__ztoks").cast("long")).withColumn(
+        "__zhits",
+        F.size(
+            F.filter(F.col("__ztoks"), lambda t: t.isin(*STOPWORDS["en"]))
+        ),
+    )
+    ratio = q6(F.col("__zhits") / F.greatest(F.col("__n"), F.lit(1)))
+    length_credit = F.least(F.col("__n"), F.lit(400)) / 400
     gated = (
-        docs.withColumn("__n", n)
-        .withColumn("__score", score)
+        s2.withColumn("__score", q6(ratio * 0.5 + length_credit * 0.5))
         .filter(F.col("__score") >= min_score)
+        .drop("__ztoks", "__zhits")
     )
 
     # stage 2: LSH near-dup prune (the scale path — never all-pairs)

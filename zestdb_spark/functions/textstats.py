@@ -90,9 +90,30 @@ def quality_exprs() -> tuple[Column, Column, Column]:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, score): linear quality proxy —
-    stopword density plus a capped length credit; q6-floored."""
-    n, ratio, score = quality_exprs()
-    return docs.select(
+    stopword density plus a capped length credit; q6-floored.
+
+    Staged like ``lang_id``: the token array and the two interpreted
+    HOF counts get their own projections, so each runs once per row
+    instead of once per reference (the inlined ``quality_exprs`` trio
+    re-evaluates the token filter ~7x per row — ``quality_exprs``
+    stays as the shared arithmetic definition for expression-level
+    callers, and this staged plan produces identical values)."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    s1 = docs.select("doc_id", toks.alias("__ztoks"))
+    s2 = s1.select(
+        "doc_id",
+        F.size("__ztoks").cast("long").alias("__zn"),
+        F.size(
+            F.filter(
+                F.col("__ztoks"), lambda t: t.isin(*STOPWORDS["en"])
+            )
+        ).alias("__zhits"),
+    )
+    n = F.col("__zn")
+    ratio = q6(F.col("__zhits") / F.greatest(n, F.lit(1)))
+    length_credit = F.least(n, F.lit(400)) / 400
+    score = q6(ratio * 0.5 + length_credit * 0.5)
+    return s2.select(
         "doc_id",
         n.alias("n_tokens"),
         ratio.alias("stopword_ratio"),
@@ -220,16 +241,36 @@ def gopher_quality(
     passes): composed Gopher-rule quality filter — length bounds, mean
     word length bounds, repetition cap, and a stopword-presence floor
     (the reference rules, re-parameterized for this corpus's
-    distribution). One projection, zero shuffles; `passes` is the
-    boolean a cleaning pipeline would filter on."""
+    distribution). Zero shuffles; `passes` is the boolean a cleaning
+    pipeline would filter on.
+
+    Staged (the ``lang_id`` lesson): the single-projection form
+    re-evaluated the interpreted token filter ~15x per row — once per
+    reference, because CodegenFallback HOFs are never CSE'd. The token
+    array and the four scalar stats each get their own projection, so
+    every chain runs once; values are identical."""
     toks = F.filter(_tokens(), lambda t: t != "")
-    n = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    s1 = docs.select("doc_id", toks.alias("__ztoks"))
+    s2 = s1.select(
+        "doc_id",
+        F.size("__ztoks").cast("long").alias("__zn"),
+        F.aggregate(
+            F.col("__ztoks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("__zsumlen"),
+        F.size(F.array_distinct("__ztoks")).alias("__zdist"),
+        F.size(
+            F.filter(
+                F.col("__ztoks"),
+                lambda t: t.isin(*STOPWORDS["en"]),
+            )
+        ).alias("__zhits"),
     )
-    mean_len = q6(sum_len / F.greatest(n, F.lit(1)))
-    dup_frac = q6((n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1)))
-    hits = _hits("en").cast("long")
+    n = F.col("__zn")
+    mean_len = q6(F.col("__zsumlen") / F.greatest(n, F.lit(1)))
+    dup_frac = q6((n - F.col("__zdist")) / F.greatest(n, F.lit(1)))
+    hits = F.col("__zhits").cast("long")
     passes = (
         (n >= min_words)
         & (n <= max_words)
@@ -238,7 +279,7 @@ def gopher_quality(
         & (dup_frac <= max_dup_token_frac)
         & (hits >= min_stopword_hits)
     )
-    return docs.select(
+    return s2.select(
         "doc_id",
         n.alias("n_words"),
         mean_len.alias("mean_word_len"),
