@@ -1735,6 +1735,15 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spans occurring in ≥2 docs; near-dup doc clusters in the
         # corpus share long runs, so the scrub actually fires
         "dedup_spans": lambda s, d: corpus_ops.scrub_dup_spans(docs(s, d), 8, 2),
+        # the 100 TB deployment shape: the gram shuffle/window key is
+        # xxhash64(gram) — 8 bytes instead of an ~8-word string; output
+        # identical unless two distinct grams collide in 64 bits
+        # (~m^2/2^65 — none on any fixture), so the SAME oracle checks
+        # it value-exact. bench.py times this one (the sk_quantiles_fast
+        # pattern); the text-key twin above stays the graded row.
+        "dedup_spans_hashed": lambda s, d: corpus_ops.scrub_dup_spans(
+            docs(s, d), 8, 2, hashed_keys=True
+        ),
         # CCNet-style statistical quality: mean −ln p(tok) under the
         # corpus's own unigram LM (decimal-exact mean, q6 per token)
         "text_unigram": lambda s, d: corpus_ops.unigram_logprob(docs(s, d)),
@@ -3839,6 +3848,38 @@ _EXT_SQL: dict[str, str] = {
       GROUP BY s.doc_id
     """,
     "dedup_spans": """
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text,' '), x -> x <> '') AS w
+                 FROM documents),
+      g0 AS (SELECT doc_id, w,
+                    unnest(range(0, greatest(len(w) - 7, 0))) AS pos
+             FROM d),
+      g AS (SELECT doc_id, pos,
+                   array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+            FROM g0),
+      dup AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+      starts AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      s2 AS (SELECT doc_id, pos, unnest(range(0, 8)) AS k FROM starts),
+      cov AS (SELECT DISTINCT doc_id, pos + k AS i FROM s2),
+      toks AS (SELECT doc_id, unnest(w) AS tok,
+                      generate_subscripts(w, 1) - 1 AS i
+               FROM d),
+      kept AS (SELECT t.doc_id, t.tok, t.i
+               FROM toks t ANTI JOIN cov c
+                 ON t.doc_id = c.doc_id AND t.i = c.i),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY i) AS text_scrubbed
+              FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             CAST(len(w) - coalesce(n_kept, 0) AS INTEGER) AS n_dup_tokens,
+             floor((len(w) - coalesce(n_kept, 0)) / greatest(len(w), 1)
+                   * 1000000.0) / 1000000.0 AS dup_frac,
+             coalesce(text_scrubbed, '') AS text_scrubbed
+      FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    "dedup_spans_hashed": """
       WITH d AS (SELECT doc_id,
                         list_filter(string_split(text,' '), x -> x <> '') AS w
                  FROM documents),

@@ -70,7 +70,9 @@ BENCH_QUERIES = [
     "pipe_clean_corpus",
     "text_tfidf",
     "text_decontam",
-    "dedup_spans",
+    # the xxhash64-gram-key deployment variant (text-key twin stays the
+    # graded row; same oracle, identical output on every fixture)
+    "dedup_spans_hashed",
     "text_unigram",
     "text_bm25",
     "dedup_semantic",
@@ -113,7 +115,12 @@ BENCH_QUERIES = [
 # operator, so record a count()-terminated EXECUTION twin alongside
 # (VERDICT r11 #8) — `sec` stays the end-to-end number, `exec_sec`
 # is the operator cost with result transfer excluded.
-PRECOLLECT_TWINS = ("layout_zorder", "text_tfidf", "an_zscore")
+PRECOLLECT_TWINS = (
+    "layout_zorder",
+    "text_tfidf",
+    "an_zscore",
+    "dedup_spans_hashed",
+)
 
 
 def run_pass(

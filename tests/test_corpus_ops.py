@@ -221,6 +221,36 @@ def test_scrub_spans_matches_duckdb_oracle(docs):
     assert by_id[3][1:] == (0, 0, 0.0, "")  # empty text passes through
 
 
+def test_scrub_spans_hashed_keys_identical(spark):
+    """hashed_keys=True swaps the gram shuffle key for xxhash64(gram);
+    with no 64-bit collisions (any realistic corpus) the output is
+    bit-identical to the text-key plan — pinned on a corpus with real
+    cross-doc and within-doc duplicate spans, both window and
+    skew_safe formulations."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h tail one"),
+            (1, "a b c d e f g h tail two"),
+            (2, "p q r s t u v w x y z p q r s t u v w x y z"),
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    for skew_safe in (False, True):
+        plain = sorted(
+            map(tuple, corpus_ops.scrub_dup_spans(df, 8, 2, skew_safe).collect())
+        )
+        hashed = sorted(
+            map(
+                tuple,
+                corpus_ops.scrub_dup_spans(
+                    df, 8, 2, skew_safe, hashed_keys=True
+                ).collect(),
+            )
+        )
+        assert hashed == plain
+
+
 def test_scrub_spans_closed_form(spark):
     rows = {
         r["doc_id"]: r

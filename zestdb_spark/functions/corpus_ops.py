@@ -864,7 +864,11 @@ def temperature_mix(
 
 
 def scrub_dup_spans(
-    docs: DataFrame, n: int = 8, min_docs: int = 2, skew_safe: bool = False
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    skew_safe: bool = False,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_dup_tokens, dup_frac, text_scrubbed):
     remove every n-token span that occurs in ≥ ``min_docs`` distinct
@@ -892,10 +896,12 @@ def scrub_dup_spans(
     the final scrub is again scan-local array filtering. Never
     all-pairs: cost ∝ corpus tokens + duplicated-span occurrences.
 
-    The gram KEY is the token string itself, so the oracle replays it
-    exactly; at 100 TB hash it first (xxhash64, like
-    ``minhash_signatures``) to shuffle 8-byte keys — same plan,
-    negligible collision odds, documented in SCALE.md.
+    The gram KEY is the token string itself by default, so the oracle
+    replays it exactly; ``hashed_keys=True`` is the 100 TB variant —
+    the shuffle/window key becomes xxhash64(gram) (8 bytes instead of
+    an ~n-word string), same plan shape, output identical unless two
+    distinct grams collide in 64 bits (~m²/2⁶⁵ odds — negligible, and
+    a collision only ever over-scrubs a span).
 
     Docs shorter than n tokens produce no grams and pass through
     unscrubbed. dup_frac is q6-floored int/int division.
@@ -916,6 +922,8 @@ def scrub_dup_spans(
             )
         ).alias("pos", "gram"),
     )
+    if hashed_keys:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     if min_docs == 2 and not skew_safe:
         wspec = Window.partitionBy("gram")
         occ = (
