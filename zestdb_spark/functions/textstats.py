@@ -186,10 +186,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     line-level variants are the same two expressions over
     split(text, '\\n')."""
     toks = F.filter(_tokens(), lambda t: t != "")
-    n = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # staged (see gopher_quality): the token chain is referenced four
+    # times below and CodegenFallback HOFs are never CSE'd
+    s1 = docs.select("doc_id", toks.alias("__ztoks"))
+    n = F.size("__ztoks").cast("long")
+    n_distinct = F.size(F.array_distinct("__ztoks")).cast("long")
     frac = q6((n - n_distinct) / F.greatest(n, F.lit(1)))
-    return docs.select(
+    return s1.select(
         "doc_id", n.alias("n_tokens"), frac.alias("dup_token_frac")
     )
 
