@@ -287,11 +287,14 @@ def sampled_quantiles(
     aggs = [
         F.count(F.lit(1)).alias("n_sample"),
         (F.count(F.lit(1)) * F.lit(1 << rate_bits)).alias("est_total"),
-        F.percentile(
-            F.col(value_col).cast("double"),
-            F.array(*[F.lit(float(q)) for q in qs]),
-        ).alias("__qarr"),
     ]
+    if qs:  # degenerate qs=() keeps the count-only shape, as before
+        aggs.append(
+            F.percentile(
+                F.col(value_col).cast("double"),
+                F.array(*[F.lit(float(q)) for q in qs]),
+            ).alias("__qarr")
+        )
     out = sample.groupBy(*by).agg(*aggs) if by else sample.agg(*aggs)
     return out.select(
         *by,
