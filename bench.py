@@ -39,6 +39,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry
 from zestdb_spark.session import get_spark
 
@@ -149,8 +151,18 @@ def run_pass(
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
             if name in PRECOLLECT_TWINS:
+                # Execution twin: operator cost WITHOUT driver-side
+                # result transfer. NOT .count() — Catalyst prunes
+                # unreferenced projections under count() (an_zscore's
+                # window, dedup_spans_hashed's array filter vanish from
+                # the plan), under-reporting cost. Hashing a struct of
+                # every column forces full evaluation; the 1-row sum is
+                # all that crosses to the driver. bit_xor, not sum —
+                # summing hashes overflows long under ANSI mode.
                 t0 = time.time()
-                qs[name](spark, sf_dir).count()
+                qs[name](spark, sf_dir).select(
+                    F.bit_xor(F.xxhash64(F.struct("*")))
+                ).collect()
                 exec_timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — any query failure
             msg = f"{type(exc).__name__}: {exc}"

@@ -447,3 +447,12 @@ def test_flac_malformed_is_typed():
             raise AssertionError(f"flip@{i}: {type(e).__name__}: {e}") from e
     with pytest.raises(mc.UnsupportedMedia, match="not a FLAC"):
         mc.decode_flac(b"fLaX" + p[4:])
+
+
+def test_flac_wasted_bits_exhausting_bps_is_typed():
+    # crafted subframe: pad=0, type=000000 (CONSTANT), wasted flag=1,
+    # unary 0000000→1 ⇒ wasted=8 == bps=8 ⇒ take_signed(0) without the
+    # guard (ValueError: negative shift) — must stay UnsupportedMedia
+    bits = mc._Bits(bytes([0b00000001, 0b00000001]))
+    with pytest.raises(mc.UnsupportedMedia, match="wasted bits"):
+        mc._flac_subframe(bits, blocksize=4, bps=8)

@@ -110,6 +110,23 @@ def test_no_forced_broadcast_on_data_dependent_sets(spark, qs, q):
     assert "ResolvedHint" not in analyzed
 
 
+def test_chunked_sessionize_no_forced_broadcast(spark):
+    # the keys×chunks offset summary is bounded only when chunk_ms is
+    # sized per the docstring — a hint-forced broadcast would bypass
+    # Spark's size safety net for a data-dependent set. AQE still
+    # broadcasts it at runtime when it is actually small.
+    from zestdb_spark.operators import temporal
+
+    df = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "cast(user_id as string) as series_id",
+        "unix_millis(cast(ts as timestamp)) as timestamp",
+        "value",
+    )
+    out = temporal.sessionize(df, gap_ms=3_600_000, chunk_ms=86_400_000)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
 def test_unigram_broadcasts_vocab(spark, qs):
     plan = _plan(qs["text_unigram"](spark, SF))
     # the count table and the 1-row total both arrive by broadcast —

@@ -74,10 +74,9 @@ def test_sessionize_chunked_matches_classic(spark):
     """The parallel chunked formulation must be BIT-IDENTICAL to the
     classic key-partitioned window for every chunk width — boundary
     gaps, boundary continuations, equal-timestamp ties, pre-1970
-    timestamps, and multi-key interleaving all included."""
+    timestamps, NULL keys / NULL timestamps, and multi-key
+    interleaving all included."""
     import random
-
-    from zestdb_spark.schema import TS_NUMERIC
 
     rng = random.Random(7)
     rows = []
@@ -90,7 +89,20 @@ def test_sessionize_chunked_matches_classic(spark):
             step = rng.choice([0, 500, 10_000, 10_001, 60_000])
             t += step
             rows.append((key, t, float(i), None, None))
-    df = spark.createDataFrame(rows, TS_NUMERIC)
+    # NULL key column → its own partition in the classic formulation;
+    # NULL timestamp → NULL chunk; both must survive the chunked
+    # offset join (null-safe keys), not be silently dropped.
+    rows += [
+        (None, 100, 900.0, None, None),
+        (None, 25_000, 901.0, None, None),
+        ("a", None, 902.0, None, None),
+        (None, None, 903.0, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series_id string, timestamp long, value double,"
+        " tag_name string, tag_value string",
+    )
     classic = {
         (r["series_id"], r["timestamp"], r["value"]): r["session_id"]
         for r in temporal.sessionize(df, gap_ms=10_000).collect()

@@ -445,6 +445,11 @@ def _flac_subframe(b: "_Bits", blocksize: int, bps: int) -> list[int]:
     wasted = 0
     if b.take(1):  # wasted-bits-per-sample flag: unary count - 1
         wasted = b.unary() + 1
+        if wasted >= bps:
+            # a crafted count that zeroes (or overdraws) the effective
+            # bps would reach take_signed(0) → negative shift; keep the
+            # typed UnsupportedMedia contract instead
+            raise UnsupportedMedia("FLAC wasted bits exhaust sample size")
         bps -= wasted
     if ftype == 0:  # CONSTANT
         v = b.take_signed(bps)

@@ -5,9 +5,10 @@ Extension beyond the reference surface (nearest analogue: the binary
 KV store, src/server.re:751-756). Both tiers are real and tested:
 the Spark-side plumbing (schema, partition-parallel batch processing
 via mapInPandas, Arrow batch shapes) AND the decode step itself for
-the dependency-free subset — WAV PCM, BMP, Netpbm, 8-bit PNG, and
-baseline+progressive JPEG are decoded to pixels/samples by pure
-numpy+stdlib codecs, and MP3/MP4 yield container metadata (see
+the dependency-free subset — WAV PCM, FLAC (RFC 9639, lossless), BMP,
+Netpbm, 8-bit PNG, and baseline+progressive JPEG are decoded to
+pixels/samples by pure numpy+stdlib codecs, and MP3/MP4 yield
+container metadata (see
 functions/media_codecs.py and functions/jpeg_codec.py, golden-pinned
 and fuzzed in tests/test_media_codecs.py, tests/test_jpeg_codec.py).
 Formats beyond that subset (video sample decode, exotic image

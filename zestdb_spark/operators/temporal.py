@@ -120,17 +120,22 @@ def sessionize(
        breaks) gets one window pass over chunks-per-key rows to turn
        boundary gaps into per-chunk session-id offsets — prefix-sum
        stitching, O(keys·chunks) not O(rows);
-    3. broadcast the offsets back; session_id = offset + in-chunk
-       running break count.
+    3. join the offsets back (null-safe keys, no broadcast hint — AQE
+       broadcasts the genuinely small summary at runtime);
+       session_id = offset + in-chunk running break count.
 
     Chunk assignment depends only on ``on`` (true floor bucketing, so
     pre-1970 rows chunk consistently), and the in-chunk order is the
     global order restricted to the chunk — equal-timestamp ties can
-    never straddle a boundary. The flagged frame is persisted: the
-    summary and the final pass both read it, and re-deriving it would
-    re-shuffle the full input twice. At 100 TB pick ``chunk_ms`` so a
-    key's chunk holds ~10⁶ rows; parallelism is then rows-bound, not
-    key-bound.
+    never straddle a boundary. Rows with a NULL key column or NULL
+    ``on`` (NULL chunk) survive: the offset join is null-safe, matching
+    the classic formulation, which keeps NULL keys as a partition and
+    orders NULL timestamps first. The flagged frame is persisted via
+    the bounded registry (the summary and the final pass both read it;
+    re-deriving would re-shuffle the full input twice) so repeated
+    calls in a long session don't accumulate cached blocks. At 100 TB
+    pick ``chunk_ms`` so a key's chunk holds ~10⁶ rows; parallelism is
+    then rows-bound, not key-bound.
     """
     by = list(by)
     others = [c for c in df.columns if c not in by and c != on]
@@ -150,17 +155,17 @@ def sessionize(
         )
     if chunk_ms <= 0:
         raise ValueError(f"sessionize: chunk_ms must be positive, got {chunk_ms}")
+    from zestdb_spark.functions.dedup import _persist_bounded
+
     chunk = (F.col(on) - F.pmod(F.col(on), F.lit(chunk_ms))).alias("__zchunk")
     wc = Window.partitionBy(*by, "__zchunk").orderBy(*order)
-    flagged = (
-        df.withColumn("__zchunk", chunk)
-        .withColumn(
+    flagged = _persist_bounded(
+        df.withColumn("__zchunk", chunk).withColumn(
             "__zbreak",
             F.when(
                 F.col(on) - F.lag(on, 1).over(wc) > gap_ms, F.lit(1)
             ).otherwise(F.lit(0)),
         )
-        .persist()
     )
     # per-(key, chunk) summary: keys×chunks rows, tiny by construction
     summary = flagged.groupBy(*by, "__zchunk").agg(
@@ -190,14 +195,30 @@ def sessionize(
             )
         ).alias("__zoffset"),
     )
-    out = flagged.join(F.broadcast(offsets), [*by, "__zchunk"]).withColumn(
+    # Null-safe keys: a NULL key column or NULL chunk (NULL `on`) must
+    # still find its offset row — a plain equi-join would silently drop
+    # those rows while the classic window formulation keeps them. No
+    # broadcast hint: the summary is keys×chunks-bounded only when
+    # chunk_ms is sized sanely; AQE broadcasts small sides at runtime
+    # without bypassing the size safety net.
+    okeys = [*by, "__zchunk"]
+    off = offsets.select(
+        *[F.col(c).alias(f"__zok{i}") for i, c in enumerate(okeys)],
+        "__zoffset",
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(okeys):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__zok{i}"))
+    out = flagged.join(off, cond).withColumn(
         "session_id",
         (
             F.col("__zoffset")
             + F.sum("__zbreak").over(wc.rowsBetween(Window.unboundedPreceding, 0))
         ).cast("long"),
     )
-    return out.drop("__zchunk", "__zbreak", "__zoffset")
+    return out.drop(
+        "__zchunk", "__zbreak", "__zoffset", *[f"__zok{i}" for i in range(len(okeys))]
+    )
 
 
 def session_stats(

@@ -140,20 +140,23 @@ class ZestChangesStreamReader(DataSourceStreamReader):
                 # metadata (stamped by schema() at plan time), so the
                 # stream resolves itself — correct across any later
                 # rename or drop. Fallback for pinned schemas without
-                # the stamp (pre-stamp checkpoints): resolve BY NAME
-                # through the current meta. Unstamped checkpoints
-                # predate column mapping entirely, so the pinned
-                # logical name IS the physical name — identity holds
-                # for every such table, including ones later renamed
-                # or dropped (a positional match would silently remap
-                # a pinned column onto a neighbour after a drop).
-                cur_map, self.mapping = self.mapping, {}
+                # the stamp (pre-stamp checkpoints): unstamped
+                # checkpoints predate column mapping entirely, so the
+                # pinned logical name IS the physical name — identity
+                # holds for every such table, including ones later
+                # renamed or dropped. Resolution must be identity
+                # UNCONDITIONALLY: consulting the current meta by name
+                # would, after a drop+rename onto the pinned name
+                # (drop `score`, rename `host`→`score`), resolve the
+                # pinned `score` to host's physical slot and emit
+                # another column's data.
+                self.mapping = {}
                 for f in pinned_schema.fields:
                     md = f.metadata or {}
                     if "zest_physical" in md:
                         self.mapping[f.name] = md["zest_physical"]
                         continue
-                    self.mapping[f.name] = cur_map.get(f.name, f.name)
+                    self.mapping[f.name] = f.name
                 self.meta_json = pinned_schema.jsonValue()
             self.cols = tuple(f["name"] for f in self.meta_json["fields"])
         else:
