@@ -1412,11 +1412,13 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from zestdb_spark.operators import resample
 
         ts = fixtures.ts_numeric_from_events(spark, sf_dir)
-        # dedupe equal (series, ts) observations deterministically (max
-        # wins) so the carry rule is well-defined in both engines
-        uniq = ts.groupBy("series_id", "timestamp").agg(F.max("value").alias("value"))
+        # no pre-dedup shuffle: locf_resample's coverage formulation
+        # resolves equal (series, ts) observations to the MAX value by
+        # construction (only the last row of an equal-ts run, ordered
+        # value ASC, covers grid points) — identical to the oracle's
+        # explicit groupBy-max + ASOF, one exchange cheaper
         return resample.locf_resample(
-            uniq, start_ms=_T_JAN10, end_ms=_T_JAN20, step_ms=3_600_000
+            ts, start_ms=_T_JAN10, end_ms=_T_JAN20, step_ms=3_600_000
         )
 
     def distinct_tags(spark, sf_dir):

@@ -159,6 +159,17 @@ def test_fast_hash_variants_accurate(spark, ids):
         df, "v", ["k"], (0.5,), rate_bits=0, portable=False
     ).collect()
     assert row["q_500"] == 500.0  # rate 0 keeps all rows whatever the hash
+    # rate_bits>0 exercises the raw-column variadic-xxhash64 sample
+    # predicate (no per-row string build): the sampled median must
+    # still track the true median within sampling error
+    big = spark.range(40_000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    (s,) = sketches.sampled_quantiles(
+        big, "v", ["k"], (0.5,), rate_bits=3, portable=False
+    ).collect()
+    assert s["n_sample"] == pytest.approx(40_000 / 8, rel=0.1)
+    assert s["q_500"] == pytest.approx(20_000, rel=0.05)
 
 
 # --------------------------------------------------------- per-group HLL

@@ -273,8 +273,21 @@ def sampled_quantiles(
         raise ValueError(
             f"sampled_quantiles: rate_bits must be in [0, 40], got {rate_bits}"
         )
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    sample = df.filter(_h60(key, portable) < F.lit(1 << (_HASH_BITS - rate_bits)))
+    if portable:
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        pred = _hash60(key)
+    else:
+        # Fast path: xxhash64 is variadic — hash the raw key columns
+        # directly instead of materializing a per-row separator-joined
+        # string (the string build dominated the scan at sf1). Sample
+        # membership differs from the portable path (different hash
+        # input), which is fine: this path has no oracle replay, and
+        # the estimator laws are pinned by
+        # test_fast_hash_variants_accurate.
+        pred = F.xxhash64(*[F.col(c) for c in key_cols]).bitwiseAND(
+            F.lit((1 << _HASH_BITS) - 1)
+        )
+    sample = df.filter(pred < F.lit(1 << (_HASH_BITS - rate_bits)))
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"sampled_quantiles: quantile {q} outside [0, 1]")

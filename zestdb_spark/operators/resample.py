@@ -38,43 +38,82 @@ def locf_resample(
     before the first observation. Grid points are emitted for every key
     that has ANY row in ``df``.
 
-    Tie rule: an observation exactly on a grid point is visible to it
-    (data sorts before grid at equal timestamps).
+    Tie rules: an observation exactly on a grid point is visible to it;
+    among duplicate (key, timestamp) observations the MAX value wins
+    (deterministic — DuckDB's ASOF picks one arbitrarily, so dedupe
+    upstream when grading). A NULL observation carries like any other
+    (ASOF-join semantics: the latest row at-or-before the grid point,
+    whatever its value).
+
+    Plan (single-pass, r13): the old grid∪data + running
+    last(ignorenulls) window scanned ``df`` twice (once for distinct
+    keys, once for data — re-running any upstream aggregation twice)
+    and shuffled grid+data rows through the carry window. Instead,
+    each observation COVERS the grid points from ceil_grid(t) up to
+    just below the next observation — one (key)-partitioned window
+    (lead + row_number), then scan-local integer sequence + explode.
+    One exchange over data rows only; the grid never rides a shuffle.
+    At 100 TB the shuffle volume drops by the grid size and the
+    upstream plan runs once.
     """
     by = list(by)
-    keys = df.select(*by).distinct()
-    grid = keys.select(
+    start, end, step = int(start_ms), int(end_ms), int(step_ms)
+    if step <= 0:
+        raise ValueError(f"locf_resample: step_ms must be positive, got {step_ms}")
+    # value ASC so the LAST row of an equal-timestamp run — the only
+    # one whose coverage is non-empty — is the max-value observation
+    w = Window.partitionBy(*by).orderBy(
+        F.col("__zt").asc(), F.col("__zv").asc_nulls_first()
+    )
+    t = F.col("__zt")
+    nxt = F.col("__znxt")
+    lo, hi, st = F.lit(start), F.lit(end), F.lit(step)
+    # first grid point this row covers: smallest p ≥ max(t, start)
+    cov_first = F.when(t <= lo, lo).otherwise(
+        lo + F.ceil((t - lo) / st).cast("long") * st
+    )
+    # last grid point: just below the next observation (end for the
+    # key's final row); empty when the next observation is ≤ start
+    cov_last = (
+        F.when(nxt.isNull(), hi)
+        .when(nxt > lo, F.least(hi, lo + ((nxt - 1 - lo) / st).cast("long") * st))
+        .otherwise(None)
+    )
+    # NULL prefix before the key's first observation: [start, last p < t]
+    null_last = F.when(
+        (F.col("__zrn") == 1) & (t > lo),
+        F.least(hi, lo + ((t - 1 - lo) / st).cast("long") * st),
+    ).otherwise(None)
+    empty = F.array().cast("array<long>")
+    stepped = (
+        df.select(
+            *by,
+            F.col(on).alias("__zt"),
+            F.col(value_col).alias("__zv"),
+        )
+        .withColumn("__znxt", F.lead("__zt", 1).over(w))
+        .withColumn("__zrn", F.row_number().over(w))
+        .withColumn(
+            "__zp",
+            F.concat(
+                F.when(null_last.isNotNull(), F.sequence(lo, null_last, st)).otherwise(
+                    empty
+                ),
+                F.when(
+                    cov_last.isNotNull() & (cov_first <= cov_last),
+                    F.sequence(cov_first, cov_last, st),
+                ).otherwise(empty),
+            ),
+        )
+    )
+    exploded = stepped.select(
+        *by, "__zt", "__zv", F.explode("__zp").alias(on)
+    )
+    return exploded.select(
         *by,
-        F.explode(
-            F.sequence(
-                F.lit(int(start_ms)), F.lit(int(end_ms)), F.lit(int(step_ms))
-            )
-        ).alias("__t"),
-        F.lit(0).alias("__is_grid"),
-        F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
-    )
-    data = df.select(
-        *by,
-        F.col(on).alias("__t"),
-        F.lit(1).alias("__is_grid"),
-        F.col(value_col).alias("__v"),
-    )
-    # at equal __t, data rows (marker 1) must precede grid rows (marker
-    # 0) in the carry window so exact-on-grid observations are visible
-    # → sort marker DESC
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__t").asc(), F.col("__is_grid").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = grid.unionByName(data).select(
-        *by,
-        "__t",
-        "__is_grid",
-        F.last("__v", ignorenulls=True).over(w).alias("__filled"),
-    )
-    return carried.filter(F.col("__is_grid") == 0).select(
-        *by, F.col("__t").alias(on), F.col("__filled").alias(value_col)
+        on,
+        # p < t ⇔ a NULL-prefix point (every covered point is ≥ t)
+        F.when(F.col(on) >= F.col("__zt"), F.col("__zv")).alias(value_col),
     )
 
 
