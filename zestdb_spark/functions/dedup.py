@@ -686,10 +686,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     only the converged? probe reaches the driver. ``max_iters`` is a
     guard, not a budget.
 
-    Convergence is an EXACT edge-set fixpoint test (count equality +
-    one-sided exceptAll over the already-distinct sets), not a
-    heuristic checksum: stars are fixpoints of both operations, so
-    equality is the termination proof itself.
+    Convergence is an EXACT structural test, probed BEFORE each round:
+    the edge set is a star forest iff no node has two outgoing edges
+    and no child is also a center — one groupBy over the node roles,
+    one driver action. That is precisely the property the labeling
+    below requires (child → component min), so the test doubles as the
+    termination proof; it also replaces the older count + exceptAll
+    fixpoint comparison, which needed TWO actions per round plus one
+    entire extra round just to observe that nothing changed (measured:
+    the sf0.1 dup graph stars out in 1 round; the fixpoint test ran 2).
 
     Only docs that appear in some pair are labeled (singletons are
     their own trivial cluster and never enter the edge list).
@@ -739,13 +744,40 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # LogicalRDD, keeping every round's plan constant-size. Superseded
     # generations are cached blocks the ContextCleaner reclaims once
     # unreferenced — and they shrink every round as the edge set
-    # contracts toward stars. LAZY (eager=False) + immediate count():
-    # the count's own job materializes the checkpoint, so each round
-    # schedules ONE job for compute+count instead of two — the loop's
-    # cost at small scale is job overhead × rounds, and this halves it
-    # (measured ~20% off the full pairs→CC→survivor pipeline at sf0.1);
-    # every later action (exceptAll, the next star round) then reads
-    # the cached blocks exactly as with eager checkpointing.
+    # contracts toward stars. LAZY (eager=False): the star-forest
+    # probe's own job materializes the generation, so each round
+    # schedules exactly ONE job — the loop's cost at small scale is
+    # job overhead × rounds; the next star round then reads the
+    # cached blocks exactly as with eager checkpointing.
+    def _is_star_forest(cur: DataFrame) -> bool:
+        # edges keep the u > v invariant, so u is always the child
+        # side and v the center side. Star forest ⟺ no child has two
+        # centers AND no child is itself a center. ONE groupBy over
+        # the 2|E| role rows, one isEmpty action — which also
+        # materializes cur's lazy checkpoint, so each round schedules
+        # exactly one job for compute + convergence together.
+        viol = (
+            cur.select(
+                F.col("u").alias("n"),
+                F.lit(1).alias("as_child"),
+                F.lit(0).alias("as_center"),
+            )
+            .unionAll(
+                cur.select(
+                    F.col("v").alias("n"),
+                    F.lit(0).alias("as_child"),
+                    F.lit(1).alias("as_center"),
+                )
+            )
+            .groupBy("n")
+            .agg(
+                F.sum("as_child").alias("c"),
+                F.sum("as_center").alias("z"),
+            )
+            .filter((F.col("c") > 1) | ((F.col("c") > 0) & (F.col("z") > 0)))
+        )
+        return viol.isEmpty()
+
     e = (
         pairs.select(
             F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("u"),
@@ -755,16 +787,10 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cnt = e.count()
     for _ in range(max_iters):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        nxt_cnt = nxt.count()
-        # exact fixpoint: both sets are distinct-ed, so equal count
-        # + empty one-sided difference ⇒ set equality ⇒ stars
-        done = nxt_cnt == cnt and nxt.exceptAll(e).isEmpty()
-        e, cnt = nxt, nxt_cnt
-        if done:
+        if _is_star_forest(e):
             break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
     # at the star fixpoint every non-center node has exactly one edge
     # (child → component min); centers label themselves
     children = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

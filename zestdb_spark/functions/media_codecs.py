@@ -22,8 +22,19 @@ sample rate / channels / frame count / duration for MP3, movie
 duration / track count / video dimensions for MP4. That is what a
 100 TB pipeline needs to FILTER and SAMPLE crawl audio/video without
 a decode; actual sample/pixel decode for these formats still raises
-``UnsupportedMedia`` loudly (their entropy coding genuinely needs
-codec libraries), so the metadata rows carry NULL peak/rms/means.
+``UnsupportedMedia`` loudly, so the metadata rows carry NULL
+peak/rms/means. Precisely WHY (r13, retiring the vaguer "needs codec
+libraries" phrasing): the blockers are not algorithms but published
+SPEC DATA — Layer III needs ISO 11172-3's 34 Huffman code tables
+(Annex B.7) and the 512-tap synthesis-window prototype (Table B.3),
+MP4/AAC needs 14496-3's codebooks — none of which is closed-form
+derivable, none of which ships in this container, and which cannot
+be fabricated without silently producing a non-compliant decoder
+that self-consistent encoder-inverse tests would never catch. The
+DSP structure around those tables (requantize, alias-reduction
+butterflies, 36/12-point IMDCT, polyphase matrixing) is closed-form
+and would follow the JPEG/FLAC precedent once the tables are
+available.
 
 Everything here is driver-free pure-Python over ``bytes`` — invoked
 per-asset inside Arrow-batched ``mapInPandas``

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zestdb_spark.io.fixtures import read_parquet
+
 FEATURE_SCHEMA = "asset_id long, kind string, byte_len long, head_hex string"
 
 
@@ -36,7 +38,7 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a media_assets-shaped table from the documents
     fixture: payload = UTF-8 bytes of the text (a deterministic stand-in
     for real image/audio bytes), kind alternating by doc_id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
@@ -155,7 +157,7 @@ def synth_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 
@@ -195,7 +197,7 @@ def synth_flac_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(
         gen, "asset_id long, kind string, payload binary, mime string"
     )
@@ -228,7 +230,7 @@ def synth_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 
@@ -262,7 +264,7 @@ def synth_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 
@@ -298,7 +300,7 @@ def synth_mp3_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 
@@ -330,7 +332,7 @@ def synth_mp4_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.mapInPandas(gen, "asset_id long, kind string, payload binary, mime string")
 
 

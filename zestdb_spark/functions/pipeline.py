@@ -67,6 +67,17 @@ def clean_corpus(
         .filter(F.col("__score") >= min_score)
         .drop("__ztoks", "__zhits")
     )
+    # MATERIALIZE the gate once: three downstream subtrees consume
+    # gated (the LSH signature pipeline, the anti-join's left side,
+    # and the survivor annotation), and Spark has no cross-subtree
+    # common-plan reuse without an identical exchange — unpersisted,
+    # the interpreted token-filter gate above re-runs over the full
+    # corpus three times. Persisted columns are the input's plus two
+    # numerics — the standard inter-stage materialization of a staged
+    # corpus pipeline, MEMORY_AND_DISK via the bounded registry so
+    # long sessions can't accumulate blocks (an evicted block just
+    # recomputes the gate for its rows, correctness-neutral).
+    gated = dedup._persist_bounded(gated)
 
     # stage 2: LSH near-dup prune (the scale path — never all-pairs)
     pairs = dedup.minhash_lsh_pairs(gated, k, 64, 16, jaccard_threshold)

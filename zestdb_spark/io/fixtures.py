@@ -28,8 +28,43 @@ tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: path → (mtime, nanosAsLong-conf, StructType). Schema-INFERENCE
+#: memo: a bare ``spark.read.parquet(path)`` schedules a 1-task
+#: footer-read job at plan time, every time — the floor probe measured
+#: it as a constant +1 job (+~0.1 s) on all 46 bench rows, ≈4-5 s of
+#: pure scheduling per suite pass. The testdata parquet is immutable
+#: per path (mtime-keyed for safety), so infer once and hand Spark the
+#: explicit schema afterwards. Keyed on the nanosAsLong conf too:
+#: events.ts surfaces as bigint under it and timestamp without it, so
+#: one cached schema must never leak across session configurations.
+_SCHEMA_MEMO: dict = {}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the inferred schema memoized per
+    (path, mtime, nanos-conf) — plan-time only, zero schema-inference
+    jobs after the first read of a path."""
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return spark.read.parquet(path)  # let Spark raise its own error
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        nanos = None
+    key = (path, mtime, nanos)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 # ------------------------------------------------------------------ events
 
@@ -87,7 +122,7 @@ def harden_session(spark: SparkSession) -> SparkSession:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return harden_session(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return read_parquet(harden_session(spark), f"{sf_dir}/events.parquet")
 
 
 def ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
@@ -179,7 +214,7 @@ TS_BLOB_FROM_EVENTS_SQL = """
 
 def ts_numeric_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk/bench mapping: one series per returnflag, price as value."""
-    li = harden_session(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(harden_session(spark), f"{sf_dir}/lineitem.parquet")
     return li.select(
         F.concat(F.lit("li_"), F.col("l_returnflag")).alias("series_id"),
         ts_ms(li, "l_shipdate").alias("timestamp"),
@@ -202,8 +237,8 @@ TS_NUMERIC_FROM_LINEITEM_SQL = """
 
 def kv_json_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV namespace per region name, key per nation name."""
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    r = read_parquet(spark, f"{sf_dir}/region.parquet")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -223,7 +258,7 @@ KV_JSON_FROM_NATION_SQL = """
 
 def kv_text_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-format KV: one namespace, key per supplier, plain-text value."""
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = read_parquet(spark, f"{sf_dir}/supplier.parquet")
     return s.select(
         F.lit("suppliers").alias("id"),
         F.col("s_name").alias("key"),
@@ -246,7 +281,7 @@ def catalog_items_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hypercat item per part brand — href + required rels
     (src/hc.re:20-41) in the flat (href, rel, val) projection that the
     catalog read renders."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = read_parquet(spark, f"{sf_dir}/part.parquet")
     brands = p.select(F.col("p_brand").alias("brand")).distinct()
     desc = brands.select(
         F.concat(F.lit("/brand/"), F.col("brand")).alias("href"),

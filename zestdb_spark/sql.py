@@ -35,7 +35,7 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        fixtures.read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     fixtures.ts_numeric_from_events(spark, sf_dir).createOrReplaceTempView("ts_numeric_events")
     fixtures.ts_blob_from_events(spark, sf_dir).createOrReplaceTempView("ts_blob_events")
     fixtures.ts_numeric_from_lineitem(spark, sf_dir).createOrReplaceTempView("ts_numeric_lineitem")
