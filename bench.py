@@ -60,7 +60,14 @@ BENCH_QUERIES = [
     "agg_sd",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_ngram_jaccard",
+    # r13 swap (VERDICT r12 #1b): dedup_ngram_jaccard is the GUARDED
+    # O(n²) correctness baseline — jaccard_pairs refuses real corpora
+    # and its exact-Jaccard semantics are already timed through
+    # dedup_minhash's verification stage (identical output at τ=0.8
+    # on this fixture). Its headline slot goes to text_gopher, a
+    # graded family row the suite never timed; the quadratic row
+    # stays oracle-exact in selfcheck.
+    "text_gopher",
     "sim_topk_bruteforce",
     "text_quality",
     "text_langid",
@@ -79,7 +86,10 @@ BENCH_QUERIES = [
     "text_bm25",
     "dedup_semantic",
     "text_bpe_pairs",
-    "sk_hll_partkey",
+    # the xxhash64 deployment variant — the md5 (oracle-replayable)
+    # twin sk_hll_partkey stays graded for correctness but is not the
+    # throughput row (the sk_quantiles_fast precedent, VERDICT r11 #4)
+    "sk_hll_fast",
     # the xxhash64 deployment variant — what a user runs at 100 TB;
     # the md5 (oracle-replayable) twin sk_quantiles stays graded for
     # correctness but is not the throughput row (VERDICT r11 #4)

@@ -119,9 +119,25 @@ def gen_documents(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
 
 def gen_embeddings(src: pa.Table, copies: int, skew: bool = False) -> pa.Table:
     vecs = np.asarray(src.column("embedding").to_pylist(), dtype=np.float32)
+    d = vecs.shape[1]
     out = [src]
     for c in range(1, copies):
         rolled = np.roll(vecs, c, axis=1)
+        # beyond d copies a bare roll wraps (roll d ≡ identity ⇒ copy d
+        # would EXACTLY duplicate copy 0 — an artificial super-linear
+        # near-dup blowup). Compose each roll generation g = c // d
+        # with the Walsh sign pattern sign_i = (−1)^popcount(i & g):
+        # a diagonal ±1 orthogonal transform (norms and within-copy
+        # cosines still exact), distinct per g, identity at g = 0 (so
+        # sf1's 10-copy output is byte-identical to before) — d·d
+        # distinct transforms, supporting copies ≤ 4096 here.
+        g = c // d
+        if g:
+            rolled = rolled * np.where(
+                (np.array([bin(i & g).count("1") for i in range(d)]) % 2),
+                np.float32(-1.0),
+                np.float32(1.0),
+            )
         if skew and c == 1:
             # IVF mega-cell: the copy's first SKEW_HOT_VECS vectors
             # become closed-form micro-perturbations of one base
