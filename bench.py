@@ -60,13 +60,10 @@ BENCH_QUERIES = [
     "agg_sd",
     "dedup_exact",
     "dedup_minhash",
-    # r13 swap (VERDICT r12 #1b): dedup_ngram_jaccard is the GUARDED
-    # O(n²) correctness baseline — jaccard_pairs refuses real corpora
-    # and its exact-Jaccard semantics are already timed through
-    # dedup_minhash's verification stage (identical output at τ=0.8
-    # on this fixture). Its headline slot goes to text_gopher, a
-    # graded family row the suite never timed; the quadratic row
-    # stays oracle-exact in selfcheck.
+    # dedup_ngram_jaccard stays: the bench contract is add-only (rows
+    # in BENCH_r12 may never be removed or renamed). text_gopher is the
+    # r13 ADDITION — a graded family row the suite never timed.
+    "dedup_ngram_jaccard",
     "text_gopher",
     "sim_topk_bruteforce",
     "text_quality",
@@ -86,9 +83,10 @@ BENCH_QUERIES = [
     "text_bm25",
     "dedup_semantic",
     "text_bpe_pairs",
-    # the xxhash64 deployment variant — the md5 (oracle-replayable)
-    # twin sk_hll_partkey stays graded for correctness but is not the
-    # throughput row (the sk_quantiles_fast precedent, VERDICT r11 #4)
+    # sk_hll_partkey stays (add-only bench contract); sk_hll_fast is
+    # the r13 ADDITION — the xxhash64 deployment variant a user runs
+    # at 100 TB (the sk_quantiles_fast precedent, VERDICT r11 #4)
+    "sk_hll_partkey",
     "sk_hll_fast",
     # the xxhash64 deployment variant — what a user runs at 100 TB;
     # the md5 (oracle-replayable) twin sk_quantiles stays graded for
