@@ -32,6 +32,8 @@ signatures), so only determinism matters and the faster hash wins.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,7 +86,7 @@ def _persist_bounded(df: DataFrame) -> DataFrame:
     return out
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Small single-file inputs arrive in one scan partition, but the
     shingle/signature stages amplify work ~50× per row — spread the
     scan across the cluster first. No-op (no shuffle) when the input is
@@ -108,7 +110,12 @@ def _spread(df: DataFrame) -> DataFrame:
         # "small" guess is a full-corpus repartition — a 100 TB shuffle
         # — while a wrong "big" guess only costs small-input parallelism.
         return df
-    if size < 512 * 1024 * 1024:
+    # ``min_bytes`` lets thin-amplification callers (e.g. ts_read's
+    # top-k sort) skip the repartition when the input is SO small that
+    # the exchange itself outweighs the parallelism (measured on the
+    # 2 MiB events mapping: +0.2 s); the shingle/signature callers
+    # amplify ~50x per row and keep the 0 default.
+    if min_bytes <= size < 512 * 1024 * 1024:
         return df.repartition(target)
     return df
 
@@ -171,6 +178,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 
+@lru_cache(maxsize=None)
 def _shingle_array(k: int = 3) -> F.Column:
     """Array of DISTINCT word k-shingles of ``text`` — built by zipping
     the token array with its own k−1 shifted slices (O(n), two whole-
@@ -185,6 +193,12 @@ def _shingle_array(k: int = 3) -> F.Column:
     out-of-range positions (concat_ws skips intermediate nulls but
     those positions are dropped anyway). Docs with fewer than k tokens
     produce an empty set.
+
+    Memoized per k: Columns are immutable expression templates, and
+    building this HOF chain costs ~30 py4j round-trips — the bench and
+    the driver rebuild every query frame per cycle, so constant
+    fragments are constructed once per process (guide §4: the Python
+    boundary includes DRIVER-side py4j chatter, not just executors).
     """
     w = F.split("text", " ")
     n = F.size(w)
@@ -294,25 +308,36 @@ def minhash_signatures(
     a string column per shingle row wins ~40% on the signature stage
     (measured at sf0.1; identical signatures)."""
     sh = _spread(docs).select("doc_id", _shingle_array(k).alias("sh"))
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.col("sh"),
-                lambda x: F.xxhash64(x).bitwiseAND(F.lit((1 << 28) - 1)),
-            )
-        ).alias("x"),
-    )
-    aggs = [
+    hashed = sh.select("doc_id", _hashed_shingle_explode())
+    return hashed.groupBy("doc_id").agg(*_minhash_agg_cols(num_hashes))
+
+
+@lru_cache(maxsize=None)
+def _hashed_shingle_explode() -> F.Column:
+    """explode(transform(sh, xxhash64&mask)) as "x" — constant
+    expression template, memoized (see _shingle_array)."""
+    return F.explode(
+        F.transform(
+            F.col("sh"),
+            lambda x: F.xxhash64(x).bitwiseAND(F.lit((1 << 28) - 1)),
+        )
+    ).alias("x")
+
+
+@lru_cache(maxsize=None)
+def _minhash_agg_cols(num_hashes: int) -> tuple:
+    """The 64 (by default) universal-hash min-aggregates — ~6 py4j
+    round-trips each, memoized per num_hashes (see _shingle_array)."""
+    return tuple(
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    )
 
 
-def _banded_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(doc_id, band, sig): LSH banding of a MinHash signature table —
-    each band's row-group hashed to one 8-byte bucket key."""
+@lru_cache(maxsize=None)
+def _band_explode_col(bands: int, rows_per_band: int) -> F.Column:
+    """The banding explode column — constant per geometry, memoized
+    (see _shingle_array)."""
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -322,7 +347,13 @@ def _banded_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
         )
         for i in range(bands)
     ]
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    return F.explode(F.array(*band_cols)).alias("b")
+
+
+def _banded_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, sig): LSH banding of a MinHash signature table —
+    each band's row-group hashed to one 8-byte bucket key."""
+    return sig.select("doc_id", _band_explode_col(bands, rows_per_band)).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
 
@@ -530,22 +561,33 @@ def simhash(docs: DataFrame) -> DataFrame:
     # hash inside the token array (transform) before exploding — rows
     # through the pipeline are 8-byte longs, not token strings (same
     # win as minhash_signatures, measured at sf0.1)
-    toks = _spread(docs).select(
-        "doc_id", F.explode(F.transform(F.split("text", " "), _hash60)).alias("x")
-    )
+    toks = _spread(docs).select("doc_id", _simhash_token_explode())
     # sum(+1/-1 per bit), then sign → bit
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(60)
-        ]
+    votes = toks.groupBy("doc_id").agg(*_simhash_vote_cols())
+    return votes.select("doc_id", _simhash_acc_col().alias("simhash64"))
+
+
+@lru_cache(maxsize=None)
+def _simhash_token_explode() -> F.Column:
+    return F.explode(F.transform(F.split("text", " "), _hash60)).alias("x")
+
+
+@lru_cache(maxsize=None)
+def _simhash_vote_cols() -> tuple:
+    return tuple(
+        F.sum(
+            F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(60)
     )
+
+
+@lru_cache(maxsize=None)
+def _simhash_acc_col() -> F.Column:
     acc = F.lit(0).cast("long")
     for i in range(60):
         acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return votes.select("doc_id", acc.alias("simhash64"))
+    return acc
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -686,15 +728,17 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     only the converged? probe reaches the driver. ``max_iters`` is a
     guard, not a budget.
 
-    Convergence is an EXACT structural test, probed BEFORE each round:
+    Convergence is an EXACT structural test, probed AFTER each round:
     the edge set is a star forest iff no node has two outgoing edges
     and no child is also a center — one groupBy over the node roles,
     one driver action. That is precisely the property the labeling
     below requires (child → component min), so the test doubles as the
-    termination proof; it also replaces the older count + exceptAll
+    termination proof; it replaces the older count + exceptAll
     fixpoint comparison, which needed TWO actions per round plus one
-    entire extra round just to observe that nothing changed (measured:
-    the sf0.1 dup graph stars out in 1 round; the fixpoint test ran 2).
+    entire extra round just to observe that nothing changed. Probing
+    AFTER (r13) instead of before saves one scheduled job in the
+    common ≥1-round case; the star operators are idempotent on a star
+    forest, so an already-converged input passes round 1 unchanged.
 
     Only docs that appear in some pair are labeled (singletons are
     their own trivial cluster and never enter the edge list).
@@ -778,19 +822,30 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         return viol.isEmpty()
 
+    # No input distinct and no pre-round probe (r13): duplicate or
+    # unordered edges cannot change any window MIN, and small-star
+    # DISTINCTs its output every round — so running round 1
+    # unconditionally and probing AFTER yields the identical fixpoint
+    # while saving one shuffle (the distinct) + one scheduled probe
+    # job per call. The star operators are idempotent on a star forest
+    # (large-star maps every (child,center) edge to itself — the
+    # center is its own neighborhood min; small-star likewise), so an
+    # already-converged input just passes through round 1 unchanged.
+    # The final labeling below always reads a small-star output, whose
+    # trailing distinct guarantees set semantics regardless of caller
+    # duplicates.
     e = (
         pairs.select(
             F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("u"),
             F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         if _is_star_forest(e):
             break
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
     # at the star fixpoint every non-center node has exactly one edge
     # (child → component min); centers label themselves
     children = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

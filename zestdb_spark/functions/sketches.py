@@ -99,11 +99,18 @@ def hll_registers(
     width = _HASH_BITS - p
     h = _h60(F.col(col).cast("string"), portable)
     w = h.bitwiseAND(F.lit((1 << width) - 1))
-    # bit length via base-2 string length (no leading zeros in conv);
-    # w = 0 ⇒ bitlen 0 ⇒ rho = width + 1 (all suffix bits zero)
-    bitlen = F.when(w == 0, F.lit(0)).otherwise(
-        F.length(F.conv(w.cast("string"), 10, 2))
-    )
+    # bit length via bit-smearing + bit_count: OR w with its own
+    # right-shifts (1,2,4,8,16,32) so every bit below the MSB is set,
+    # then popcount — exactly bitlen(w), including w = 0 ⇒ 0, in six
+    # codegen integer ops. Replaces length(conv(w, 10, 2)), which
+    # allocated a ≤48-char base-2 STRING per input row (decimal
+    # parse + base conversion + length — measured the hotter half of
+    # the register projection). Values bit-identical: pure integer
+    # arithmetic, same rho per row, oracle untouched.
+    smear = w
+    for shift in (1, 2, 4, 8, 16, 32):
+        smear = smear.bitwiseOR(F.shiftright(smear, shift))
+    bitlen = F.bit_count(smear)
     # NULLs are IGNORED (standard distinct-count semantics — NULL is
     # not a value): unfiltered, md5(NULL) → a NULL register row that
     # hll_estimate would count in n_present while adding nothing to

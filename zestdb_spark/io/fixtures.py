@@ -101,6 +101,25 @@ def harden_session(spark: SparkSession) -> SparkSession:
             "spark.sql.optimizer.excludedRules",
             f"{prev},{_infer}" if prev else _infer,
         )
+    # Disable PySpark's per-call DataFrame debugging origin capture:
+    # every functions.* invocation otherwise pays ~4 py4j round-trips
+    # (getActiveSession + conf.get + PySparkCurrentOrigin set/clear)
+    # just to record a call-site string for error messages. Queries
+    # here build thousands of Columns per call (MinHash aggs, band
+    # structs, language trees) and the bench rebuilds each frame per
+    # cycle — measured ~0.9 s per dedup_minhash build. The conf is
+    # STATIC (cannot be set on a live vanilla session), but its
+    # Python-side gate is a module-level cache pyspark populates
+    # lazily from that conf — setting the cache is exactly equivalent
+    # for this process and only affects error-message decoration,
+    # never results. Guarded: private attr may move across versions.
+    try:
+        import pyspark.errors.utils as _eu
+
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     # Quiet WindowExec's blanket "No Partition Defined" WARN: the only
     # partition-less windows in the package run over ≤ k rows by
     # construction (vocab_topk / bpe_pair_stats rank a limit(k) frame;

@@ -98,6 +98,19 @@ def _read_topk(df: DataFrame, ids: Sequence[str], n: int, descending: bool) -> D
     if len(ids) == 1:
         # TakeOrderedAndProject — limit pushes into the sort, no window.
         return sel.orderBy(*_order_cols(sel, descending)).limit(int(n))
+    # Single-file inputs arrive as ONE scan partition (a parquet row
+    # group is unsplittable), which serializes the pre-WindowGroupLimit
+    # sort onto one core. _spread round-robins mid-sized inputs across
+    # the cluster first (measured 1.38 → 1.17 s on the 600k-row
+    # lineitem mapping at local[32]); it is stats-gated BOTH ways — a
+    # no-op above 512 MB (real scale: scans already have many row
+    # groups, adding a shuffle would be wrong) and below 4 MB (the
+    # exchange outweighs the parallelism; measured +0.2 s on the 2 MB
+    # events mapping). Guide §2.5: "input skew: one huge unsplittable
+    # file ... repartition immediately after the read".
+    from zestdb_spark.functions.dedup import _spread
+
+    sel = _spread(sel, min_bytes=4 * 1024 * 1024)
     w = Window.partitionBy("series_id").orderBy(*_order_cols(sel, descending))
     return (
         sel.withColumn("__rn", F.row_number().over(w))

@@ -48,6 +48,17 @@ def get_spark(app_name: str = "zestdb_spark", shuffle_partitions: int | None = N
             "org.apache.spark.sql.catalyst.optimizer."
             "InferFiltersFromGenerate",
         )
+        # PySpark 4 wraps EVERY functions.* call with a call-site
+        # capture for DataFrame error context; when enabled each
+        # Column-building call pays ~4 extra py4j round-trips
+        # (getActiveSession + conf.get + origin set/clear). Complex
+        # plans here build thousands of Columns per query (64 MinHash
+        # aggs, 16-band structs, language trees), and the bench
+        # rebuilds the frame every cycle — measured 0.9 s of a 2.5 s
+        # dedup_minhash build in pure py4j chatter. Static conf, so it
+        # must be set at builder time; harden_session flips the
+        # Python-side cache for vanilla driver sessions.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
