@@ -946,20 +946,36 @@ def scrub_dup_spans(
     )
     joined = d.join(per_doc, "doc_id", "left")
     sts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # token i survives iff NO duplicated start st covers it
+    # (st <= i < st+n). The exists-scan over starts is O(L*S)
+    # interpreted work per row -- but S is tiny for real corpora and
+    # the constant beats every "smarter" shape tried at r13: a merged-
+    # interval fold + native gap slices measured ~1.9x SLOWER end to
+    # end (the struct-array accumulator re-copies per fold step, and
+    # interpreted HOF dispatch dominates either way; interleaved noop
+    # A/B at sf0.1). The scan is additionally STAGED in its own
+    # projection so each downstream reference (n_dup twice via
+    # size(), text_scrubbed once) reads an attribute instead of
+    # re-entering the HOF tree; same interleaved A/B reads old 1.15 /
+    # staged 1.07 s (physical-level subexpression elimination already
+    # dedups most same-Project references, so the stage is hygiene
+    # plus a small win, not the 3x the reference-count suggests).
+    # Values bit-identical either way (oracle-checked).
     kept = F.filter(
         F.transform(F.col("w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
         lambda s: ~F.exists(sts, lambda st: (st <= s["i"]) & (s["i"] < st + n)),
     )
+    k1 = joined.select("doc_id", "w", kept.alias("__kept"))
     n_tokens = F.size("w")
-    n_dup = F.size("w") - F.size(kept)
-    return joined.select(
+    n_dup = n_tokens - F.size("__kept")
+    return k1.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_dup.alias("n_dup_tokens"),
         q6(n_dup / F.greatest(n_tokens, F.lit(1))).alias("dup_frac"),
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
-            "text_scrubbed"
-        ),
+        F.array_join(
+            F.transform("__kept", lambda s: s["t"]), " "
+        ).alias("text_scrubbed"),
     )
 
 
@@ -1018,36 +1034,34 @@ def dsir_select(
     and cluster sizes, never ``rand()`` — so selection is importance
     SAMPLING, not a brittle deterministic argmax, yet still replayable.
 
-    Shape: two token-count aggregations (map-side combined, Zipf-small
-    results), a full-outer vocab merge that stays vocabulary-sized, a
-    1-row totals broadcast, then ONE raw-corpus explode joined to the
-    broadcast vocab and rolled up per doc — the ``unigram_logprob``
-    movement with a second (small) corpus folded in. Final top-k is
-    TakeOrderedAndProject. ``broadcast_vocab=False`` degrades the
-    vocab join to a shuffle equi-join past the broadcast ceiling.
-    Zero-token docs carry no evidence and are excluded. Ties break on
-    doc_id asc."""
+    Shape: ONE tagged-union token-count aggregation — both corpora's
+    token streams union with a (cr, ct) indicator pair and aggregate
+    by token in a single map-side-combined shuffle (sum of indicators
+    = the per-side counts, and a token missing from one side sums to
+    0 there — exactly the old full-outer-join-with-coalesce, minus
+    one aggregation exchange and the join; r13, measured −2 scheduled
+    jobs on the probe) — then a 1-row totals broadcast, then ONE
+    raw-corpus explode joined to the broadcast vocab and rolled up
+    per doc — the ``unigram_logprob`` movement with a second (small)
+    corpus folded in. Final top-k is TakeOrderedAndProject.
+    ``broadcast_vocab=False`` degrades the vocab join to a shuffle
+    equi-join past the broadcast ceiling. Zero-token docs carry no
+    evidence and are excluded. Ties break on doc_id asc."""
     if k < 1:
         raise ValueError(f"dsir_select: k must be ≥ 1, got {k}")
     toks = raw.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
-    cr = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (
+    tagged = toks.select(
+        "tok", F.lit(1).alias("r"), F.lit(0).alias("t")
+    ).unionAll(
         target.select(
             F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        ).select("tok", F.lit(0).alias("r"), F.lit(1).alias("t"))
     )
-    vocab = (
-        cr.join(ct, "tok", "full_outer")
-        .select(
-            "tok",
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-        )
+    vocab = tagged.groupBy("tok").agg(
+        F.sum("r").alias("cr"), F.sum("t").alias("ct")
     )
     totals = vocab.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt"),

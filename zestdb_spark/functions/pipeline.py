@@ -24,6 +24,8 @@ fact small and shuffle-joins when it isn't.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +35,28 @@ from zestdb_spark.functions.textstats import (
     lang_hit_cols,
     lang_pred_from_hits,
 )
+
+
+@lru_cache(maxsize=None)
+def _gate_exprs():
+    """(token-array, stopword-hit-count, score) constant expression
+    templates of the stage-1 quality gate — memoized because the
+    bench/driver rebuild the pipeline frame every cycle and each
+    interpreted HOF costs dozens of py4j round-trips to construct
+    (the textstats._hits precedent, r13). Same arithmetic as
+    textstats.quality_exprs, staged over the __ztoks/__n/__zhits
+    projections the caller sets up."""
+    from zestdb_spark.functions.dedup import q6
+    from zestdb_spark.functions.textstats import STOPWORDS, _tokens
+
+    toks = F.filter(_tokens(), lambda t: t != "")
+    zhits = F.size(
+        F.filter(F.col("__ztoks"), lambda t: t.isin(*STOPWORDS["en"]))
+    )
+    ratio = q6(F.col("__zhits") / F.greatest(F.col("__n"), F.lit(1)))
+    length_credit = F.least(F.col("__n"), F.lit(400)) / 400
+    score = q6(ratio * 0.5 + length_credit * 0.5)
+    return toks, zhits, score
 
 
 def clean_corpus(
@@ -49,21 +73,13 @@ def clean_corpus(
     # re-evaluates the interpreted token filter at every reference
     # (CodegenFallback HOFs are never CSE'd — the lang_id lesson),
     # which the gate predicate then multiplies again via pushdown.
-    from zestdb_spark.functions.dedup import q6
-    from zestdb_spark.functions.textstats import STOPWORDS, _tokens
-
-    toks = F.filter(_tokens(), lambda t: t != "")
+    toks, zhits, score = _gate_exprs()
     s1 = docs.withColumn("__ztoks", toks)
     s2 = s1.withColumn("__n", F.size("__ztoks").cast("long")).withColumn(
-        "__zhits",
-        F.size(
-            F.filter(F.col("__ztoks"), lambda t: t.isin(*STOPWORDS["en"]))
-        ),
+        "__zhits", zhits
     )
-    ratio = q6(F.col("__zhits") / F.greatest(F.col("__n"), F.lit(1)))
-    length_credit = F.least(F.col("__n"), F.lit(400)) / 400
     gated = (
-        s2.withColumn("__score", q6(ratio * 0.5 + length_credit * 0.5))
+        s2.withColumn("__score", score)
         .filter(F.col("__score") >= min_score)
         .drop("__ztoks", "__zhits")
     )

@@ -528,7 +528,7 @@ def bloom_probe(
 # -------------------------------------------------- heavy hitters (MG)
 
 def heavy_hitter_candidates(
-    df: DataFrame, col: str, capacity: int = 1024
+    df: DataFrame, col: str, capacity: int = 1024, with_total: bool = False
 ) -> DataFrame:
     """(item, weight): per-partition Misra-Gries summaries (Misra &
     Gries 1982; the batched compression step is SpaceSaving-equivalent,
@@ -548,7 +548,14 @@ def heavy_hitter_candidates(
     frequency > n/(capacity+1) appears in the output; ``weight`` is a
     lower bound on the item's true count. NULLs are ignored (standard
     frequent-items semantics, same as the other sketches). Items are
-    compared as strings (cast once, scan-local)."""
+    compared as strings (cast once, scan-local).
+
+    ``with_total=True`` additionally emits ONE sentinel row per
+    partition — item NULL, weight = that partition's (non-null) row
+    count — so the certified-prefix bound in ``heavy_hitters_exact``
+    can read n from this same pass instead of paying a THIRD full
+    scan of the input (r13; the MG fold already touches every row).
+    The default output is unchanged (item stays non-nullable)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -559,7 +566,7 @@ def heavy_hitter_candidates(
     )
     out_schema = T.StructType(
         [
-            T.StructField("item", T.StringType(), False),
+            T.StructField("item", T.StringType(), bool(with_total)),
             T.StructField("weight", T.LongType(), False),
         ]
     )
@@ -568,7 +575,9 @@ def heavy_hitter_candidates(
         import heapq
 
         counts: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for item, c in pdf["item"].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > capacity:
@@ -578,8 +587,13 @@ def heavy_hitter_candidates(
                 # survivor set and error bound, O(u log c) not O(u·d)
                 d = heapq.nlargest(capacity + 1, counts.values())[-1]
                 counts = {k: v - d for k, v in counts.items() if v > d}
+        items = list(counts.keys())
+        weights = list(counts.values())
+        if with_total:
+            items.append(None)
+            weights.append(n_rows)
         yield pd.DataFrame(
-            {"item": list(counts.keys()), "weight": list(counts.values())},
+            {"item": items, "weight": weights},
             columns=["item", "weight"],
         ).astype({"weight": "int64"})
 
@@ -619,7 +633,20 @@ def heavy_hitters_exact(
     it when its runtime size fits and degrades to a shuffled equi-join
     (1 string key, no payload) when it doesn't — pinned by
     tests/test_plan_contracts.py."""
-    cand = heavy_hitter_candidates(df, col, capacity).select("item").distinct()
+    from zestdb_spark.functions.dedup import _persist_bounded
+
+    # ONE MG pass yields both the candidate set and (as per-partition
+    # NULL-item sentinel rows) the total non-null count — the old
+    # shape paid a SEPARATE full scan for n, and the certified/guard
+    # union below consumes its subtrees twice, so the scan count per
+    # call was 5; persisting the (≤ capacity × partitions + sentinel)
+    # MG output makes it exactly 2: MG fold + recount (r13).
+    mg_out = _persist_bounded(
+        heavy_hitter_candidates(df, col, capacity, with_total=verify)
+    )
+    cand = (
+        mg_out.filter(F.col("item").isNotNull()).select("item").distinct()
+    )
     src = df.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
@@ -631,10 +658,16 @@ def heavy_hitters_exact(
     topk = counted.orderBy(F.col("freq").desc(), F.col("item").asc()).limit(int(k))
     if not verify:
         return topk
+    topk = _persist_bounded(topk)
     # certified prefix: keep only rows the MG floor proves complete —
     # freq · (capacity+1) > n (a sparse tail returns < k rows, all
-    # exact, rather than unproven ones or a spurious failure)
-    n_total = src.agg(F.count(F.lit(1)).alias("_n"))
+    # exact, rather than unproven ones or a spurious failure). n comes
+    # from the MG pass's sentinel rows — no extra scan; coalesce
+    # covers the all-NULL-input edge (no sentinels ⇒ n = 0 is wrong —
+    # sentinels are emitted per partition regardless, weight 0).
+    n_total = mg_out.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("_n")
+    )
     certified = (
         topk.crossJoin(n_total)
         .filter(F.col("freq") * F.lit(int(capacity) + 1) > F.col("_n"))

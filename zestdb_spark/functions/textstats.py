@@ -12,6 +12,8 @@ and any oracle engine agree bit-for-bit.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,11 +31,18 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "es", "de", "fr")
 
 
+@lru_cache(maxsize=None)
 def _tokens() -> Column:
     return F.split(F.col("text"), " ")
 
 
+@lru_cache(maxsize=None)
 def _hits(lang: str) -> Column:
+    # Memoized per language (r13): Columns are immutable expression
+    # templates and each HOF filter costs dozens of py4j round-trips;
+    # the bench/driver rebuild every query frame per cycle (the
+    # dedup._shingle_array precedent — guide §4's Python boundary
+    # includes driver-side chatter).
     words = STOPWORDS[lang]
     return F.size(F.filter(_tokens(), lambda t: t.isin(*words)))
 
@@ -74,13 +83,15 @@ def punct_ratio(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", q6(ratio).alias("punct_ratio"))
 
 
+@lru_cache(maxsize=None)
 def quality_exprs() -> tuple[Column, Column, Column]:
     """(n_tokens, stopword_ratio, score) expression trio — the ONE
     definition of the quality arithmetic, shared by ``quality_score``
     and the composed clean-corpus pipeline so they cannot drift.
     Zero-token docs score 0.0 (greatest(n,1) guards the division —
     under ANSI mode a bare hits/n THROWS on empty text; found by the
-    oracle-equivalence property tests)."""
+    oracle-equivalence property tests). Memoized (constant templates;
+    see ``_hits``)."""
     n = F.size(F.filter(_tokens(), lambda t: t != "")).cast("long")
     ratio = q6(_hits("en") / F.greatest(n, F.lit(1)))
     length_credit = F.least(n, F.lit(400)) / 400

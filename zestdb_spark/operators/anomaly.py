@@ -47,15 +47,25 @@ def zscore_outliers(
     oracle's binary rounding); mean and sd derive from the sums in one
     fixed double expression — sd² = (Σv² − (Σv)²/n)/(n−1) — and z is
     q6-floored.
+
+    Shape (r13): grouped aggregate + join back on the key, not a
+    whole-partition window — the window formulation exchanges and
+    per-key BUFFERS the entire fact table (one straggler task per hot
+    series), while the aggregate shuffles only map-side partials and
+    the join back is exchange-free on the data side once AQE
+    broadcasts the key-cardinality stats table (the ``mad_outliers``
+    shape; no hint — a high-cardinality ``by`` degrades to a shuffle
+    equi-join). Identical values: same exact decimal sums, same fixed
+    double expression per key.
     """
-    w = Window.partitionBy(*by)
-    s1 = F.sum(F.col(value).cast("decimal(38,6)")).over(w).cast("double")
-    s2 = (
+    stats = df.groupBy(*by).agg(
+        F.sum(F.col(value).cast("decimal(38,6)")).cast("double").alias("_s1"),
         F.sum(q6(F.col(value) * F.col(value)).cast("decimal(38,6)"))
-        .over(w)
         .cast("double")
+        .alias("_s2"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
     )
-    n = F.count(F.lit(1)).over(w).cast("double")
+    s1, s2, n = F.col("_s1"), F.col("_s2"), F.col("_n")
     mean = s1 / n
     var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
     # guard on the VARIANCE, not sqrt(var): the q6-floored squares can
@@ -65,7 +75,7 @@ def zscore_outliers(
     # oracle. var > 0 short-circuits both engines identically.
     z = q6((F.col(value) - mean) / F.sqrt(var))
     z = F.when((n > 1) & (var > 0), z)
-    return df.select(
+    return df.join(stats, list(by)).select(
         *by,
         on,
         value,
