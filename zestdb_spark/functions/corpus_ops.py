@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from zestdb_spark.functions.dedup import _hash60, q6, shingles
+from zestdb_spark.functions.dedup import _hash60, _spread, q6, shingles
 from zestdb_spark.functions.textstats import quality_score
 
 __all__ = [
@@ -171,7 +171,7 @@ def tf_idf(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     ``unigram_logprob`` contract). N is a 1-row broadcast. q6-floored
     score (tf, df, N are integers, so the double inputs are identical
     in both engines and ln agrees to well under the 1e-6 quantum)."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
@@ -262,7 +262,7 @@ def bigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
         1,
         F.greatest(m - 1, F.lit(0)),
     )
-    exploded = docs.select("doc_id", F.explode(bg_arr).alias("bg"))
+    exploded = _spread(docs).select("doc_id", F.explode(bg_arr).alias("bg"))
     c2 = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.withColumn("pre", F.split(F.col("bg"), " ").getItem(0))
@@ -320,7 +320,7 @@ def bm25_topk(
         F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"tf{i}")
         for i, term in enumerate(query_terms)
     ]
-    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    base = _spread(docs).select("doc_id", F.size(toks).alias("dl"), *tf_cols)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -369,7 +369,7 @@ def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
     contract. Single-char words emit nothing.
     """
     words = (
-        docs.select(
+        _spread(docs).select(
             F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
         )
         .groupBy("word")
@@ -907,7 +907,7 @@ def scrub_dup_spans(
     unscrubbed. dup_frac is q6-floored int/int division.
     """
     w = F.filter(F.split("text", " "), lambda t: t != "")
-    d = docs.select("doc_id", w.alias("w"))
+    d = _spread(docs).select("doc_id", w.alias("w"))
     # one slot per valid start position; the gram text is sliced from
     # the captured full array (positions are 0-based)
     starts_arr = F.slice(
@@ -1049,7 +1049,7 @@ def dsir_select(
     evidence and are excluded. Ties break on doc_id asc."""
     if k < 1:
         raise ValueError(f"dsir_select: k must be ≥ 1, got {k}")
-    toks = raw.select(
+    toks = _spread(raw).select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
@@ -1124,7 +1124,7 @@ def unigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     — and the final mean is double-divided then q6-floored, the same
     contract as ``source_stats``.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
