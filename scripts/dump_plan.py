@@ -1,0 +1,42 @@
+"""Dump `.explain("formatted")` for named bench/declared queries to
+plans/<dir>/<name>_<suffix>.txt — the judge's plan-claim evidence.
+
+Usage: python scripts/dump_plan.py <suffix> <query> [query...]
+       (writes into plans/r13/)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from zestdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark("dump_plan")
+    qs = entry.queries()
+    os.makedirs(OUT, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(OUT, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

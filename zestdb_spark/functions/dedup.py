@@ -284,7 +284,7 @@ def jaccard_pairs(
 # ------------------------------------------------------------ MinHash LSH
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 3, num_hashes: int = 64
+    docs: DataFrame, k: int = 3, num_hashes: int = 64, impl: str = "arrow"
 ) -> DataFrame:
     """docs → (doc_id, h0..h{n-1}) MinHash signature via universal
     hashing min((a·x + b) mod p): shingles hashed to 28-bit ints
@@ -306,7 +306,27 @@ def minhash_signatures(
     explode, so the exploded rows are 8-byte longs instead of shingle
     strings — the transform HOF is interpreted, but not materializing
     a string column per shingle row wins ~40% on the signature stage
-    (measured at sf0.1; identical signatures)."""
+    (measured at sf0.1; identical signatures).
+
+    ``impl="arrow"`` (default, r13) computes the signature SCAN-LOCALLY
+    in one vectorized Arrow kernel (minhash_kernel.py): the explode →
+    partial-agg → Exchange → final-agg chain above collapses to a
+    single narrow stage with zero shuffle, and the shingle hash is the
+    numpy XXH64 replica of ``xxhash64`` (parity-pinned by
+    tests/test_xxh64_np.py), so signatures are BIT-IDENTICAL between
+    the two paths (pinned by tests/test_dedup.py). ``impl="expr"``
+    keeps the pure-JVM expression pipeline (engines without Python
+    workers)."""
+    if impl == "arrow":
+        from zestdb_spark.functions.minhash_kernel import (
+            make_signature_fn,
+            signature_schema,
+        )
+
+        src = _spread(docs).select("doc_id", "text")
+        return src.mapInArrow(
+            make_signature_fn(k, num_hashes), signature_schema(num_hashes)
+        )
     sh = _spread(docs).select("doc_id", _shingle_array(k).alias("sh"))
     hashed = sh.select("doc_id", _hashed_shingle_explode())
     return hashed.groupBy("doc_id").agg(*_minhash_agg_cols(num_hashes))
