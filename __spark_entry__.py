@@ -1383,7 +1383,15 @@ def _ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dd = docs(spark, sf_dir)
         return dedup.keep_canonical(
             dd,
-            dedup.dup_clusters(dedup.minhash_lsh_pairs(dd, 3, 64, 32, 0.5)),
+            # children-only labeling: keep_canonical's coalesce gives
+            # every center (and singleton) its own id anyway, so the
+            # centers distinct + union is a pure no-op for THIS
+            # consumer — one exchange less, results identical (r13;
+            # pinned by test_keep_canonical_children_only)
+            dedup.dup_clusters(
+                dedup.minhash_lsh_pairs(dd, 3, 64, 32, 0.5),
+                include_centers=False,
+            ),
             "n_chars",
         )
 

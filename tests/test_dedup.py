@@ -215,3 +215,22 @@ def test_cross_lsh_self_mode_materializes_one_verify_side(spark):
     assert self_rows == cross_rows  # the fast path changes cost, not answers
     assert (0, 0, 1.0) in self_rows  # every doc meets itself exactly
     assert any(a == 0 and b == 1 for a, b, _ in self_rows)  # the near-dup
+
+
+def test_keep_canonical_children_only(spark):
+    """The keep path may skip the centers union: keep_canonical's
+    coalesce self-labels every doc missing from the labeling, which is
+    exactly what the center rows would say — results must be identical
+    with include_centers=False (the r13 one-exchange-less variant)."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    full = dedup.keep_canonical(docs, dedup.dup_clusters(pairs), "n_chars")
+    slim = dedup.keep_canonical(
+        docs, dedup.dup_clusters(pairs, include_centers=False), "n_chars"
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, slim.collect()))
+    # and the slim labeling itself carries no self-labeled rows
+    slim_lab = dedup.dup_clusters(pairs, include_centers=False).collect()
+    assert all(r["doc_id"] != r["cluster_id"] for r in slim_lab)

@@ -171,7 +171,7 @@ def tf_idf(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     ``unigram_logprob`` contract). N is a 1-row broadcast. q6-floored
     score (tf, df, N are integers, so the double inputs are identical
     in both engines and ln agrees to well under the 1e-6 quantum)."""
-    toks = _spread(docs).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
@@ -262,7 +262,7 @@ def bigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
         1,
         F.greatest(m - 1, F.lit(0)),
     )
-    exploded = _spread(docs).select("doc_id", F.explode(bg_arr).alias("bg"))
+    exploded = docs.select("doc_id", F.explode(bg_arr).alias("bg"))
     c2 = exploded.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = (
         c2.withColumn("pre", F.split(F.col("bg"), " ").getItem(0))
@@ -320,7 +320,7 @@ def bm25_topk(
         F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"tf{i}")
         for i, term in enumerate(query_terms)
     ]
-    base = _spread(docs).select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    base = docs.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -369,7 +369,7 @@ def bpe_pair_stats(docs: DataFrame, top_k: int = 50) -> DataFrame:
     contract. Single-char words emit nothing.
     """
     words = (
-        _spread(docs).select(
+        docs.select(
             F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word")
         )
         .groupBy("word")
@@ -906,6 +906,13 @@ def scrub_dup_spans(
     Docs shorter than n tokens produce no grams and pass through
     unscrubbed. dup_frac is q6-floored int/int division.
     """
+    # _spread stays HERE but was reverted from the explode→agg token
+    # pipelines (tf_idf/unigram/bigram/bm25/bpe/dsir): the span scrub
+    # amplifies ~L·S per row so single-file scan parallelism wins
+    # (interleaved noop A/B at sf0.1: 0.81 spread vs 1.21 without),
+    # while the flat token pipelines lose more to the extra exchange
+    # than they gain (tfidf 1.40 spread vs 0.76 without; same for
+    # unigram/dsir/bm25/bpe/bigram — r13 measurement)
     w = F.filter(F.split("text", " "), lambda t: t != "")
     d = _spread(docs).select("doc_id", w.alias("w"))
     # one slot per valid start position; the gram text is sliced from
@@ -1049,7 +1056,7 @@ def dsir_select(
     evidence and are excluded. Ties break on doc_id asc."""
     if k < 1:
         raise ValueError(f"dsir_select: k must be ≥ 1, got {k}")
-    toks = _spread(raw).select(
+    toks = raw.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )
@@ -1124,7 +1131,7 @@ def unigram_logprob(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     — and the final mean is double-divided then q6-floored, the same
     contract as ``source_stats``.
     """
-    toks = _spread(docs).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
     )

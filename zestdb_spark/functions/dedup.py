@@ -724,7 +724,9 @@ def embedding_dup_pairs(
 
 # ------------------------------------------------------- dup clustering
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 25, include_centers: bool = True
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs
     (id_a, id_b) — the transitive closure a dedup pipeline actually
     keys on (pairs alone under-merge: a~b, b~c must collapse to ONE
@@ -869,6 +871,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # at the star fixpoint every non-center node has exactly one edge
     # (child → component min); centers label themselves
     children = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    if not include_centers:
+        # keep_canonical's left join coalesces a missing label to the
+        # doc's own id — exactly the self-label every center row would
+        # carry (centers are component minima by construction), so the
+        # keep path can skip the centers distinct + union entirely
+        # (one exchange less; results pinned identical by
+        # test_keep_canonical_children_only). The full labeling stays
+        # the default — dedup_clusters' declared output includes
+        # centers.
+        return children
     centers = (
         e.select(F.col("v").alias("doc_id"))
         .distinct()
