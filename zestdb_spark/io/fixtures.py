@@ -78,7 +78,17 @@ def harden_session(spark: SparkSession) -> SparkSession:
       Spark refuses to read as a timestamp otherwise.
     - ``session.timeZone=UTC``: the lineitem/orders TIMESTAMP_NTZ →
       epoch-ms casts are only oracle-exact under UTC.
+
+    Idempotent per session and MEMOIZED on the session object itself
+    (an attribute, not an id() set — ids can be reused after GC across
+    the sequential sessions tests create): every fixture loader calls
+    this, the bench builds ~150 frames per pass, and each un-memoized
+    call costs ~8 py4j round-trips of conf churn (r13, guide §4 —
+    driver-side chatter). Callers that mutate these confs afterwards
+    own the consequences — nothing in the package does.
     """
+    if getattr(spark, "_zestdb_hardened", False):
+        return spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # InferFiltersFromGenerate clones the ENTIRE generator expression
@@ -136,6 +146,10 @@ def harden_session(spark: SparkSession) -> SparkSession:
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
     except Exception:
+        pass
+    try:
+        spark._zestdb_hardened = True
+    except Exception:  # exotic session proxies without attribute slots
         pass
     return spark
 
