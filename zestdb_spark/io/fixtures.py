@@ -28,10 +28,35 @@ tests.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _memoized_mapping(file_rel: str):
+    """Decorator: memoize a fixture mapping's lazy frame per
+    (session, sf_dir, source-file mtime) via ``_frame_memo`` — the
+    mapping is a pure column projection over one parquet file, so the
+    plan object is reusable until the file changes."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                mtime = os.stat(os.path.join(sf_dir, file_rel)).st_mtime_ns
+            except OSError:
+                return fn(spark, sf_dir)
+            return _frame_memo(
+                spark,
+                (fn.__name__, sf_dir, mtime),
+                lambda: fn(spark, sf_dir),
+            )
+
+        return wrapper
+
+    return deco
 
 #: path → (mtime, nanosAsLong-conf, StructType). Schema-INFERENCE
 #: memo: a bare ``spark.read.parquet(path)`` schedules a 1-task
@@ -45,10 +70,36 @@ from pyspark.sql import functions as F
 _SCHEMA_MEMO: dict = {}
 
 
+def _frame_memo(spark: SparkSession, key: tuple, build):
+    """Memoize an immutable LAZY DataFrame (a logical plan, never a
+    result) on the session object. Query/fixture builders are pure
+    functions of (session, file path, mtime): rebuilding the identical
+    plan costs dozens of py4j round-trips (measured ~0.3-0.9 s per
+    fixture mapping under load — the dominant share of a floor row's
+    build time), while reusing the plan object costs nothing and
+    changes nothing: every action still plans, optimizes, and executes
+    from the parquet input exactly as before. Keys carry the file
+    mtime, so a rewritten input is a new entry. Stored as a session
+    attribute (not a module dict keyed by id()) so a stopped session's
+    memo dies with it and ids reused by GC cannot alias."""
+    memo = getattr(spark, "_zestdb_frame_memo", None)
+    if memo is None:
+        try:
+            memo = {}
+            spark._zestdb_frame_memo = memo
+        except Exception:  # exotic session proxies — just rebuild
+            return build()
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = build()
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the inferred schema memoized per
     (path, mtime, nanos-conf) — plan-time only, zero schema-inference
-    jobs after the first read of a path."""
+    jobs after the first read of a path — and the scan FRAME memoized
+    per session (see ``_frame_memo``)."""
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
@@ -58,12 +109,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         nanos = None
     key = (path, mtime, nanos)
-    schema = _SCHEMA_MEMO.get(key)
-    if schema is None:
-        df = spark.read.parquet(path)
-        _SCHEMA_MEMO[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+
+    def build() -> DataFrame:
+        schema = _SCHEMA_MEMO.get(key)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_MEMO[key] = df.schema
+            return df
+        return spark.read.schema(schema).parquet(path)
+
+    return _frame_memo(spark, ("scan",) + key, build)
 
 
 # ------------------------------------------------------------------ events
@@ -192,6 +247,7 @@ def ts_ms(ev: DataFrame, col: str = "ts") -> F.Column:
 _ts_ms = ts_ms
 
 
+@_memoized_mapping("events.parquet")
 def ts_numeric_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     tagged = F.col("user_id") % 5 != 0
@@ -227,6 +283,7 @@ TS_NUMERIC_FROM_EVENTS_SQL = """
 """
 
 
+@_memoized_mapping("events.parquet")
 def ts_blob_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return ev.select(
@@ -245,6 +302,7 @@ TS_BLOB_FROM_EVENTS_SQL = """
 
 # ---------------------------------------------------------------- lineitem
 
+@_memoized_mapping("lineitem.parquet")
 def ts_numeric_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk/bench mapping: one series per returnflag, price as value."""
     li = read_parquet(harden_session(spark), f"{sf_dir}/lineitem.parquet")
@@ -268,6 +326,7 @@ TS_NUMERIC_FROM_LINEITEM_SQL = """
 
 # --------------------------------------------------------------------- kv
 
+@_memoized_mapping("nation.parquet")
 def kv_json_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV namespace per region name, key per nation name."""
     n = read_parquet(spark, f"{sf_dir}/nation.parquet")
@@ -289,6 +348,7 @@ KV_JSON_FROM_NATION_SQL = """
   FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 """
 
+@_memoized_mapping("supplier.parquet")
 def kv_text_from_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-format KV: one namespace, key per supplier, plain-text value."""
     s = read_parquet(spark, f"{sf_dir}/supplier.parquet")
