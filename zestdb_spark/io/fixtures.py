@@ -370,6 +370,7 @@ KV_TEXT_FROM_SUPPLIER_SQL = """
 
 # ----------------------------------------------------------------- catalog
 
+@_memoized_mapping("part.parquet")
 def catalog_items_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hypercat item per part brand — href + required rels
     (src/hc.re:20-41) in the flat (href, rel, val) projection that the
