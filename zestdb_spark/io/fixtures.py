@@ -166,6 +166,20 @@ def harden_session(spark: SparkSession) -> SparkSession:
             "spark.sql.optimizer.excludedRules",
             f"{prev},{_infer}" if prev else _infer,
         )
+    # Allow shuffled-hash joins where the per-partition build side
+    # fits (guide §3.1/§9): the planner preference when the estimate
+    # is safely small, plus AQE's runtime rewrite gated on the REAL
+    # post-shuffle partition size (64 MB — bounded build-side memory
+    # at any scale). Sort-merge remains the fallback for partitions
+    # past the threshold. Interleaved noop A/B at sf0.1: ngram self-
+    # join 1.89 -> 1.34, minhash verify 1.71 -> 1.27, revenue join
+    # 1.33 -> 1.04, knn join 0.95 -> 0.80, asof 0.36 -> 0.28. Results
+    # unaffected (join strategy only); both confs runtime-settable.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        str(64 * 1024 * 1024),
+    )
     # Disable PySpark's per-call DataFrame debugging origin capture:
     # every functions.* invocation otherwise pays ~4 py4j round-trips
     # (getActiveSession + conf.get + PySparkCurrentOrigin set/clear)

@@ -31,6 +31,17 @@ def get_spark(app_name: str = "zestdb_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffled-hash join where the build side fits (guide §3.1/§9):
+        # planner preference + AQE's runtime rewrite gated on the real
+        # post-shuffle partition size — sort-merge stays the fallback
+        # past 64 MB per partition. Measured 20-30% on the self-join /
+        # verify-join rows (see io/fixtures.py harden_session, which
+        # applies the same pair to vanilla driver sessions).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # driver testdata stores events.ts as TIMESTAMP(NANOS) which Spark
         # cannot read as a timestamp; read the raw int64 nanos instead and
         # convert with integer division (see io/fixtures.py)
