@@ -1,0 +1,79 @@
+"""Arrow token-count kernel ≡ the JVM expression projection (bm25).
+
+The kernel's contract is BIT-IDENTICAL integer counts: if (doc_id, dl,
+tf*) matches the ``F.size(F.filter(split(...)))`` path on every row,
+everything downstream of the persisted base projection (stats, scores,
+top-k) is identical by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zestdb_spark.functions import corpus_ops
+from zestdb_spark.functions.token_count_kernel import (
+    make_token_stats_fn,
+    stats_schema,
+)
+
+#: token-shape adversaries: NULL text, empty text, lone/leading/
+#: trailing/consecutive spaces, term as a substring (must NOT count),
+#: multi-byte UTF-8 tokens, duplicate terms in one doc
+ROWS = [
+    (1, None),
+    (2, ""),
+    (3, " "),
+    (4, "  spark   query  "),
+    (5, "sparkquery spark spark query"),
+    (6, "héllo spark héllo"),
+    (7, "spark"),
+    (8, "a b c d e f g"),
+    (9, "query query query query"),
+]
+TERMS = ("spark", "query", "héllo")
+
+
+def _expr_projection(df, terms):
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda t: t == F.lit(term))).alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string").cache()
+
+
+def test_kernel_matches_expression_projection(spark, docs):
+    kern = docs.select("doc_id", "text").mapInArrow(
+        make_token_stats_fn(TERMS), stats_schema(len(TERMS))
+    )
+    expr = _expr_projection(docs, TERMS)
+    assert kern.schema == expr.schema
+    assert sorted(map(tuple, kern.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+
+
+def test_null_text_yields_null_counts(spark, docs):
+    kern = docs.select("doc_id", "text").mapInArrow(
+        make_token_stats_fn(TERMS), stats_schema(len(TERMS))
+    )
+    row = {r["doc_id"]: r for r in kern.collect()}[1]
+    assert row["dl"] is None and row["tf0"] is None and row["tf2"] is None
+    # one output row per input row — no dropping
+    assert kern.count() == len(ROWS)
+
+
+def test_bm25_impls_agree(spark, docs):
+    a = corpus_ops.bm25_topk(docs, list(TERMS), 5, impl="arrow").collect()
+    e = corpus_ops.bm25_topk(docs, list(TERMS), 5, impl="expr").collect()
+    assert a == e
+    assert len(a) > 0  # the fixture has matching docs
