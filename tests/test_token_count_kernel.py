@@ -77,3 +77,34 @@ def test_bm25_impls_agree(spark, docs):
     e = corpus_ops.bm25_topk(docs, list(TERMS), 5, impl="expr").collect()
     assert a == e
     assert len(a) > 0  # the fixture has matching docs
+
+
+def test_tf_rows_kernel_matches_explode_groupby(spark, docs):
+    from zestdb_spark.functions.token_count_kernel import (
+        TF_SCHEMA,
+        make_tf_rows_fn,
+    )
+
+    kern = docs.select("doc_id", "text").mapInArrow(
+        make_tf_rows_fn(), TF_SCHEMA
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    expr = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    assert sorted(map(tuple, kern.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+    # null/empty/space-only docs emit no tf rows, exactly like explode
+    ids = {r["doc_id"] for r in kern.collect()}
+    assert ids.isdisjoint({1, 2, 3})
+
+
+def test_tfidf_impls_agree(spark, docs):
+    a = corpus_ops.tf_idf(docs, impl="arrow")
+    e = corpus_ops.tf_idf(docs, impl="expr")
+    assert a.exceptAll(e).count() == 0 and e.exceptAll(a).count() == 0
+    assert a.count() > 0

@@ -163,7 +163,9 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     return counts.withColumn("rnk", F.row_number().over(w))
 
 
-def tf_idf(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
+def tf_idf(
+    docs: DataFrame, broadcast_vocab: bool = True, impl: str = "arrow"
+) -> DataFrame:
     """(doc_id, tok, tf, df, tfidf): classic tf·ln(N/df) term weights.
     Shape: ONE explode → per-doc tf aggregation, then df derived FROM
     tf ((doc_id, tok) rows are unique there, so df = count per token)
@@ -176,12 +178,34 @@ def tf_idf(docs: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     pathological vocabularies past the broadcast ceiling (the
     ``unigram_logprob`` contract). N is a 1-row broadcast. q6-floored
     score (tf, df, N are integers, so the double inputs are identical
-    in both engines and ln agrees to well under the 1e-6 quantum)."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    in both engines and ln agrees to well under the 1e-6 quantum).
+
+    ``impl="arrow"`` (default, r13) computes the tf table SCAN-LOCALLY
+    in one vectorized Arrow kernel (token_count_kernel.make_tf_rows_fn):
+    per-(doc, tok) counts are scan-local facts (a doc lives in one
+    partition), so the explode → partial agg → corpus-sized Exchange →
+    final agg chain collapses to a per-batch Arrow hash group-by with
+    ZERO shuffle — counts are integers, so tf (and df/tfidf derived
+    from it) is BIT-IDENTICAL (pinned by
+    tests/test_token_count_kernel.py). ``impl="expr"`` keeps the
+    pure-JVM pipeline (engines without Python workers)."""
+    if impl == "arrow":
+        from zestdb_spark.functions.token_count_kernel import (
+            TF_SCHEMA,
+            make_tf_rows_fn,
+        )
+
+        tf = docs.select("doc_id", "text").mapInArrow(
+            make_tf_rows_fn(), TF_SCHEMA
+        )
+    else:
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (

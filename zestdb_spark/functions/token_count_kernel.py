@@ -1,6 +1,12 @@
-"""Arrow kernel: scan-local per-document query-term counts (guide §4.2).
+"""Arrow kernels: scan-local per-document token counting (guide §4.2).
 
-Computes the BM25 base projection ``(doc_id, dl, tf0..tf{n-1})`` in one
+Two kernels over the same tokenization: ``make_token_stats_fn`` — the
+BM25 base projection ``(doc_id, dl, tf0..tf{n-1})`` — and
+``make_tf_rows_fn`` — tf_idf's final per-(doc, tok) term-frequency
+table, computed without the corpus-sized exchange the explode→groupBy
+plan pays.
+
+``make_token_stats_fn`` computes ``(doc_id, dl, tf0..tf{n-1})`` in one
 ``mapInArrow`` pass: ``dl`` is the count of non-empty tokens of
 ``split(text, ' ')`` and ``tf_i`` the count of tokens equal to query
 term i. The JVM expression path evaluates one interpreted higher-order
@@ -43,6 +49,57 @@ def stats_schema(num_terms: int) -> str:
     return "doc_id long, dl int, " + ", ".join(
         f"tf{i} int" for i in range(num_terms)
     )
+
+
+#: (doc_id, tok, tf) — F.count is LongType, so tf is long
+TF_SCHEMA = "doc_id long, tok string, tf long"
+
+
+def make_tf_rows_fn() -> Callable:
+    """mapInArrow function: (doc_id, text) batches → the FINAL per-doc
+    term-frequency table (doc_id, tok, tf).
+
+    Replaces tf_idf's explode → partial HashAggregate → Exchange →
+    final HashAggregate chain with ZERO shuffle: per-(doc_id, tok)
+    counts are scan-local facts (a doc's row lives in exactly one
+    partition), but Spark cannot know that — the exchange it plans
+    ships the whole collapsed tf table (corpus-scale bytes at 100 TB).
+    Here the per-batch Arrow hash group-by IS the final aggregation.
+
+    Bit-identical to the expression path: counts of the same non-empty
+    token multiset (see module docstring), docs with no tokens (or
+    NULL text) emit no rows exactly like explode. Row contract: input
+    rows are independent — the corpus contract is unique doc_ids (the
+    groupBy path would merge duplicate ids across partitions; every
+    caller feeds a unique-id corpus — the minhash-kernel caveat).
+    """
+
+    def compute(it: Iterator) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            toks = pc.split_pattern(batch.column(1), " ")
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks)
+            keep = pc.not_equal(flat, "")
+            doc_ids = batch.column(0).take(parent.filter(keep))
+            t = pa.table({"doc_id": doc_ids, "tok": flat.filter(keep)})
+            g = t.group_by(["doc_id", "tok"]).aggregate([([], "count_all")])
+            if g.num_rows == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    g.column("doc_id").combine_chunks(),
+                    g.column("tok").combine_chunks(),
+                    g.column("count_all").combine_chunks(),
+                ],
+                names=["doc_id", "tok", "tf"],
+            )
+
+    return compute
 
 
 def make_token_stats_fn(terms: tuple[str, ...]) -> Callable:
