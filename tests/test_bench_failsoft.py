@@ -23,7 +23,7 @@ def test_run_pass_records_error_and_continues(spark, tmp_path):
         return s.range(1)
 
     qs = {"ok": ok, "boom": boom, "late": late}
-    timings, errors, exec_timings = bench.run_pass(
+    timings, errors, exec_timings, cold = bench.run_pass(
         spark, qs, ["ok", "boom", "late"], str(tmp_path), runs=1
     )
     assert isinstance(timings["ok"], float)
@@ -32,6 +32,9 @@ def test_run_pass_records_error_and_continues(spark, tmp_path):
     assert timings["boom"] == {"err": errors["boom"]}
     assert "RuntimeError" in errors["boom"]
     assert exec_timings == {}  # no PRECOLLECT_TWINS in this suite
+    # cold cycle recorded for the queries that ran, absent for the error
+    assert isinstance(cold["ok"], float) and isinstance(cold["late"], float)
+    assert "boom" not in cold
     # the suite total in main() sums only the float slots — mirror that
     total = sum(t for t in timings.values() if isinstance(t, float))
     assert total >= 0.0
@@ -60,9 +63,12 @@ def test_precollect_twin_records_exec_sec(spark, tmp_path, monkeypatch):
     so the artifact separates operator cost from result transfer."""
     monkeypatch.setattr(bench, "PRECOLLECT_TWINS", ("big",))
     qs = {"big": lambda s, d: s.range(10)}
-    timings, errors, exec_timings = bench.run_pass(
+    timings, errors, exec_timings, cold = bench.run_pass(
         spark, qs, ["big"], str(tmp_path), runs=1
     )
     assert isinstance(timings["big"], float)
     assert isinstance(exec_timings["big"], float)
+    assert isinstance(cold["big"], float)
+    # with runs=1 the cold cycle IS the only cycle
+    assert cold["big"] == timings["big"]
     assert not errors

@@ -34,6 +34,39 @@ def test_locf_grid_and_carry(series):
     assert len(out) == 8  # 4 grid points × 2 series
 
 
+def test_locf_duplicate_timestamp_max_wins(spark):
+    """r13 edge rule, pinned (VERDICT r13 #9): among duplicate
+    (key, timestamp) observations the MAX value wins —
+    deterministically, not via window order luck."""
+    df = spark.createDataFrame(
+        [("a", 1000, 5.0), ("a", 1000, 9.0), ("a", 1000, 1.0)],
+        "series_id string, timestamp long, value double",
+    )
+    out = {
+        r["timestamp"]: r["value"]
+        for r in resample.locf_resample(df, 0, 4000, 2000).collect()
+    }
+    assert out[0] is None  # before the observation
+    assert out[2000] == 9.0 and out[4000] == 9.0  # max of the tie carries
+
+
+def test_locf_null_observation_carries(spark):
+    """r13 edge rule, pinned: a NULL-valued observation carries like
+    any other (ASOF semantics — latest row at-or-before the point,
+    whatever its value), it is NOT skipped."""
+    df = spark.createDataFrame(
+        [("a", 1000, 7.0), ("a", 3000, None)],
+        "series_id string, timestamp long, value double",
+    )
+    out = {
+        r["timestamp"]: r["value"]
+        for r in resample.locf_resample(df, 0, 6000, 1000).collect()
+    }
+    assert out[1000] == 7.0 and out[2000] == 7.0
+    # from t=3000 on, the NULL observation is the latest → NULL carries
+    assert out[3000] is None and out[4000] is None and out[6000] is None
+
+
 def test_distinct_rollup_exact_and_approx(spark):
     rows = [("s", 1000, 1.0, "k", v) for v in ["a", "b", "a", None, "c"]]
     from zestdb_spark.schema import TS_NUMERIC

@@ -108,3 +108,55 @@ def test_tfidf_impls_agree(spark, docs):
     e = corpus_ops.tf_idf(docs, impl="expr")
     assert a.exceptAll(e).count() == 0 and e.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_empty_term_counts_zero_like_expr_path(spark, docs):
+    """r13 ADVICE (medium): a degenerate "" query term must count ZERO
+    — the expr path filters empty tokens before the equality, so the
+    kernel masks empties too (doc 4 has consecutive/leading/trailing
+    spaces, i.e. empty split tokens the unmasked kernel counted)."""
+    terms = ("spark", "")
+    kern = docs.select("doc_id", "text").mapInArrow(
+        make_token_stats_fn(terms), stats_schema(len(terms))
+    )
+    expr = _expr_projection(docs, terms)
+    assert sorted(map(tuple, kern.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+    by_id = {r["doc_id"]: r for r in kern.collect()}
+    assert by_id[4]["tf1"] == 0  # "" never matches despite empty tokens
+
+
+def test_impl_validated(spark, docs):
+    """r13 ADVICE (low): a typo'd impl must raise, not silently fall
+    through to the expr path."""
+    with pytest.raises(ValueError, match="impl"):
+        corpus_ops.bm25_topk(docs, ["spark"], 5, impl="Arrow")
+    with pytest.raises(ValueError, match="impl"):
+        corpus_ops.tf_idf(docs, impl="ARROW")
+
+
+def test_doc_id_type_follows_input_schema(spark):
+    """r13 ADVICE (low): a non-bigint doc_id corpus must work under
+    impl="arrow" exactly like the expr path preserved the type."""
+    rows = [("d1", "spark query spark"), ("d2", "query"), ("d3", None)]
+    sdocs = spark.createDataFrame(rows, "doc_id string, text string")
+    a = corpus_ops.bm25_topk(sdocs, ["spark", "query"], 5, impl="arrow")
+    e = corpus_ops.bm25_topk(sdocs, ["spark", "query"], 5, impl="expr")
+    assert a.schema == e.schema
+    assert a.collect() == e.collect()
+    at = corpus_ops.tf_idf(sdocs, impl="arrow")
+    et = corpus_ops.tf_idf(sdocs, impl="expr")
+    # names+types equal (nullability differs by construction:
+    # mapInArrow output fields are nullable, count() is not)
+    assert at.schema.simpleString() == et.schema.simpleString()
+    assert sorted(map(tuple, at.collect())) == sorted(map(tuple, et.collect()))
+
+
+def test_int_doc_id_type_follows_input_schema(spark):
+    rows = [(1, "spark query"), (2, "query")]
+    idocs = spark.createDataFrame(rows, "doc_id int, text string")
+    a = corpus_ops.tf_idf(idocs, impl="arrow")
+    e = corpus_ops.tf_idf(idocs, impl="expr")
+    assert a.schema.simpleString() == e.schema.simpleString()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, e.collect()))

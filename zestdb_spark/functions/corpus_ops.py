@@ -188,15 +188,24 @@ def tf_idf(
     ZERO shuffle — counts are integers, so tf (and df/tfidf derived
     from it) is BIT-IDENTICAL (pinned by
     tests/test_token_count_kernel.py). ``impl="expr"`` keeps the
-    pure-JVM pipeline (engines without Python workers)."""
+    pure-JVM pipeline (engines without Python workers).
+
+    Input contract under ``impl="arrow"``: doc_ids must be UNIQUE (the
+    corpus contract everywhere in this module) — the kernel's group-by
+    is per-batch, so duplicate ids split across partitions would emit
+    rows the explode→groupBy plan merges; pass ``impl="expr"`` for a
+    multiset-keyed input."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"tf_idf: impl must be 'arrow' or 'expr', got {impl!r}")
     if impl == "arrow":
         from zestdb_spark.functions.token_count_kernel import (
-            TF_SCHEMA,
             make_tf_rows_fn,
+            tf_schema,
         )
 
         tf = docs.select("doc_id", "text").mapInArrow(
-            make_tf_rows_fn(), TF_SCHEMA
+            make_tf_rows_fn(),
+            tf_schema(docs.schema["doc_id"].dataType.simpleString()),
         )
     else:
         toks = docs.select(
@@ -361,6 +370,8 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"bm25_topk: impl must be 'arrow' or 'expr', got {impl!r}")
     if impl == "arrow":
         from zestdb_spark.functions.token_count_kernel import (
             make_token_stats_fn,
@@ -370,7 +381,10 @@ def bm25_topk(
         base = _persist_bounded(
             docs.select("doc_id", "text").mapInArrow(
                 make_token_stats_fn(tuple(query_terms)),
-                stats_schema(len(query_terms)),
+                stats_schema(
+                    len(query_terms),
+                    docs.schema["doc_id"].dataType.simpleString(),
+                ),
             )
         )
     else:

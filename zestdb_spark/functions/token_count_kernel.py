@@ -44,15 +44,26 @@ import numpy as np
 
 
 @lru_cache(maxsize=None)
-def stats_schema(num_terms: int) -> str:
-    """Matches the expression projection's types: F.size → int."""
-    return "doc_id long, dl int, " + ", ".join(
+def stats_schema(num_terms: int, doc_id_type: str = "bigint") -> str:
+    """Matches the expression projection's types: F.size → int.
+    ``doc_id_type`` is the INPUT column's Spark dtype — the kernel
+    passes doc_id through untouched, so the declared schema must carry
+    the input type (a hardcoded ``long`` breaks int/string-keyed
+    corpora where the expr path preserved the type — r13 ADVICE)."""
+    return f"doc_id {doc_id_type}, dl int, " + ", ".join(
         f"tf{i} int" for i in range(num_terms)
     )
 
 
-#: (doc_id, tok, tf) — F.count is LongType, so tf is long
-TF_SCHEMA = "doc_id long, tok string, tf long"
+@lru_cache(maxsize=None)
+def tf_schema(doc_id_type: str = "bigint") -> str:
+    """(doc_id, tok, tf) — F.count is LongType, so tf is long; doc_id
+    carries the input column's type (see ``stats_schema``)."""
+    return f"doc_id {doc_id_type}, tok string, tf long"
+
+
+#: Backwards-compatible alias (bigint doc_id — the fixture corpus).
+TF_SCHEMA = tf_schema()
 
 
 def make_tf_rows_fn() -> Callable:
@@ -133,7 +144,14 @@ def make_token_stats_fn(terms: tuple[str, ...]) -> Callable:
             ).astype(np.int32)
             cols = [doc_id, pa.array(dl, mask=mask)]
             for term in terms:
-                eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+                # mask empties so a degenerate term "" counts ZERO like
+                # the expr path (which filters empty tokens before the
+                # equality) — non-empty terms never match "" so this is
+                # an identity for every real query (r13 ADVICE)
+                eq = (
+                    pc.equal(flat, term).to_numpy(zero_copy_only=False)
+                    & nonempty
+                )
                 tf = np.bincount(parent[eq], minlength=nrows).astype(
                     np.int32
                 )
