@@ -130,6 +130,12 @@ PRECOLLECT_TWINS = (
     "text_tfidf",
     "an_zscore",
     "dedup_spans_hashed",
+    # r14 additions: both rows measured collect-bound at sf1 (asof
+    # exec marginal ≈ 0.05-0.1 s/10× vs 0.75 end-to-end — the delta is
+    # driver-side transfer of the ~200k-row result the bench contract
+    # collects; li_since_filter was diagnosed the same way in r13)
+    "tmp_asof_join",
+    "li_since_filter",
 )
 
 

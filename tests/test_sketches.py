@@ -436,6 +436,60 @@ def test_heavy_hitter_candidates_bounded_and_lower_bound(spark):
         sketches.heavy_hitter_candidates(df, "v", capacity=0)
 
 
+def test_mg_fold_matches_dict_reference():
+    """The r14 vectorized MG fold (index-aligned Series add + one
+    nlargest compression per batch) must produce the IDENTICAL
+    (item → weight) summary as the r13 per-item dict fold over the
+    same batch stream — adversarial shapes: compression triggered
+    multiple times, exact ties at the decrement quantile, items
+    vanishing and re-entering, a batch of all-new keys, empty batches,
+    and an empty stream."""
+    import random
+
+    import pandas as pd
+
+    from zestdb_spark.functions.sketches import _mg_fold
+
+    def dict_fold(batches, capacity):
+        import heapq
+
+        counts, n_rows = {}, 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                d = heapq.nlargest(capacity + 1, counts.values())[-1]
+                counts = {k: v - d for k, v in counts.items() if v > d}
+        return counts, n_rows
+
+    import pyarrow as pa
+
+    rng = random.Random(1234)
+    cases = []
+    for trial in range(30):
+        batches = []
+        for _ in range(rng.randint(1, 6)):
+            n = rng.choice([0, 1, 5, 40, 200])
+            items = [f"k{rng.randint(0, rng.choice([3, 10, 60]))}" for _ in range(n)]
+            batches.append(items)
+        cases.append((batches, rng.choice([1, 2, 4, 16])))
+    cases.append(([], 4))  # empty stream
+    for batches, cap in cases:
+        arrow = [
+            pa.RecordBatch.from_arrays(
+                [pa.array(items, type=pa.string())], names=["item"]
+            )
+            for items in batches
+        ]
+        pandas = [pd.DataFrame({"item": items}) for items in batches]
+        got_items, got_weights, got_n = _mg_fold(iter(arrow), cap)
+        ref_counts, ref_n = dict_fold(pandas, cap)
+        assert dict(zip(got_items, got_weights)) == ref_counts
+        assert got_n == ref_n
+        assert len(got_items) <= cap
+
+
 def test_heavy_hitters_partitioning_invariant(spark):
     """Same answer at 1 and 16 partitions (the per-partition summaries
     merge losslessly through the exact recount)."""

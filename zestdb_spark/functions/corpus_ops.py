@@ -1097,6 +1097,7 @@ def dsir_select(
     target: DataFrame,
     k: int = 100,
     broadcast_vocab: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, n_tokens, logw, score): Data Selection via Importance
     Resampling (Xie et al. 2023, arXiv:2302.03169) — pick the k raw
@@ -1128,20 +1129,63 @@ def dsir_select(
     corpus folded in. Final top-k is TakeOrderedAndProject.
     ``broadcast_vocab=False`` degrades the vocab join to a shuffle
     equi-join past the broadcast ceiling. Zero-token docs carry no
-    evidence and are excluded. Ties break on doc_id asc."""
+    evidence and are excluded. Ties break on doc_id asc.
+
+    ``impl="arrow"`` (default, r14): the RAW corpus's token counting
+    rides the scan-local Arrow tf kernel (the tf_idf shape). The raw
+    tf table is computed ONCE (persisted via the bounded registry —
+    the old plan exploded the raw corpus twice: vocab build + per-doc
+    rollup) and everything downstream consumes collapsed (doc, tok,
+    tf) rows instead of token instances: the vocab aggregation's input
+    shrinks from corpus-token-instance rows to per-doc-distinct rows,
+    and the per-doc rollup weighs llr·tf — the exact DECIMAL(38,6)
+    multiple of adding llr tf times, so every output is BIT-IDENTICAL
+    (integer counts, same smoothed-log formula). The TARGET corpus
+    keeps the plain explode (it is small by DSIR's premise — a second
+    Python-worker wave on it measured +0.23 s fixed cost at sf0.1 for
+    no sf1 gain). Unique raw-doc_id contract as in ``tf_idf``.
+    ``impl="expr"`` keeps the pure-JVM explode pipeline (engines
+    without Python workers)."""
     if k < 1:
         raise ValueError(f"dsir_select: k must be ≥ 1, got {k}")
-    toks = raw.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
-    )
-    tagged = toks.select(
-        "tok", F.lit(1).alias("r"), F.lit(0).alias("t")
-    ).unionAll(
-        target.select(
-            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
-        ).select("tok", F.lit(0).alias("r"), F.lit(1).alias("t"))
-    )
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"dsir_select: impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        from zestdb_spark.functions.token_count_kernel import (
+            make_tf_rows_fn,
+            tf_schema,
+        )
+
+        raw_tf = _persist_bounded(
+            raw.select("doc_id", "text").mapInArrow(
+                make_tf_rows_fn(),
+                tf_schema(raw.schema["doc_id"].dataType.simpleString()),
+            )
+        )
+        tagged = raw_tf.select(
+            "tok", F.col("tf").alias("r"), F.lit(0).cast("long").alias("t")
+        ).unionAll(
+            target.select(
+                F.explode(
+                    F.filter(F.split("text", " "), lambda t: t != "")
+                ).alias("tok")
+            ).select(
+                "tok", F.lit(0).cast("long").alias("r"),
+                F.lit(1).cast("long").alias("t"),
+            )
+        )
+    else:
+        toks = raw.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+        )
+        tagged = toks.select(
+            "tok", F.lit(1).alias("r"), F.lit(0).alias("t")
+        ).unionAll(
+            target.select(
+                F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+            ).select("tok", F.lit(0).alias("r"), F.lit(1).alias("t"))
+        )
     vocab = tagged.groupBy("tok").agg(
         F.sum("r").alias("cr"), F.sum("t").alias("ct")
     )
@@ -1158,16 +1202,27 @@ def dsir_select(
     scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
         "tok", llr.cast("decimal(38,6)").alias("llr")
     )
-    per = (
-        toks.join(
-            F.broadcast(scored_vocab) if broadcast_vocab else scored_vocab, "tok"
+    maybe_b = F.broadcast if broadcast_vocab else (lambda df: df)
+    if impl == "arrow":
+        per = (
+            raw_tf.join(maybe_b(scored_vocab), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tf").cast("int").alias("n_tokens"),
+                # exact: llr has 6 dp, tf is integral — llr·tf IS the
+                # decimal sum of tf copies of llr, no precision loss
+                F.sum(F.col("llr") * F.col("tf")).alias("logw_d"),
+            )
         )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.sum("llr").alias("logw_d"),
+    else:
+        per = (
+            toks.join(maybe_b(scored_vocab), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                F.sum("llr").alias("logw_d"),
+            )
         )
-    )
     u = (
         _hash60(F.col("doc_id").cast("string")).cast("double") + 0.5
     ) / F.lit(float(1 << 60))
