@@ -181,3 +181,58 @@ def test_semantic_dedup_kernel_matches_literal(spark):
 
     with _pt.raises(ValueError, match="pairs must be"):
         semantic_dedup(embs, pairs="nope")
+
+
+def test_tiled_fold_matches_untiled():
+    """The r14 cache-tiled pair fold must produce the IDENTICAL
+    dropped set as the r13 untiled (row-block x whole-cell) fold —
+    same per-dimension add order per element, so bitwise-equal
+    cosines by construction. Adversarial shapes: n straddling the
+    512/2048 tile boundaries (diagonal-band tiles partial both ways),
+    taus at sparse/moderate/dense hit rates, duplicate vectors
+    (cosine exactly 1), and n < 2 degenerates."""
+    import numpy as np
+    import pandas as pd
+
+    from zestdb_spark.functions.similarity import _semdedup_dropped_kernel
+
+    def untiled_reference(pdf, tau):
+        n = len(pdf)
+        if n < 2:
+            return np.array([], dtype=np.int64)
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]], dtype=np.float64
+        )[order]
+        norms = pdf["norm"].to_numpy(dtype=np.float64)[order]
+        dim = V.shape[1]
+        dropped = np.zeros(n, dtype=bool)
+        block = max(1, min(n, (1 << 25) // n))
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            cs = np.zeros((i1 - i0, n), dtype=np.float64)
+            for j in range(dim):
+                cs += V[i0:i1, j : j + 1] * V[None, :, j]
+            cs /= norms[i0:i1, None] * norms[None, :]
+            hit = np.floor(cs * 1e6) / 1e6 >= tau
+            for r in range(i1 - i0):
+                gi = i0 + r
+                if gi + 1 < n:
+                    dropped[gi + 1 :] |= hit[r, gi + 1 :]
+        return np.sort(ids[dropped])
+
+    rng = np.random.default_rng(42)
+    for n in (0, 1, 2, 511, 512, 513, 2047, 2048, 2049, 3000):
+        V = rng.standard_normal((n, 8))
+        if n >= 4:  # exact duplicates: cosine == 1.0 bitwise
+            V[3] = V[1]
+        ids = rng.permutation(n).astype(np.int64) * 7 + 1
+        norms = np.sqrt((V * V).sum(axis=1)) if n else np.array([])
+        pdf = pd.DataFrame(
+            {"vec_id": ids, "v": [row for row in V], "norm": norms}
+        )
+        for tau in (0.2, 0.7, 0.999999):
+            got = _semdedup_dropped_kernel(tau)(pdf)["vec_id"].to_numpy()
+            want = untiled_reference(pdf, tau)
+            assert np.array_equal(np.sort(got), want), (n, tau)

@@ -661,10 +661,22 @@ def _semdedup_dropped_kernel(tau: float):
     with a higher-order fold — CodegenFallback, interpreted, ~3-6 us
     per PAIR, and pair count is quadratic in cell size. At 20k vectors
     over 16 cells (~12.5M pairs) that was 81 s; this kernel does the
-    same arithmetic as blocked numpy outer products in ~2 s. Row
-    blocks bound memory to ~256 MB regardless of cell size; the
-    O(cell^2) work itself is SemDeDup's contract — raise n_centroids
-    with the corpus to bound cells (SCALE.md)."""
+    same arithmetic as blocked numpy outer products in ~2 s.
+
+    TILED (round 14, measured at the sf10 probe): the r13 shape
+    accumulated each (row-block × whole cell) cosine slab dim times —
+    at 12.5k-row cells that is 64 read+write passes over a ~256 MB
+    slab, ~1.4 TB of DRAM traffic per cell, and the fold turned
+    memory-bandwidth-bound (engine 265 s vs DuckDB 52 at sf10). The
+    pair matrix is now walked in ~8 MB cache-resident tiles with the
+    dim loop INSIDE the tile, and V is pre-transposed so each dim's
+    slice is contiguous. Per (i, j) element the adds are the same
+    products in the same dim order, then the same norm division and
+    floor-1e-6 quantization — bit-identical output by construction
+    (pinned vs the untiled fold and the literal join in
+    tests/test_retrieval_semdedup.py). The O(cell^2) work itself is
+    SemDeDup's contract — raise n_centroids with the corpus to bound
+    cells (SCALE.md)."""
 
     def fn(pdf):
         import numpy as np
@@ -681,19 +693,24 @@ def _semdedup_dropped_kernel(tau: float):
         )[order]
         norms = pdf["norm"].to_numpy(dtype=np.float64)[order]
         dim = V.shape[1]
+        VT = np.ascontiguousarray(V.T)  # dim x n: per-dim slices contiguous
         dropped = np.zeros(n, dtype=bool)
-        block = max(1, min(n, (1 << 25) // n))  # ~256 MB of doubles
-        for i0 in range(0, n, block):
-            i1 = min(i0 + block, n)
-            cs = np.zeros((i1 - i0, n), dtype=np.float64)
-            for j in range(dim):  # left fold over dims — never np.dot
-                cs += V[i0:i1, j : j + 1] * V[None, :, j]
-            cs /= norms[i0:i1, None] * norms[None, :]
-            hit = np.floor(cs * 1e6) / 1e6 >= tau
-            for r in range(i1 - i0):
-                gi = i0 + r
-                if gi + 1 < n:
-                    dropped[gi + 1 :] |= hit[r, gi + 1 :]
+        it, jt = 512, 2048  # ~8 MB cs tile: stays cache-resident across dims
+        for i0 in range(0, n, it):
+            i1 = min(i0 + it, n)
+            # pairs need i < j, so no tile left of the diagonal band
+            for j0 in range(i0 + 1, n, jt):
+                j1 = min(j0 + jt, n)
+                cs = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for d in range(dim):  # left fold over dims — never np.dot
+                    cs += VT[d, i0:i1, None] * VT[d, None, j0:j1]
+                cs /= norms[i0:i1, None] * norms[None, j0:j1]
+                hit = np.floor(cs * 1e6) / 1e6 >= tau
+                if j0 < i1:  # tile crosses the diagonal: mask i >= j
+                    hit &= (
+                        np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
+                    )
+                dropped[j0:j1] |= hit.any(axis=0)
         if not dropped.any():
             return empty
         return pd.DataFrame({"vec_id": ids[dropped].astype("int64")})
