@@ -1132,20 +1132,23 @@ def dsir_select(
     evidence and are excluded. Ties break on doc_id asc.
 
     ``impl="arrow"`` (default, r14): the RAW corpus's token counting
-    rides the scan-local Arrow tf kernel (the tf_idf shape). The raw
-    tf table is computed ONCE (persisted via the bounded registry —
-    the old plan exploded the raw corpus twice: vocab build + per-doc
-    rollup) and everything downstream consumes collapsed (doc, tok,
-    tf) rows instead of token instances: the vocab aggregation's input
-    shrinks from corpus-token-instance rows to per-doc-distinct rows,
-    and the per-doc rollup weighs llr·tf — the exact DECIMAL(38,6)
-    multiple of adding llr tf times, so every output is BIT-IDENTICAL
-    (integer counts, same smoothed-log formula). The TARGET corpus
-    keeps the plain explode (it is small by DSIR's premise — a second
-    Python-worker wave on it measured +0.23 s fixed cost at sf0.1 for
-    no sf1 gain). Unique raw-doc_id contract as in ``tf_idf``.
-    ``impl="expr"`` keeps the pure-JVM explode pipeline (engines
-    without Python workers)."""
+    rides the scan-local Arrow tf kernel (the tf_idf shape), and
+    everything downstream consumes collapsed (doc, tok, tf) rows
+    instead of token instances: the vocab aggregation's input shrinks
+    from corpus-token-instance rows to per-doc-distinct rows, and the
+    per-doc rollup weighs llr·tf — the exact DECIMAL(38,6) multiple
+    of adding llr tf times, so every output is BIT-IDENTICAL (integer
+    counts, same smoothed-log formula). The tf pass is deliberately
+    NOT persisted even though two subtrees read it: the kernel is
+    scan-local (one parquet scan + one Arrow pass), and recomputing
+    it beat materializing the corpus-sized tf cache at the sf10 probe
+    (14.2 vs 18.9 s min; a wash at sf0.1) — at 100 TB a second
+    columnar copy of the token table is exactly the §5 memory
+    pressure to avoid. The TARGET corpus keeps the plain explode (it
+    is small by DSIR's premise — a second Python-worker wave on it
+    measured +0.23 s fixed cost at sf0.1 for no sf1 gain). Unique
+    raw-doc_id contract as in ``tf_idf``. ``impl="expr"`` keeps the
+    pure-JVM explode pipeline (engines without Python workers)."""
     if k < 1:
         raise ValueError(f"dsir_select: k must be ≥ 1, got {k}")
     if impl not in ("arrow", "expr"):
@@ -1156,11 +1159,9 @@ def dsir_select(
             tf_schema,
         )
 
-        raw_tf = _persist_bounded(
-            raw.select("doc_id", "text").mapInArrow(
-                make_tf_rows_fn(),
-                tf_schema(raw.schema["doc_id"].dataType.simpleString()),
-            )
+        raw_tf = raw.select("doc_id", "text").mapInArrow(
+            make_tf_rows_fn(),
+            tf_schema(raw.schema["doc_id"].dataType.simpleString()),
         )
         tagged = raw_tf.select(
             "tok", F.col("tf").alias("r"), F.lit(0).cast("long").alias("t")
